@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
-    relational.Aggs
+    relational.Aggs,
+    relational.Filters
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

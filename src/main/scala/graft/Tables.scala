@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Fixture-table loaders. Every query fn receives the scale-factor dir at
   * call time (driver contract, Verify.scala:18) and must read from it —
@@ -17,7 +19,19 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame       = table(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame     = table(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame   = table(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame     = table(s, dir, "events")
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
+    * nanos long (legacy conf, runtime-settable) and normalize to µs
+    * TimestampType here, so every consumer sees an ordinary `ts`.
+    * DuckDB keeps full ns — oracles must date_trunc to seconds anyway
+    * (FIXTURES.md pitfall 1). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = table(s, dir, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
   def documents(s: SparkSession, dir: String): DataFrame  = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 }

@@ -1,0 +1,157 @@
+package graft.relational
+
+import graft.{QueryPack, Tables}
+import graft.selector.Selector
+import graft.selector.Selector.{KStr, KBool}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Filter / predicate operators (SURVEY.md §2.2) — the JMS-selector
+  * surface, the heart of the message-filter domain. Every predicate here
+  * is produced by `Selector.compile` (dogfooding the compiler), emitting
+  * plain Catalyst expressions that push down into the Parquet scan.
+  */
+object Filters extends QueryPack {
+
+  /** Canonical deterministic events projection: ts is ns-precision in
+    * storage (FIXTURES.md pitfall 1) → emit a to-the-second string. */
+  private def evOut(df: DataFrame, extra: Column*): DataFrame =
+    df.select(Seq(col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+      col("user_id"), col("event_type"), col("value")) ++ extra: _*)
+      .orderBy("event_id")
+
+  private val evSel =
+    "SELECT event_id, strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s, " +
+      "user_id, event_type, value"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "filter_eq" -> ((s, dir) =>
+      evOut(Tables.events(s, dir)
+        .where(Selector.compileEvents("event_type = 'purchase'")))),
+
+    "filter_cmp" -> ((s, dir) =>
+      evOut(Tables.events(s, dir)
+        .where(Selector.compileEvents(
+          "value > 100 AND value <= 200 AND event_type <> 'error'")))),
+
+    "filter_between" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(Selector.compile(
+          "l_quantity BETWEEN 10 AND 20 AND l_discount NOT BETWEEN 0.02 AND 0.08",
+          Selector.direct()))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "filter_in" -> ((s, dir) =>
+      evOut(Tables.events(s, dir)
+        .where(Selector.compileEvents(
+          "event_type IN ('click', 'view', 'purchase') AND event_type NOT IN ('purchase')")))),
+
+    "filter_like" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .where(Selector.compile(
+          "p_type LIKE '%DARD' OR p_brand LIKE 'Brand#1_' " +
+            "OR p_name LIKE 'cold!_w%' ESCAPE '!' OR p_name NOT LIKE '%o%'",
+          Selector.direct(Map("p_type" -> KStr, "p_brand" -> KStr, "p_name" -> KStr))))
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+        .orderBy("p_partkey")),
+
+    "filter_null" -> ((s, dir) =>
+      evOut(
+        Tables.events(s, dir)
+          .withColumn("maybe",
+            when(col("event_type") === "click", lit(null)).otherwise(col("event_type")))
+          .where(Selector.compile("maybe IS NULL OR maybe = 'purchase'",
+            n => if (n == "maybe") (col("maybe"), KStr) else Selector.events(n))),
+        col("maybe"))),
+
+    "filter_bool3" -> ((s, dir) =>
+      evOut(
+        Tables.events(s, dir)
+          .withColumn("flag",
+            when(col("event_type") === "error", lit(null)).otherwise(col("value") > 150))
+          .where(Selector.compile(
+            "NOT (flag AND event_type = 'view' OR value > 300)",
+            n => if (n == "flag") (col("flag"), KBool) else Selector.events(n))))),
+
+    "filter_arith" -> ((s, dir) =>
+      evOut(Tables.events(s, dir)
+        .where(Selector.compileEvents(
+          "value * 2 - 10 > user_id / 3 + 5 AND value / 4 + 1 < 60")))),
+
+    "filter_props" -> ((s, dir) =>
+      evOut(Tables.events(s, dir)
+        .where(Selector.compileEvents("props.k >= 50 AND props.k < 90")),
+        get_json_object(col("props"), "$.k").cast("double").as("k_val"))),
+
+    "selector_compile" -> ((s, dir) =>
+      evOut(Tables.events(s, dir)
+        .where(Selector.compileEvents(
+          "(event_type IN ('purchase', 'signup', 'view') AND props.k BETWEEN 10 AND 90 " +
+            "AND value > 20 AND NOT (user_id < 50 OR event_type LIKE 'v%')) OR value >= 300")))),
+
+    "filter_result_route" -> ((s, dir) =>
+      evOut(Tables.events(s, dir),
+        when(Selector.compileEvents("event_type IN ('purchase', 'signup') AND value > 50"),
+          "ACCEPT")
+          .when(Selector.compileEvents("event_type = 'error'"), "RESCHEDULE")
+          .otherwise("REJECT").as("verdict")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "filter_eq" ->
+      s"$evSel FROM events WHERE event_type = 'purchase' ORDER BY event_id",
+
+    "filter_cmp" ->
+      s"$evSel FROM events WHERE value > 100 AND value <= 200 AND event_type <> 'error' ORDER BY event_id",
+
+    "filter_between" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_discount NOT BETWEEN 0.02 AND 0.08
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "filter_in" ->
+      s"$evSel FROM events WHERE event_type IN ('click','view','purchase') AND event_type NOT IN ('purchase') ORDER BY event_id",
+
+    "filter_like" ->
+      """SELECT p_partkey, p_name, p_brand, p_type FROM part
+        |WHERE p_type LIKE '%DARD' OR p_brand LIKE 'Brand#1_'
+        |   OR p_name LIKE 'cold!_w%' ESCAPE '!' OR p_name NOT LIKE '%o%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "filter_null" ->
+      s"""$evSel, maybe FROM (
+         |  SELECT *, NULLIF(event_type, 'click') AS maybe FROM events
+         |) WHERE maybe IS NULL OR maybe = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "filter_bool3" ->
+      s"""$evSel FROM (
+         |  SELECT *, CASE WHEN event_type = 'error' THEN NULL ELSE value > 150 END AS flag
+         |  FROM events
+         |) WHERE NOT (flag AND event_type = 'view' OR value > 300) ORDER BY event_id""".stripMargin,
+
+    "filter_arith" ->
+      s"$evSel FROM events WHERE value * 2 - 10 > user_id / 3 + 5 AND value / 4 + 1 < 60 ORDER BY event_id",
+
+    "filter_props" ->
+      s"""$evSel, CAST(props->>'$$.k' AS DOUBLE) AS k_val FROM events
+         |WHERE CAST(props->>'$$.k' AS DOUBLE) >= 50 AND CAST(props->>'$$.k' AS DOUBLE) < 90
+         |ORDER BY event_id""".stripMargin,
+
+    "selector_compile" ->
+      s"""$evSel FROM events
+         |WHERE (event_type IN ('purchase','signup','view')
+         |  AND CAST(props->>'$$.k' AS DOUBLE) BETWEEN 10 AND 90
+         |  AND value > 20 AND NOT (user_id < 50 OR event_type LIKE 'v%'))
+         |  OR value >= 300
+         |ORDER BY event_id""".stripMargin,
+
+    "filter_result_route" ->
+      s"""$evSel,
+         |  CASE WHEN event_type IN ('purchase','signup') AND value > 50 THEN 'ACCEPT'
+         |       WHEN event_type = 'error' THEN 'RESCHEDULE'
+         |       ELSE 'REJECT' END AS verdict
+         |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,126 @@
+package graft.selector
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compiles a JMS selector string to an ordinary Catalyst `Column`
+  * boolean expression. Deliberately a *front-end only*: the emitted tree
+  * is built from Spark built-in expressions, so Catalyst constant-folds
+  * it, pushes it into the Parquet scan, and whole-stage-codegens it for
+  * free — at 100 TB the selector becomes `PushedFilters` on the scan, not
+  * a per-row interpreter like a native filter plugin would be.
+  *
+  * JMS ternary (three-valued) logic maps 1:1 onto SQL/Catalyst boolean
+  * semantics: AND/OR/NOT, comparisons, BETWEEN/IN/LIKE over NULL operands
+  * all yield NULL, and a selector "matches" only when it evaluates to
+  * TRUE — exactly Spark's `Dataset.where`.
+  */
+object Selector {
+
+  /** Static type tag used only to decide property-bag coercions. */
+  sealed trait Kind
+  case object KNum extends Kind
+  case object KStr extends Kind
+  case object KBool extends Kind
+  /** A value pulled out of the string→string properties bag: untyped at
+    * compile time; coerced to double when compared against a number. */
+  case object KProp extends Kind
+
+  type Resolver = String => (Column, Kind)
+
+  /** Resolver for the canonical message table (`events` fixture): message
+    * metadata fields resolve to their columns; any other identifier —
+    * bare (`k`) or dotted (`props.k`) — is a properties-bag lookup, as a
+    * Pulsar entry filter would do against message properties.
+    */
+  val events: Resolver = {
+    case n @ ("event_id" | "user_id" | "value") => (col(n), KNum)
+    case "ts"                                   => (col("ts"), KNum)
+    case n @ ("event_type" | "props")           => (col(n), KStr)
+    case n =>
+      val key = if (n.startsWith("props.")) n.stripPrefix("props.") else n
+      (get_json_object(col("props"), "$." + key), KProp)
+  }
+
+  /** Resolver mapping every identifier straight to a column, with an
+    * optional kind override (default KNum — kinds only matter when a
+    * KProp operand needs coercion, which plain tables never have). */
+  def direct(kinds: Map[String, Kind] = Map.empty): Resolver =
+    n => (col(n), kinds.getOrElse(n, KNum))
+
+  def parse(s: String): Expr = Parser.parse(s)
+
+  def compile(sel: String, resolve: Resolver): Column =
+    compileExpr(Parser.parse(sel), resolve)
+
+  def compileEvents(sel: String): Column = compile(sel, events)
+
+  def compileExpr(e: Expr, resolve: Resolver): Column = typed(e, resolve)._1
+
+  private def asNum(c: (Column, Kind)): Column =
+    if (c._2 == KProp) c._1.cast("double") else c._1
+
+  private def typed(e: Expr, r: Resolver): (Column, Kind) = e match {
+    case Ident(n)   => r(n)
+    case StrL(v)    => (lit(v), KStr)
+    case LongL(v)   => (lit(v), KNum)
+    case DoubleL(v) => (lit(v), KNum)
+    case BoolL(v)   => (lit(v), KBool)
+
+    case Neg(x) => (-asNum(typed(x, r)), KNum)
+
+    case Arith(op, l, rr) =>
+      val lc = asNum(typed(l, r))
+      val rc = asNum(typed(rr, r))
+      val c = op match {
+        case '+' => lc + rc
+        case '-' => lc - rc
+        case '*' => lc * rc
+        case '/' => lc / rc
+      }
+      (c, KNum)
+
+    case Cmp(op, l, rr) =>
+      val (lc0, lk) = typed(l, r)
+      val (rc0, rk) = typed(rr, r)
+      // a property compared against a number is coerced numerically
+      val (lc, rc) =
+        if (lk == KProp && rk == KNum) (lc0.cast("double"), rc0)
+        else if (rk == KProp && lk == KNum) (lc0, rc0.cast("double"))
+        else (lc0, rc0)
+      val c = op match {
+        case "="  => lc === rc
+        case "<>" => lc =!= rc
+        case "<"  => lc < rc
+        case "<=" => lc <= rc
+        case ">"  => lc > rc
+        case ">=" => lc >= rc
+      }
+      (c, KBool)
+
+    case Between(x, lo, hi, neg) =>
+      val xc = asNum(typed(x, r))
+      val c = xc >= asNum(typed(lo, r)) && xc <= asNum(typed(hi, r))
+      (if (neg) !c else c, KBool)
+
+    case InList(x, vs, neg) =>
+      val c = typed(x, r)._1.isin(vs: _*)
+      (if (neg) !c else c, KBool)
+
+    case LikeP(x, p, esc, neg) =>
+      val xc = typed(x, r)._1
+      val c = esc match {
+        case Some(ch) => like(xc, lit(p), lit(ch.toString))
+        case None     => xc.like(p)
+      }
+      (if (neg) !c else c, KBool)
+
+    case IsNull(x, neg) =>
+      val xc = typed(x, r)._1
+      (if (neg) xc.isNotNull else xc.isNull, KBool)
+
+    case Not(x)    => (!typed(x, r)._1, KBool)
+    case And(l, b) => (typed(l, r)._1 && typed(b, r)._1, KBool)
+    case Or(l, b)  => (typed(l, r)._1 || typed(b, r)._1, KBool)
+  }
+}
