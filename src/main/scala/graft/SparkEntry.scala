@@ -8,7 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     relational.Aggs,
-    relational.Filters
+    relational.Filters,
+    relational.Projections,
+    relational.Joins,
+    relational.Sets,
+    relational.Sorts,
+    relational.Windows
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
