@@ -13,7 +13,8 @@ object SparkEntry {
     relational.Joins,
     relational.Sets,
     relational.Sorts,
-    relational.Windows
+    relational.Windows,
+    relational.Scalars
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
