@@ -14,7 +14,11 @@ object SparkEntry {
     relational.Sets,
     relational.Sorts,
     relational.Windows,
-    relational.Scalars
+    relational.Scalars,
+    llm.Dedup,
+    llm.Similarity,
+    llm.Text,
+    llm.Multimodal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

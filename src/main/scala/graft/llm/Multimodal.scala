@@ -1,0 +1,113 @@
+package graft.llm
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column convention (SURVEY.md §1.2, §2.11): media is an
+  * opaque `binary` payload inside a tagged-union struct
+  * `(kind STRING, bytes BINARY, meta MAP<STRING,STRING>)`. No binary
+  * fixture exists, so payloads here are the utf-8 document text tagged
+  * with a synthetic kind — the POINT is the plumbing: pack, filter by
+  * kind, unpack, and run a per-partition feature extractor whose real
+  * decode step (image/audio codecs are not in this container) is
+  * replaced by a deterministic byte-histogram fake with the same
+  * signature a codec UDF would have.
+  *
+  * At 100 TB: payload bytes ride the shuffle only when the struct itself
+  * moves; feature extraction is mapPartitions (no per-row JVM↔native
+  * round-trips), and the output schema is fixed so downstream plans are
+  * stable.
+  */
+object Multimodal extends QueryPack {
+
+  /** A packed media row as the typed boundary for partition-wise decode. */
+  case class MediaRow(doc_id: Long, kind: String, bytes: Array[Byte])
+  case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
+      f0: Double, f1: Double, f2: Double, f3: Double)
+
+  /** STUB decode: a real implementation would decode image/audio bytes
+    * (codec libraries are not in this container). The deterministic fake
+    * emits a 4-bin byte histogram (fractions of bytes in [0,32), [32,64),
+    * [64,96), [96,128)) — same shape and determinism as real features. */
+  private[llm] def extractFeatures(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      val bins = new Array[Long](4)
+      var i = 0
+      while (i < r.bytes.length) {
+        val b = r.bytes(i) & 0xff
+        if (b < 128) bins(b / 32) += 1
+        i += 1
+      }
+      val n = math.max(r.bytes.length, 1).toDouble
+      // half-up (not rint's half-even) to match SQL ROUND on both engines
+      def frac(j: Int): Double = math.floor(bins(j) / n * 10000 + 0.5) / 10000
+      MediaFeatures(r.doc_id, r.kind, r.bytes.length.toLong,
+        frac(0), frac(1), frac(2), frac(3))
+    }
+
+  private def packed(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      struct(
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("text").as("kind"),
+        encode(col("text"), "utf-8").as("bytes"),
+        map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"))
+        .as("media"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // pack → filter on the tag → unpack back to scalars
+    "multimodal_pack" -> ((s, dir) =>
+      packed(s, dir)
+        .where(col("media.kind") =!= "audio")
+        .select(
+          col("doc_id"),
+          col("media.kind").as("kind"),
+          octet_length(col("media.bytes")).cast("long").as("n_bytes"),
+          md5(col("media.bytes")).as("content_hash"),
+          element_at(col("media.meta"), "lang").as("lang"))
+        .orderBy("doc_id")),
+
+    // partition-wise feature extraction through the typed boundary;
+    // the byte-histogram fake is portable enough to oracle-check in SQL
+    "multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      packed(s, dir)
+        .select(col("doc_id"), col("media.kind").as("kind"),
+          col("media.bytes").as("bytes"))
+        .as[MediaRow]
+        .mapPartitions(extractFeatures)
+        .toDF()
+        .orderBy("doc_id")
+    })
+  )
+
+  private def binFrac(lo: Int, hi: Int): String =
+    s"ROUND(CAST(length(regexp_replace(text, '[^' || chr($lo) || '-' || chr($hi) || ']', '', 'g')) AS DOUBLE) / length(text), 4)"
+
+  val oracleSql: Map[String, String] = Map(
+    "multimodal_pack" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'text' END AS kind,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash,
+        |  lang
+        |FROM documents
+        |WHERE doc_id % 3 <> 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_features" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'text' END AS kind,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  ${binFrac(1, 31)} AS f0,
+         |  ${binFrac(32, 63)} AS f1,
+         |  ${binFrac(64, 95)} AS f2,
+         |  ${binFrac(96, 127)} AS f3
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

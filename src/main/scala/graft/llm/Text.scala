@@ -1,0 +1,215 @@
+package graft.llm
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2.11
+  * + north star): token/BPE-ish counting, n-gram stats, closed-form
+  * TF-IDF, corpus stats, language-ID heuristic, quality scoring, and
+  * positional rolling-hash fingerprinting. All pure built-in expressions
+  * (codegen) over `split(text, ' ')` — fixture text is pre-normalized
+  * (FIXTURES.md), so no punctuation pipeline is needed here; at 100 TB
+  * the same plans apply after a normalization pass.
+  */
+object Text extends QueryPack {
+
+  /** Portable token hash: first 8 md5 hex digits as a base-16 number
+    * (Spark: one conv call; DuckDB twin expands digit-by-digit). */
+  private def tokHashS(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+
+  private val tokHashD: String =
+    (0 until 8).map(d =>
+      s"(instr('0123456789abcdef', substring(md5(tok), ${d + 1}, 1)) - 1) * ${1L << (4 * (7 - d))}")
+      .mkString("(", " + ", ")")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // whitespace token count, BPE-ish subword count (ceil(len/4) units
+    // per token), distinct token count
+    "text_tokens" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(transform(toks, t => ceil(length(t) / 4.0)), lit(0L),
+          (acc, v) => acc + v).as("n_bpe"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+        .orderBy("doc_id")
+    }),
+
+    // global bigram frequency top-20
+    "text_ngrams" -> ((s, dir) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .withColumn("ng", concat_ws(" ", col("tok"), col("nxt")))
+        .groupBy("ng").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ng"))
+        .limit(20)
+    }),
+
+    // closed-form TF-IDF, top-5 terms per doc (explicit formula — a
+    // hashed HashingTF wouldn't be oracle-able)
+    "text_tfidf" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val n = Tables.documents(s, dir).count() // corpus size: scalar, driver-side once
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("dfreq"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(df, Seq("term"))
+        .withColumn("tfidf",
+          col("tf") * (log((lit(n) + 1.0) / (col("dfreq") + 1.0)) + 1.0))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("doc_id"), col("rn"), col("term"), round(col("tfidf"), 4).as("score"))
+        .orderBy("doc_id", "rn")
+    }),
+
+    // per-(lang, source) corpus stats incl. vocabulary size
+    "text_lang_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), col("source"), col("doc_id"), col("n_chars"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          round(sum(col("n_chars")).cast("double") / countDistinct(col("doc_id")), 4)
+            .as("avg_chars"),
+          countDistinct(col("tok")).as("vocab"))
+        .orderBy("lang", "source")),
+
+    // language-ID heuristic: diacritic/script markers, else 'en'.
+    // Honest plumbing — fixture text is ASCII so the interesting branches
+    // only fire on real multilingual data.
+    "text_langid" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        when(col("text").rlike("[äöüß]"), "de")
+          .when(col("text").rlike("[áéíóúñ¿¡]"), "es")
+          .when(col("text").rlike("[àèêëçœ]"), "fr")
+          .when(col("text").rlike("[一-鿿]"), "zh")
+          .otherwise("en").as("guess"),
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), "[aeiou]", ""))).cast("double") /
+          length(col("text")), 4).as("vowel_ratio"))
+        .orderBy("doc_id")),
+
+    // quality scoring: length, stopword ratio, mean word length
+    "text_quality" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      val stopRatio = size(filter(toks,
+        t => t === "the" || t === "and" || t === "a" || t === "of")).cast("double") / nTok
+      val avgWordLen = (length(col("text")) - (nTok - 1)) / nTok
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        nTok.cast("long").as("n_tok"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(avgWordLen, 4).as("avg_word_len"),
+        round(lit(0.3) * least(nTok / 50.0, lit(1.0))
+          + lit(0.4) * (lit(1.0) - stopRatio)
+          + lit(0.3) * least(avgWordLen / 6.0, lit(1.0)), 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // positional rolling-hash document fingerprint (modular arithmetic,
+    // md5-derived token hashes — engine-portable)
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("w", (col("pos") + 1) * 2654435761L % 1000003L)
+        .groupBy("doc_id")
+        .agg((sum(tokHashS(col("tok")) * col("w")) % 1000000007L).as("fingerprint"))
+        .orderBy("doc_id"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |           x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+        |         unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, tok || ' ' || lead(tok) OVER w AS ng
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok) OVER w IS NOT NULL)
+        |SELECT ng, COUNT(*) AS cnt FROM ng GROUP BY ng
+        |ORDER BY cnt DESC, ng LIMIT 20""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS dfreq
+        |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         tf.tf * (ln((n.n + 1.0) / (df.dfreq + 1.0)) + 1.0) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id,
+        |       row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn,
+        |       term, ROUND(tfidf, 4) AS score
+        |FROM scored QUALIFY rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+
+    "text_lang_stats" ->
+      """SELECT lang, source, COUNT(DISTINCT doc_id) AS n_docs,
+        |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(DISTINCT doc_id), 4) AS avg_chars,
+        |  COUNT(DISTINCT tok) AS vocab
+        |FROM (SELECT lang, source, doc_id, n_chars,
+        |             unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "text_langid" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+        |       WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+        |       WHEN regexp_matches(text, '[àèêëçœ]') THEN 'fr'
+        |       WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |       ELSE 'en' END AS guess,
+        |  ROUND(CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+        |        AS DOUBLE) / length(text), 4) AS vowel_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         x -> x IN ('the', 'and', 'a', 'of'))) AS DOUBLE) AS n_stop,
+        |    CAST(length(text) AS DOUBLE) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n_tok AS BIGINT) AS n_tok,
+        |  ROUND(n_stop / n_tok, 4) AS stop_ratio,
+        |  ROUND((n_chars - (n_tok - 1)) / n_tok, 4) AS avg_word_len,
+        |  ROUND(0.3 * least(n_tok / 50.0, 1.0)
+        |      + 0.4 * (1.0 - n_stop / n_tok)
+        |      + 0.3 * least((n_chars - (n_tok - 1)) / n_tok / 6.0, 1.0), 4) AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+         |         unnest(string_split(text,' ')) AS tok
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(SUM($tokHashD * ((pos * 2654435761) % 1000003)) % 1000000007 AS BIGINT) AS fingerprint
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bounds for the approximate/probabilistic operators that are exempt
+  * from the DuckDB oracle (SURVEY.md §5.6): LSH recall vs their exact
+  * twins, HLL error vs exact distinct. Fixed seeds everywhere, sf0.001.
+  */
+class LlmSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("dedup_near (MinHash LSH) recalls the planted near-duplicates") {
+    val exact = q("dedup_ngram_jaccard")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val lsh = q("dedup_near")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (exact=${exact.size}, lsh=${lsh.size})")
+  }
+
+  test("sim_lsh_ann recalls >= 0.9 of exact top-5 neighbor pairs it should bucket") {
+    val exact = q("sim_topk")
+      .where("cos_sim > 0.4")
+      .select("id_a", "id_b").collect()
+      .map(r => { val a = r.getLong(0); val b = r.getLong(1); (a min b, a max b) }).toSet
+    val ann = q("sim_lsh_ann")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"ANN recall $recall < 0.9 (exact=${exact.size}, ann=${ann.size})")
+  }
+
+  test("agg_approx_distinct within 5% of exact distinct counts") {
+    val approx = q("agg_approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = q("agg_count_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05,
+        s"$k: approx $ap vs exact $ex off by more than 5%")
+    }
+  }
+
+  test("multimodal feature extractor is deterministic and sane") {
+    val rows = q("multimodal_features").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fs = Seq(r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(fs.forall(f => f >= 0.0 && f <= 1.0))
+      // ascii text payloads: every byte lands in bins 1-3, so fractions sum ~1
+      assert(math.abs(fs.sum - 1.0) < 0.01, s"histogram fractions sum ${fs.sum}")
+    }
+  }
+
+  test("selector-compiled pipeline == hand-built Column pipeline") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+    val viaSelector = ev.where(graft.selector.Selector.compileEvents(
+      "event_type IN ('purchase', 'view') AND value BETWEEN 50 AND 300 AND props.k >= 10"))
+    val byHand = ev.where(col("event_type").isin("purchase", "view") &&
+      col("value") >= 50 && col("value") <= 300 &&
+      get_json_object(col("props"), "$.k").cast("double") >= 10)
+    assert(viaSelector.count() === byHand.count())
+    assert(viaSelector.except(byHand).count() === 0)
+    assert(byHand.except(viaSelector).count() === 0)
+  }
+}
