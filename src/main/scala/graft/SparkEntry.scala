@@ -18,12 +18,19 @@ object SparkEntry {
     llm.Dedup,
     llm.Similarity,
     llm.Text,
-    llm.Multimodal
+    llm.Multimodal,
+    streaming.Streams
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    relational.Aggs.aggGroup(spark, "/root/testdata/sf0.001")
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The batch form of the message-filter pipeline: selector → tri-state
+    * route → broadcast enrich → 5-min windowed aggregation (SURVEY §7.3). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    streaming.Pipeline
+      .filterPipeline(Tables.events(spark, dir), Tables.customer(spark, dir))
+      .orderBy("ws", "event_type")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source abstraction for the message-filtering layer (SURVEY.md §2.1).
+  *
+  * The north star names a Pulsar connector, but no Pulsar (or Kafka)
+  * connector jar exists in this offline environment, so the pipeline is
+  * written against a source-agnostic message shape — event-time ts,
+  * routing keys, typed value, string properties bag (the PIP-105 entry
+  * model) — and binds to whatever produces that shape:
+  * file/rate/memory here, `spark.readStream.format("pulsar")` unchanged
+  * when a connector jar is present (same columns, same downstream plan).
+  */
+object MessageSource {
+
+  /** Canonical message schema as stored (ts = raw nanos long; see
+    * Tables.events for the µs normalization). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Normalize a raw-schema frame to the canonical message shape
+    * (proper µs TimestampType `ts`). Works on batch and streaming. */
+  def normalize(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Unbounded file stream over a directory of events parquet. */
+  def fileStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalize(spark.readStream.schema(rawSchema).parquet(dir))
+  }
+
+  /** Synthetic rate source mapped onto the message shape (tests/demos). */
+  def rateStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        (col("value") % 100).as("user_id"),
+        element_at(array(lit("click"), lit("view"), lit("purchase")),
+          (col("value") % 3 + 1).cast("int")).as("event_type"),
+        (col("value") % 327).cast("double").as("value"),
+        concat(lit("{\"k\": "), col("value") % 100, lit("}")).as("props"))
+
+  /** Pulsar binding stub: compiles the intent without the connector jar.
+    * With `pulsar-spark-connector` on the classpath this becomes
+    * spark.readStream.format("pulsar").option("service.url", url)... —
+    * the returned frame must carry the same six columns. */
+  def pulsarStream(spark: SparkSession, serviceUrl: String, topic: String): DataFrame =
+    throw new UnsupportedOperationException(
+      "no pulsar connector jar in this offline environment; " +
+        "bind format(\"pulsar\") here when one is on the classpath")
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.selector.Selector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The flagship message-filtering pipeline (SURVEY.md §7.3) and the
+  * shared streaming transforms. Every function here takes a DataFrame
+  * and returns a DataFrame built purely from incremental-izable ops, so
+  * the SAME code runs as a batch job (Verify/Bench/oracle) and as a
+  * Structured Streaming job (StreamSpec asserts equality) — this is the
+  * engine's answer to a broker-side entry filter: the filter/route/
+  * enrich/aggregate logic is one declarative plan, and the micro-batch
+  * planner re-executes it incrementally per batch.
+  */
+object Pipeline {
+
+  /** The flagship selector (JMS §3.8 string, compiled to Catalyst). */
+  val acceptSelector = "event_type IN ('purchase', 'signup') AND props.k >= 50 AND value BETWEEN 10 AND 400"
+  val rescheduleSelector = "event_type = 'error'"
+
+  /** PIP-105 tri-state routing: classify, never drop. */
+  def route(events: DataFrame): DataFrame =
+    events.withColumn("verdict",
+      when(Selector.compileEvents(acceptSelector), "ACCEPT")
+        .when(Selector.compileEvents(rescheduleSelector), "RESCHEDULE")
+        .otherwise("REJECT"))
+
+  /** Flagship: route → keep ACCEPTed → enrich with the customer dim
+    * (broadcast: the dim is bounded) → per-5-min-window per-type counts
+    * and value sums. Works on batch and streaming `events`. */
+  def filterPipeline(events: DataFrame, customer: DataFrame): DataFrame =
+    route(events)
+      .where(col("verdict") === "ACCEPT")
+      .join(broadcast(customer), col("user_id") === col("c_custkey"), "inner")
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .groupBy(window(col("ts_sec"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Tumbling 5-min window aggregation (batch + streaming). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .groupBy(window(col("ts_sec"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 10-min window every 5 min. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .groupBy(window(col("ts_sec"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("n"))
+
+  /** Per-user session windows, 30-minute gap. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .groupBy(session_window(col("ts_sec"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+        col("n"), col("sum_value"))
+
+  /** First event per (user_id, event_type) — the dedup transform.
+    * Batch form: min-(ts,event_id) row per key (deterministic).
+    * Streaming form (StreamSpec): dropDuplicates on the key columns. */
+  def firstPerKey(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    events
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        date_format(col("ts_sec"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+  }
+
+  /** Stream-static enrichment join. */
+  def enrich(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(broadcast(customer), col("user_id") === col("c_custkey"), "inner")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_mktsegment"))
+}

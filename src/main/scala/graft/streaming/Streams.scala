@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming operators, judged through their batch twins (SURVEY.md
+  * §2.10): the same Pipeline transform is executed in batch mode here
+  * (DuckDB-oracle-checkable) and in streaming mode in StreamSpec, which
+  * asserts stream(AvailableNow) == batch on identical input. Watermark
+  * semantics (late-data drop) have no batch twin — covered only by the
+  * MemoryStream test.
+  */
+object Streams extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> ((s, dir) =>
+      Pipeline.tumbling(Tables.events(s, dir)).orderBy("ws", "event_type")),
+
+    "stream_sliding" -> ((s, dir) =>
+      Pipeline.sliding(Tables.events(s, dir)).orderBy("ws")),
+
+    "stream_session" -> ((s, dir) =>
+      Pipeline.sessions(Tables.events(s, dir)).orderBy("user_id", "session_start")),
+
+    "stream_dedup" -> ((s, dir) =>
+      Pipeline.firstPerKey(Tables.events(s, dir)).orderBy("user_id", "event_type")),
+
+    "stream_static_join" -> ((s, dir) =>
+      Pipeline.enrich(Tables.events(s, dir), Tables.customer(s, dir))
+        .orderBy("event_id")),
+
+    "stream_filter_pipeline" -> ((s, dir) =>
+      Pipeline.filterPipeline(Tables.events(s, dir), Tables.customer(s, dir))
+        .orderBy("ws", "event_type"))
+  )
+
+  private val epochSec = "CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT)"
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling" ->
+      s"""SELECT ($epochSec // 300) * 300 AS ws, event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "stream_sliding" ->
+      s"""WITH b AS (
+         |  SELECT ($epochSec // 300) * 300 AS ws FROM events
+         |  UNION ALL
+         |  SELECT ($epochSec // 300) * 300 - 300 AS ws FROM events)
+         |SELECT ws, COUNT(*) AS n FROM b GROUP BY ws ORDER BY ws""".stripMargin,
+
+    "stream_session" ->
+      s"""WITH e AS (SELECT user_id, value, $epochSec AS t FROM events),
+         |x AS (
+         |  SELECT user_id, value, t,
+         |    CASE WHEN lag(t) OVER w IS NULL
+         |           OR t - lag(t) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         |y AS (
+         |  SELECT user_id, value, t,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+         |                     ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM x)
+         |SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+         |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT user_id, event_type, event_id,
+        |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY date_trunc('second', ts), event_id) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "stream_static_join" ->
+      """SELECT event_id, user_id, event_type, c_name, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
+
+    "stream_filter_pipeline" ->
+      s"""WITH acc AS (
+         |  SELECT * FROM events
+         |  WHERE event_type IN ('purchase', 'signup')
+         |    AND CAST(props->>'$$.k' AS DOUBLE) >= 50
+         |    AND value BETWEEN 10 AND 400),
+         |j AS (SELECT acc.* FROM acc JOIN customer ON user_id = c_custkey)
+         |SELECT ($epochSec // 300) * 300 AS ws, event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+         |FROM j GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.streaming.{MessageSource, Pipeline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming batch-equivalence (SURVEY.md §5.5): each Pipeline transform
+  * run as a Trigger.AvailableNow stream over the same events must equal
+  * its batch execution; plus watermark late-data semantics via
+  * MemoryStream, which no batch twin can express.
+  */
+class StreamSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Copy the single events parquet into a fresh dir (file-stream sources
+    * watch directories), stream it with AvailableNow into a memory sink,
+    * and hand back the collected result. */
+  private def runFileStream(transform: DataFrame => DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
+    val streamDir = Files.createTempDirectory(s"graft_stream_$name")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val ckpt = Files.createTempDirectory(s"graft_ckpt_$name").toString
+    val q = transform(MessageSource.fileStream(spark, streamDir.toString))
+      .writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.count() === b.count())
+    assert(a.except(b).count() === 0)
+    assert(b.except(a).count() === 0)
+  }
+
+  test("tumbling window: stream(AvailableNow) == batch") {
+    val streamed = runFileStream(Pipeline.tumbling, "tumbling")
+    assertSameRows(streamed, Pipeline.tumbling(Tables.events(spark, dir)))
+  }
+
+  test("session windows: stream(AvailableNow) == batch") {
+    val streamed = runFileStream(Pipeline.sessions, "sessions")
+    assertSameRows(streamed, Pipeline.sessions(Tables.events(spark, dir)))
+  }
+
+  test("flagship filter pipeline: stream == batch == entry") {
+    val cust = Tables.customer(spark, dir)
+    val streamed = runFileStream(Pipeline.filterPipeline(_, cust), "flagship")
+    val batch = Pipeline.filterPipeline(Tables.events(spark, dir), cust)
+    assertSameRows(streamed, batch)
+    assertSameRows(streamed, SparkEntry.entry(spark))
+    assert(SparkEntry.entry(spark).count() > 0, "driver smoke gate: entry rows > 0")
+  }
+
+  test("stream-static join: stream == batch") {
+    val cust = Tables.customer(spark, dir)
+    val streamed = runFileStream(Pipeline.enrich(_, cust), "enrich", mode = "append")
+    assertSameRows(streamed, Pipeline.enrich(Tables.events(spark, dir), cust))
+  }
+
+  test("streaming dedup keeps one row per key (== batch key set)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // feed events sorted by event time so arrival order == event order
+    val sorted = Tables.events(spark, dir)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .orderBy("ts_sec", "event_id")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+      .as[(Long, Timestamp, Long, String)].collect()
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    mem.addData(sorted.toSeq)
+    val ckpt = Files.createTempDirectory("graft_ckpt_dedup").toString
+    val q = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode("append").format("memory").queryName("dedup")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("dedup").select("user_id", "event_type", "event_id")
+    val batch = Pipeline.firstPerKey(Tables.events(spark, dir))
+      .select("user_id", "event_type", "event_id")
+    assertSameRows(streamed, batch)
+  }
+
+  test("watermark drops events later than 10 minutes behind max ts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val mem = MemoryStream[(Timestamp, String)]
+    val ckpt = Files.createTempDirectory("graft_ckpt_wm").toString
+    val agg = mem.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("wm")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((t(0), "a"), (t(1), "a"), (t(6), "a"))
+      q.processAllAvailable()
+      // advance watermark far past the first windows
+      mem.addData((t(40), "a"))
+      q.processAllAvailable()
+      // late arrival into the long-closed 10:00 window: must be dropped
+      mem.addData((t(2), "late"))
+      q.processAllAvailable()
+      mem.addData((t(55), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("wm").select("event_type").collect().map(_.getString(0))
+      assert(!rows.contains("late"), "late event leaked past the watermark")
+      assert(spark.table("wm")
+        .where(col("event_type") === "a").count() >= 2, "on-time windows finalized")
+    } finally q.stop()
+  }
+}
