@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Local profiling harness (not a driver surface): runs every query
+  * twice in one JVM and prints cold/warm seconds sorted by warm cost, so
+  * genuine plan problems separate from one-time codegen/JIT warmup.
+  * Usage: tools/run.sh graft.Profile [sfDir]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val only = args.drop(1).toSet
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
+      .map { case (name, fn) =>
+        val cold = time(fn(spark, sfDir).count())
+        val warm = time(fn(spark, sfDir).count())
+        (name, cold, warm)
+      }
+    println(f"${"query"}%-24s ${"cold"}%8s ${"warm"}%8s")
+    rows.sortBy(-_._3).foreach { case (n, c, w) => println(f"$n%-24s $c%8.2f $w%8.2f") }
+    println(f"TOTAL cold=${rows.map(_._2).sum}%.1f warm=${rows.map(_._3).sum}%.1f n=${rows.size}")
+    spark.stop()
+  }
+}

@@ -1,35 +1,66 @@
 package graft.llm
 
 import graft.{QueryPack, Tables}
+import graft.functions.DotProduct.dot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.array_to_vector
 
 /** Similarity search over the embedding column (SURVEY.md §2.11).
   *
-  * Scale story: the exact pairwise/top-k queries are the correctness
-  * baseline (O(n²) — fine at fixture scale, and the brute-force inner
-  * loop is codegen'd higher-order functions, no UDF). The 100 TB path is
-  * sim_lsh_ann: MLlib random-projection LSH buckets candidates so the
-  * join is per-bucket, plus the banded SimHash/MinHash variants in
-  * Dedup. A production IVF layout would pre-partition by coarse
-  * centroid id — same bucket-join shape as the LSH variant here.
+  * The exact pairwise/top-k queries are the correctness baseline: a
+  * pruned pair join where the inner loop is the native codegen'd
+  * DotProduct expression with norms precomputed once per vector (the
+  * naive zip_with/aggregate form profiled ~40 µs/pair — minutes at n²).
+  *
+  * The 100 TB path is sim_lsh_ann: sign-random-projection LSH (the
+  * cosine-distance LSH family) — L tables × b sign bits per table,
+  * candidates from a bucket equi-join, exact cosine re-check after. At
+  * cluster scale the bucket join shuffles each vector L times instead
+  * of enumerating n² pairs; an IVF layout would be the same shape with
+  * learned centroids instead of random planes.
   */
 object Similarity extends QueryPack {
 
+  /** Embeddings as double arrays with precomputed norms, re-spread from
+    * the single-file fixture so self-joins parallelize. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
+      .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** cosine from precomputed norms — same FP sequence as the oracles'
+    * dot/(sqrt·sqrt) formula. */
+  private def cosOf(va: Column, na: Column, vb: Column, nb: Column): Column =
+    dot(va, vb) / (na * nb)
+
+  private def sides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = vecs(s, dir)
+    (e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
+      e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")))
+  }
+
+  /** Deterministic random hyperplanes for SRP-LSH: L tables × b bits. */
+  private[llm] val L = 12
+  private[llm] val B = 3
+  private val planes: IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(L)(IndexedSeq.fill(B)(Seq.fill(64)(rnd.nextGaussian())))
+  }
+
+  /** 0..2^B-1 bucket signature of `v` in table `t`. */
+  private def signature(v: Column, t: Int): Column =
+    (0 until B).map { j =>
+      when(dot(v, typedlit(planes(t)(j))) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact pairwise cosine above threshold
     "sim_cosine_pairs" -> ((s, dir) => {
-      val a = vecs(s, dir).select(col("vec_id").as("id_a"), col("v").as("va"))
-      val b = vecs(s, dir).select(col("vec_id").as("id_b"), col("v").as("vb"))
+      val (a, b) = sides(s, dir)
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos", Dedup.cosine(col("va"), col("vb")))
+        .withColumn("cos", cosOf(col("va"), col("na"), col("vb"), col("nb")))
         .where(col("cos") > 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("id_a", "id_b")
@@ -37,31 +68,38 @@ object Similarity extends QueryPack {
 
     // exact kNN: top-5 neighbors per vector by cosine
     "sim_topk" -> ((s, dir) => {
-      val a = vecs(s, dir).select(col("vec_id").as("id_a"), col("v").as("va"))
-      val b = vecs(s, dir).select(col("vec_id").as("id_b"), col("v").as("vb"))
+      val (a, b) = sides(s, dir)
       val w = Window.partitionBy(col("id_a"))
         .orderBy(col("cos").desc, col("id_b"))
       a.join(b, col("id_a") =!= col("id_b"))
-        .withColumn("cos", Dedup.cosine(col("va"), col("vb")))
+        .withColumn("cos", cosOf(col("va"), col("na"), col("vb"), col("nb")))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)
         .select(col("id_a"), col("rn"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("id_a", "rn")
     }),
 
-    // approximate NN at scale: random-projection LSH bucket join.
-    // Probabilistic — no SQL oracle; recall vs sim_topk asserted in
-    // LlmSpec on sf0.001.
+    // approximate pairs (cos > 0.4) via SRP-LSH bucket join + exact
+    // re-check. Probabilistic (recall ≈ 1-(1-p^B)^L, ~0.97 at cos 0.4) —
+    // no SQL oracle; recall vs the exact twin asserted in LlmSpec.
     "sim_lsh_ann" -> ((s, dir) => {
-      val e = vecs(s, dir).withColumn("features", array_to_vector(col("v")))
-      val lsh = new BucketedRandomProjectionLSH()
-        .setInputCol("features").setOutputCol("hashes")
-        .setBucketLength(4.0).setNumHashTables(4).setSeed(42L)
-      val model = lsh.fit(e)
-      model.approxSimilarityJoin(e, e, 10.0, "eucl_dist")
-        .select(col("datasetA.vec_id").as("id_a"), col("datasetB.vec_id").as("id_b"),
-          round(col("eucl_dist"), 4).as("dist"))
+      val e = vecs(s, dir)
+      val buckets = e.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until L).map(t =>
+          struct(lit(t).as("tbl"), signature(col("v"), t).as("sig"))): _*)).as("bkt"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("bkt.tbl").as("tbl"), col("bkt.sig").as("sig"))
+      val a = buckets.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"), col("tbl"), col("sig"))
+      val b = buckets.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb"), col("tbl"), col("sig"))
+      a.join(b, Seq("tbl", "sig"))
         .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          cosOf(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+        .groupBy("id_a", "id_b").agg(first(col("cos")).as("cos"))
+        .where(col("cos") > 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("id_a", "id_b")
     })
   )

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §4): the scale posture is only
+  * real if the plans show it — filters and projections reaching the
+  * parquet scan, dims broadcast, aggregates running partial+final.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("scan_pruned: predicate and projection reach the parquet scan") {
+    val plan = physical("scan_pruned")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45"),
+      s"predicate not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("selector-compiled predicates push down to the scan") {
+    import graft.selector.Selector
+    val plan = Tables.events(spark, dir)
+      .where(Selector.compileEvents("event_type = 'purchase' AND value > 100"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(event_type,purchase)") &&
+      plan.contains("GreaterThan(value,100.0)"),
+      s"selector predicates not pushed:\n$plan")
+  }
+
+  test("join_broadcast / join_star3: dims are broadcast, fact side never shuffles for the join") {
+    assert(physical("join_broadcast").contains("BroadcastHashJoin"))
+    val star = physical("join_star3")
+    assert(star.contains("BroadcastHashJoin"), s"star dims not broadcast:\n$star")
+  }
+
+  test("agg_group: two-phase hash aggregation (map-side partial)") {
+    val plan = physical("agg_group")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("topk_global plans as TakeOrderedAndProject (no full sort)") {
+    val plan = physical("topk_global")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not streamed:\n$plan")
+  }
+}
