@@ -16,6 +16,7 @@ object SparkEntry {
     relational.Sorts,
     relational.Windows,
     relational.Scalars,
+    relational.Extras,
     llm.Dedup,
     llm.Similarity,
     llm.Text,

@@ -88,4 +88,23 @@ object Pipeline {
     events.join(broadcast(customer), col("user_id") === col("c_custkey"), "inner")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_name"), col("c_mktsegment"))
+
+  /** Custom keyed state (SURVEY §2.10 / guide): running per-user event
+    * count maintained in the state store via flatMapGroupsWithState,
+    * emitting the updated count on every arrival. Input: (user_id,
+    * event_id) tuples; output: (user_id, running_n). State is one long
+    * per user — bounded by user cardinality, not stream length. */
+  def statefulCounts(events: org.apache.spark.sql.Dataset[(Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val tup = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[Long]) => {
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          Iterator((uid, n))
+        })(Encoders.scalaLong, tup)
+  }
 }

@@ -13,4 +13,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register graft's custom expressions as SQL functions on an existing
+    * session (the SparkSessionExtensions route in graft.GraftExtensions
+    * only applies to sessions built with .withExtensions). */
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
+      "built-in")
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming.Pipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Round-1 widening coverage: custom keyed state, SQL function
+  * registration, and the bucketed (pre-shuffled) join layout.
+  */
+class ExtrasSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("flatMapGroupsWithState running counts across micro-batches == batch counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)].collect()
+    val (batch1, batch2) = ev.splitAt(ev.length / 2)
+    val mem = MemoryStream[(Long, Long)]
+    val ckpt = Files.createTempDirectory("graft_ckpt_state").toString
+    val q = Pipeline.statefulCounts(mem.toDS())
+      .toDF("user_id", "running_n")
+      .writeStream.outputMode("update").format("memory").queryName("state_counts")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(batch1.toSeq); q.processAllAvailable()
+      mem.addData(batch2.toSeq); q.processAllAvailable()
+      val finalCounts = spark.table("state_counts")
+        .groupBy("user_id").agg(max("running_n").as("n"))
+      val batchCounts = Tables.events(spark, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      assert(finalCounts.except(batchCounts).count() === 0)
+      assert(batchCounts.except(finalCounts).count() === 0)
+    } finally q.stop()
+  }
+
+  test("dot_product registered as a SQL function (Bridge + extensions route)") {
+    org.apache.spark.sql.graft.Bridge.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r === 32.0)
+    // null propagation through the binary expression
+    assert(spark.sql("SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d")
+      .collect().head.isNullAt(0))
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    import org.apache.spark.sql.SaveMode
+    Tables.orders(spark, dir).write.mode(SaveMode.Overwrite)
+      .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    Tables.customer(spark, dir).write.mode(SaveMode.Overwrite)
+      .bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    // disable broadcast so the bucket layout (not a broadcast) must
+    // carry the join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (joined, plan) =
+      try {
+        val j = spark.table("orders_b").hint("merge")
+          .join(spark.table("customer_b"),
+            col("o_custkey") === col("c_custkey"))
+        (j, j.queryExecution.executedPlan.toString) // plan while broadcast is off
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() === Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey")).count())
+  }
+
+  test("salted skew join == plain join") {
+    val salted = SparkEntry.queries("join_skew_salted")(spark, dir)
+    val plain = Tables.events(spark, dir)
+      .join(Tables.customer(spark, dir), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("c_custkey"), col("c_name"))
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).count() === 0)
+  }
+}
