@@ -17,6 +17,7 @@ object SparkEntry {
     relational.Windows,
     relational.Scalars,
     relational.Extras,
+    relational.Subqueries,
     llm.Dedup,
     llm.Similarity,
     llm.Text,

@@ -62,6 +62,18 @@ class ExtrasSpec extends AnyFunSuite {
 
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     import org.apache.spark.sql.SaveMode
+    // drop catalog entries AND any orphaned warehouse dirs from a
+    // previous crashed run (LOCATION_ALREADY_EXISTS otherwise)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("orders_b", "customer_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     Tables.orders(spark, dir).write.mode(SaveMode.Overwrite)
       .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
     Tables.customer(spark, dir).write.mode(SaveMode.Overwrite)
