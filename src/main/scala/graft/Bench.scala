@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one tiny action so session/executor/codegen infrastructure init is
+    // not billed to whichever query happens to run first
+    spark.range(100).count()
     // deterministic (alphabetical) order: run-to-run comparability
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

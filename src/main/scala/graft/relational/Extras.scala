@@ -23,6 +23,43 @@ object Extras extends QueryPack {
           round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
         .orderBy("o_orderstatus")),
 
+    // trigonometric/transcendental family (round 8: libm last-ulp drift)
+    "fn_trig" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        round(sin(col("value")), 8).as("sn"),
+        round(cos(col("value")), 8).as("cs"),
+        round(tan(col("value") / 100), 8).as("tn"),
+        round(atan(col("value")), 8).as("at"),
+        round(atan2(col("value"), col("user_id") + lit(1)), 8).as("at2"),
+        round(degrees(col("value")), 6).as("dg"),
+        round(radians(col("value")), 8).as("rd"),
+        round(exp(col("value") / 100), 8).as("ex"))
+        .orderBy("event_id")),
+
+    // arg-min/max: value columns chosen by a different ordering column
+    // (event_id keys are unique => deterministic)
+    "agg_argminmax" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          max_by(col("user_id"), col("event_id")).as("latest_user"),
+          min_by(col("user_id"), col("event_id")).as("first_user"),
+          max_by(col("value"), col("event_id")).as("latest_value"))
+        .orderBy("event_type")),
+
+    // statistical aggregates on small-magnitude columns (order-dependent
+    // FP accumulation drifts ~1e-14 relative — rounding absorbs it)
+    "agg_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qd"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+        .orderBy("l_returnflag")),
+
     "fn_bitwise" -> ((s, dir) =>
       Tables.events(s, dir).select(
         col("event_id"),
@@ -80,6 +117,33 @@ object Extras extends QueryPack {
         |  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
         |  ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "fn_trig" ->
+      """SELECT event_id,
+        |  ROUND(sin(value), 8) AS sn,
+        |  ROUND(cos(value), 8) AS cs,
+        |  ROUND(tan(value / 100), 8) AS tn,
+        |  ROUND(atan(value), 8) AS at,
+        |  ROUND(atan2(value, user_id + 1), 8) AS at2,
+        |  ROUND(degrees(value), 6) AS dg,
+        |  ROUND(radians(value), 8) AS rd,
+        |  ROUND(exp(value / 100), 8) AS ex
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "agg_argminmax" ->
+      """SELECT event_type,
+        |  arg_max(user_id, event_id) AS latest_user,
+        |  arg_min(user_id, event_id) AS first_user,
+        |  arg_max(value, event_id) AS latest_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  ROUND(var_samp(l_quantity), 6) AS var_qty,
+        |  ROUND(corr(l_quantity, l_discount), 6) AS corr_qd,
+        |  ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "fn_bitwise" ->
       """SELECT event_id,

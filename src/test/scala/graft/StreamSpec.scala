@@ -60,6 +60,11 @@ class StreamSpec extends AnyFunSuite {
     assertSameRows(streamed, Pipeline.sessions(Tables.events(spark, dir)))
   }
 
+  test("sliding windows: stream(AvailableNow) == batch") {
+    val streamed = runFileStream(Pipeline.sliding, "sliding")
+    assertSameRows(streamed, Pipeline.sliding(Tables.events(spark, dir)))
+  }
+
   test("flagship filter pipeline: stream == batch == entry") {
     val cust = Tables.customer(spark, dir)
     val streamed = runFileStream(Pipeline.filterPipeline(_, cust), "flagship")
