@@ -79,6 +79,39 @@ object Similarity extends QueryPack {
         .orderBy("id_a", "rn")
     }),
 
+    // IVF-style ANN: coarse-quantize each vector to its top-P cells
+    // (deterministic centroid set = the first K vectors — a stand-in
+    // for learned k-means centroids), candidates share a cell, exact
+    // cosine re-check after. Same bucket-join shape as the LSH variant;
+    // at cluster scale the cell id is the partition key, so each probe
+    // touches P cells instead of the corpus. Probabilistic — recall vs
+    // the exact twin asserted in LlmSpec.
+    "sim_ivf_ann" -> ((s, dir) => {
+      val K = 16 // cells
+      val P = 3  // probes
+      val e = vecs(s, dir)
+      val cents = e.where(col("vec_id") < K)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("aff").desc, col("cent_id"))
+      val assigned = e.join(broadcast(cents), lit(true))
+        .withColumn("aff", cosOf(col("v"), col("nrm"), col("cv"), col("cn")))
+        .withColumn("pr", row_number().over(wCell))
+        .where(col("pr") <= P)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+      assigned.select(col("vec_id").as("id_a"), col("v").as("va"),
+          col("nrm").as("na"), col("cell"))
+        .join(assigned.select(col("vec_id").as("id_b"), col("v").as("vb"),
+          col("nrm").as("nb"), col("cell")), Seq("cell"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          cosOf(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+        .groupBy("id_a", "id_b").agg(first(col("cos")).as("cos"))
+        .where(col("cos") > 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // approximate pairs (cos > 0.4) via SRP-LSH bucket join + exact
     // re-check. Probabilistic (recall ≈ 1-(1-p^B)^L, ~0.97 at cos 0.4) —
     // no SQL oracle; recall vs the exact twin asserted in LlmSpec.
