@@ -100,7 +100,14 @@ object Text extends QueryPack {
           length(col("text")), 4).as("vowel_ratio"))
         .orderBy("doc_id")),
 
-    // quality scoring: length, stopword ratio, mean word length
+    // quality scoring: length, stopword ratio, mean word length.
+    // Weights and denominators are dyadic (0.25/0.5, /64, /8) so both
+    // engines compute the bit-identical composite double. The formula's
+    // rationals still land mathematically ON round-4 .xxxx5 boundaries
+    // (e.g. 0.83125), where Spark's exact BigDecimal HALF_UP and
+    // DuckDB's epsilon-compensated double round disagree — so both
+    // sides nudge by +1e-9 before rounding, deterministically breaking
+    // every boundary upward (caught at sf0.001 and again at sf0.1).
     "text_quality" -> ((s, dir) => {
       val toks = split(col("text"), " ")
       val nTok = size(toks).cast("double")
@@ -112,9 +119,9 @@ object Text extends QueryPack {
         nTok.cast("long").as("n_tok"),
         round(stopRatio, 4).as("stop_ratio"),
         round(avgWordLen, 4).as("avg_word_len"),
-        round(lit(0.3) * least(nTok / 50.0, lit(1.0))
-          + lit(0.4) * (lit(1.0) - stopRatio)
-          + lit(0.3) * least(avgWordLen / 6.0, lit(1.0)), 4).as("quality"))
+        round(lit(0.25) * least(nTok / 64.0, lit(1.0))
+          + lit(0.5) * (lit(1.0) - stopRatio)
+          + lit(0.25) * least(avgWordLen / 8.0, lit(1.0)) + lit(1e-9), 4).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -198,9 +205,10 @@ object Text extends QueryPack {
         |  CAST(n_tok AS BIGINT) AS n_tok,
         |  ROUND(n_stop / n_tok, 4) AS stop_ratio,
         |  ROUND((n_chars - (n_tok - 1)) / n_tok, 4) AS avg_word_len,
-        |  ROUND(0.3 * least(n_tok / 50.0, 1.0)
-        |      + 0.4 * (1.0 - n_stop / n_tok)
-        |      + 0.3 * least((n_chars - (n_tok - 1)) / n_tok / 6.0, 1.0), 4) AS quality
+        |  ROUND(CAST(0.25 AS DOUBLE) * least(n_tok / 64.0, 1.0)
+        |      + CAST(0.5 AS DOUBLE) * (1.0 - n_stop / n_tok)
+        |      + CAST(0.25 AS DOUBLE) * least((n_chars - (n_tok - 1)) / n_tok / 8.0, 1.0)
+        |      + 0.000000001, 4) AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->

@@ -54,8 +54,10 @@ object Streams extends QueryPack {
       s"""WITH e AS (SELECT user_id, value, $epochSec AS t FROM events),
          |x AS (
          |  SELECT user_id, value, t,
+         |    -- strictly greater: Spark session windows MERGE when they
+         |    -- exactly meet (next.ts == prev.ts + gap), verified at sf0.1
          |    CASE WHEN lag(t) OVER w IS NULL
-         |           OR t - lag(t) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+         |           OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
          |y AS (
          |  SELECT user_id, value, t,
