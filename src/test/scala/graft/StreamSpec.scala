@@ -105,6 +105,26 @@ class StreamSpec extends AnyFunSuite {
     assertSameRows(streamed, batch)
   }
 
+  test("rate source produces the canonical message shape") {
+    val rate = graft.streaming.MessageSource.rateStream(spark, 100)
+    assert(rate.isStreaming)
+    assert(rate.schema.fieldNames.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val ckpt = Files.createTempDirectory("graft_ckpt_rate").toString
+    val q = rate.writeStream.outputMode("append").format("memory")
+      .queryName("rate_probe").option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      val rows = spark.table("rate_probe")
+      assert(rows.count() > 0, "rate source emitted no rows")
+      // the props bag must be selector-compatible JSON
+      assert(rows.where(get_json_object(col("props"), "$.k").isNull).count() === 0)
+    } finally q.stop()
+  }
+
   test("watermark drops events later than 10 minutes behind max ts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
