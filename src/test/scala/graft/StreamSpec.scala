@@ -105,6 +105,25 @@ class StreamSpec extends AnyFunSuite {
     assertSameRows(streamed, batch)
   }
 
+  test("foreachBatch parquet sink: streamed flagship output == batch output") {
+    val streamDir = Files.createTempDirectory("graft_stream_sink")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val outDir = Files.createTempDirectory("graft_sink_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_sink").toString
+    val cust = Tables.customer(spark, dir)
+    val q = Pipeline.filterPipeline(MessageSource.fileStream(spark, streamDir.toString), cust)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.coalesce(1).write.mode("overwrite").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sunk = spark.read.parquet(outDir)
+    assertSameRows(sunk, Pipeline.filterPipeline(Tables.events(spark, dir), cust))
+  }
+
   test("rate source produces the canonical message shape") {
     val rate = graft.streaming.MessageSource.rateStream(spark, 100)
     assert(rate.isStreaming)
