@@ -32,7 +32,24 @@ object Streams extends QueryPack {
 
     "stream_filter_pipeline" -> ((s, dir) =>
       Pipeline.filterPipeline(Tables.events(s, dir), Tables.customer(s, dir))
-        .orderBy("ws", "event_type"))
+        .orderBy("ws", "event_type")),
+
+    // batch analog of the 10-minute watermark rule: an event is "late"
+    // (dropped) if its event time is more than 10 minutes behind the
+    // max event time already seen in arrival order (event_id). The
+    // true state-store semantics (window finalization) are covered by
+    // the MemoryStream test in StreamSpec.
+    "stream_watermark" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("t", unix_timestamp(date_trunc("second", col("ts"))))
+        .withColumn("runmax", max(col("t")).over(w))
+        .where(col("t") >= col("runmax") - 600)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("t"))
+        .orderBy("event_id")
+    })
   )
 
   private val epochSec = "CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT)"
@@ -80,6 +97,15 @@ object Streams extends QueryPack {
       """SELECT event_id, user_id, event_type, c_name, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
+
+    "stream_watermark" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, $epochSec AS t FROM events)
+         |SELECT event_id, user_id, event_type, t FROM (
+         |  SELECT *, max(t) OVER (ORDER BY event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+         |  FROM e)
+         |WHERE t >= runmax - 600
+         |ORDER BY event_id""".stripMargin,
 
     "stream_filter_pipeline" ->
       s"""WITH acc AS (
