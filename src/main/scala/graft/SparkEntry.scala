@@ -22,6 +22,7 @@ object SparkEntry {
     llm.Similarity,
     llm.Text,
     llm.Multimodal,
+    llm.Curate,
     streaming.Streams
   )
 

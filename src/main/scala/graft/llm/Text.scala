@@ -25,6 +25,30 @@ object Text extends QueryPack {
       s"(instr('0123456789abcdef', substring(md5(tok), ${d + 1}, 1)) - 1) * ${1L << (4 * (7 - d))}")
       .mkString("(", " + ", ")")
 
+  /** The composite quality score (see text_quality for the dyadic/epsilon
+    * rationale). Shared with the curation pipeline. */
+  private[llm] def qualityScore(text: Column): Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks).cast("double")
+    val stopRatio = size(filter(toks,
+      t => t === "the" || t === "and" || t === "a" || t === "of")).cast("double") / nTok
+    val avgWordLen = (length(text) - (nTok - 1)) / nTok
+    round(lit(0.25) * least(nTok / 64.0, lit(1.0))
+      + lit(0.5) * (lit(1.0) - stopRatio)
+      + lit(0.25) * least(avgWordLen / 8.0, lit(1.0)) + lit(1e-9), 4)
+  }
+
+  /** DuckDB twin of qualityScore over a column named `text`. */
+  private[llm] val qualityScoreD: String =
+    """ROUND(CAST(0.25 AS DOUBLE) * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0)
+      |    + CAST(0.5 AS DOUBLE) * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |          x -> x IN ('the', 'and', 'a', 'of'))) AS DOUBLE)
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |    + CAST(0.25 AS DOUBLE) * least((CAST(length(text) AS DOUBLE)
+      |        - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE) / 8.0, 1.0)
+      |    + 0.000000001, 4)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // whitespace token count, BPE-ish subword count (ceil(len/4) units
     // per token), distinct token count
@@ -119,9 +143,7 @@ object Text extends QueryPack {
         nTok.cast("long").as("n_tok"),
         round(stopRatio, 4).as("stop_ratio"),
         round(avgWordLen, 4).as("avg_word_len"),
-        round(lit(0.25) * least(nTok / 64.0, lit(1.0))
-          + lit(0.5) * (lit(1.0) - stopRatio)
-          + lit(0.25) * least(avgWordLen / 8.0, lit(1.0)) + lit(1e-9), 4).as("quality"))
+        qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
 

@@ -89,6 +89,24 @@ object Pipeline {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_name"), col("c_mktsegment"))
 
+  /** Stream-stream interval join: purchases matched to same-user clicks
+    * that happened at most 30 minutes before. In streaming mode both
+    * sides carry watermarks so the join state is bounded (clicks older
+    * than the interval + watermark are evicted); in batch mode the same
+    * plan is an ordinary time-bounded equi self-join. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id"),
+      date_trunc("second", col("ts")).as("p_ts"))
+    val c = clicks.select(col("event_id").as("c_id"),
+      col("user_id").as("c_user"), date_trunc("second", col("ts")).as("c_ts"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("user_id"),
+        unix_timestamp(col("p_ts")).as("p_t"), unix_timestamp(col("c_ts")).as("c_t"))
+  }
+
   /** Custom keyed state (SURVEY §2.10 / guide): running per-user event
     * count maintained in the state store via flatMapGroupsWithState,
     * emitting the updated count on every arrival. Input: (user_id,

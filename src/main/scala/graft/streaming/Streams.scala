@@ -34,6 +34,16 @@ object Streams extends QueryPack {
       Pipeline.filterPipeline(Tables.events(s, dir), Tables.customer(s, dir))
         .orderBy("ws", "event_type")),
 
+    // stream-stream interval join, judged via its batch form; the
+    // watermarked two-stream execution is verified in StreamSpec
+    "stream_stream_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Pipeline.purchaseClickJoin(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") === "click"))
+        .orderBy("p_id", "c_id")
+    }),
+
     // batch analog of the 10-minute watermark rule: an event is "late"
     // (dropped) if its event time is more than 10 minutes behind the
     // max event time already seen in arrival order (event_id). The
@@ -97,6 +107,16 @@ object Streams extends QueryPack {
       """SELECT event_id, user_id, event_type, c_name, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
+
+    "stream_stream_join" ->
+      s"""WITH p AS (SELECT event_id AS p_id, user_id, $epochSec AS p_t
+         |           FROM events WHERE event_type = 'purchase'),
+         |     c AS (SELECT event_id AS c_id, user_id, $epochSec AS c_t
+         |           FROM events WHERE event_type = 'click')
+         |SELECT p_id, c_id, p.user_id, p_t, c_t
+         |FROM p JOIN c ON p.user_id = c.user_id
+         |  AND c_t >= p_t - 1800 AND c_t <= p_t
+         |ORDER BY p_id, c_id""".stripMargin,
 
     "stream_watermark" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type, $epochSec AS t FROM events)

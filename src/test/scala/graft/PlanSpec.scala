@@ -53,6 +53,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final HashAggregate:\n$plan")
   }
 
+  test("partition pruning: filter on a partition column prunes the scan") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.orders(spark, dir)
+      .withColumn("oy", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("oy").parquet(tmp)
+    val pruned = spark.read.parquet(tmp).where(col("oy") === 1996)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("= 1996)"),
+      s"partition filter missing:\n$plan")
+    assert(pruned.count() > 0)
+  }
+
   test("topk_global plans as TakeOrderedAndProject (no full sort)") {
     val plan = physical("topk_global")
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not streamed:\n$plan")

@@ -105,6 +105,25 @@ class StreamSpec extends AnyFunSuite {
     assertSameRows(streamed, batch)
   }
 
+  test("stream-stream interval join (purchases x clicks): stream == batch") {
+    val streamDir = Files.createTempDirectory("graft_stream_ss")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    def src() = MessageSource.fileStream(spark, streamDir.toString)
+    val joined = Pipeline.purchaseClickJoin(
+      src().where(col("event_type") === "purchase").withWatermark("ts", "2 hours"),
+      src().where(col("event_type") === "click").withWatermark("ts", "2 hours"))
+    val ckpt = Files.createTempDirectory("graft_ckpt_ss").toString
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("ssjoin")
+      .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ev = Tables.events(spark, dir)
+    val batch = Pipeline.purchaseClickJoin(
+      ev.where(col("event_type") === "purchase"),
+      ev.where(col("event_type") === "click"))
+    assertSameRows(spark.table("ssjoin"), batch)
+  }
+
   test("foreachBatch parquet sink: streamed flagship output == batch output") {
     val streamDir = Files.createTempDirectory("graft_stream_sink")
     Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
