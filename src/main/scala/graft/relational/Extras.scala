@@ -60,6 +60,37 @@ object Extras extends QueryPack {
           round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
         .orderBy("l_returnflag")),
 
+    // second string family: edit distance, structural splits
+    "fn_string2" -> ((s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        reverse(col("c_mktsegment")).as("rev"),
+        repeat(col("c_mktsegment"), 2).as("rep"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tr"),
+        levenshtein(col("c_name"), lit("Customer#000000000")).cast("long").as("lev"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("sp"))
+        .orderBy("c_custkey")),
+
+    "agg_bool" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          bool_and(col("value") > 1).as("all_gt1"),
+          bool_or(col("value") > 300).as("any_gt300"),
+          count_if(col("value") > 100).as("n_gt100"))
+        .orderBy("event_type")),
+
+    "win_nth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "second_price")
+        .orderBy("o_orderkey")
+    }),
+
     "fn_bitwise" -> ((s, dir) =>
       Tables.events(s, dir).select(
         col("event_id"),
@@ -144,6 +175,29 @@ object Extras extends QueryPack {
         |  ROUND(corr(l_quantity, l_discount), 6) AS corr_qd,
         |  ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qd
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "fn_string2" ->
+      """SELECT c_custkey,
+        |  reverse(c_mktsegment) AS rev,
+        |  repeat(c_mktsegment, 2) AS rep,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
+        |  levenshtein(c_name, 'Customer#000000000') AS lev,
+        |  split_part(c_name, '#', 2) AS sp
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "agg_bool" ->
+      """SELECT event_type,
+        |  bool_and(value > 1) AS all_gt1,
+        |  bool_or(value > 300) AS any_gt300,
+        |  CAST(count_if(value > 100) AS BIGINT) AS n_gt100
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "win_nth" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "fn_bitwise" ->
       """SELECT event_id,
