@@ -11,6 +11,10 @@ import java.nio.file.Files
   */
 object Extras extends QueryPack {
 
+  /** Typed row view for the Dataset-API demonstration (must be
+    * object-level for Encoder derivation). */
+  case class Ev(user_id: Long, event_type: String, value: Double)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact percentiles (linear interpolation — matches quantile_cont)
     "agg_percentile" -> ((s, dir) =>
@@ -118,6 +122,25 @@ object Extras extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // typed Dataset API surface: groupByKey + mapGroups with case-class
+    // encoders. Scale note: mapGroups has no partial aggregation — every
+    // row shuffles — so it's for genuinely per-group imperative logic;
+    // the aggregate twins above are the right tool when an agg exists.
+    "typed_groups" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .mapGroups { (uid, it) =>
+          val evs = it.toSeq
+          val types = evs.map(_.event_type).distinct.sorted.mkString(",")
+          (uid, evs.size.toLong, types)
+        }
+        .toDF("user_id", "n_events", "types")
+        .orderBy("user_id")
+    }),
+
     // non-parquet sources: parquet → csv → read back (int/string columns
     // only — csv double formatting is not oracle-stable)
     "source_csv_roundtrip" -> ((s, dir) => {
@@ -213,6 +236,11 @@ object Extras extends QueryPack {
       """SELECT event_id, c_custkey, c_name
         |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
+
+    "typed_groups" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "source_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
