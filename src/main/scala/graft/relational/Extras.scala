@@ -122,6 +122,22 @@ object Extras extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // higher-order array functions as a surfaced family (they also power
+    // the dedup/similarity internals)
+    "fn_higher_order" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        exists(toks, t => t === "stream").as("has_stream"),
+        forall(toks, t => length(t) <= 10).as("all_short"),
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
+          (acc, v) => acc + v).as("total_len"),
+        size(filter(toks, t => length(t) >= 6)).cast("long").as("n_long"),
+        array_join(slice(zip_with(toks, reverse(toks),
+          (a, b) => concat(a, lit("|"), b)), 1, 3), " ").as("zipped3"))
+        .orderBy("doc_id")
+    }),
+
     // typed Dataset API surface: groupByKey + mapGroups with case-class
     // encoders. Scale note: mapGroups has no partial aggregation — every
     // row shuffles — so it's for genuinely per-group imperative logic;
@@ -236,6 +252,19 @@ object Extras extends QueryPack {
       """SELECT event_id, c_custkey, c_name
         |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
+
+    "fn_higher_order" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), t -> t = 'stream')) > 0 AS has_stream,
+        |  len(list_filter(string_split(text, ' '), t -> NOT length(t) <= 10)) = 0 AS all_short,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |       t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS total_len,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 6)) AS BIGINT) AS n_long,
+        |  array_to_string(list_slice(
+        |    list_transform(string_split(text, ' '),
+        |      (t, i) -> t || '|' || list_reverse(string_split(text, ' '))[i]),
+        |    1, 3), ' ') AS zipped3
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "typed_groups" ->
       """SELECT user_id, COUNT(*) AS n_events,
