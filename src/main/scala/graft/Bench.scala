@@ -4,11 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // one tiny action so session/executor/codegen infrastructure init is
     // not billed to whichever query happens to run first
@@ -19,10 +15,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds keep the line short: log tails are truncated by
+    // the harness, and round 1 lost the parsed total to exactly that.
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // loss-proof copy: the stdout line rides an sbt log that gets
+    // truncated; a file survives (VERDICT r01 item 8)
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/graft_bench.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -18,6 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * allocation, stays inside whole-stage codegen): same result, ~40×
   * faster. Sequential accumulation order matches the SQL-oracle formula
   * exactly (left-to-right), so hash-compare behavior is unchanged.
+  *
+  * Null/shape contract (matches the zip_with/aggregate form it
+  * replaces, ADVICE r01): mismatched lengths → NULL (zip_with would pad
+  * with nulls, and `null * x` poisons the running sum); a null element
+  * on either side → NULL. When both inputs declare containsNull=false
+  * the generated loop skips the per-element null checks entirely.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -32,13 +38,29 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL can arise from length mismatch even when inputs are non-null
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    if (elementsNullable) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i); i += 1
+      }
+    } else {
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
     s
   }
 
@@ -47,13 +69,21 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck = if (elementsNullable)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

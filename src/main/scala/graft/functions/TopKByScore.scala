@@ -21,6 +21,14 @@ import scala.collection.mutable
   * difference between quadratic and linear shuffle volume at scale.
   *
   * Output: ARRAY<STRUCT<score DOUBLE, payload BIGINT>> sorted best-first.
+  *
+  * Deployment note: runs under ObjectHashAggregateExec, whose DEFAULT
+  * sort-based fallback threshold (128 distinct keys/partition — sized
+  * for unbounded collect_list-style buffers) defeats the point of a
+  * bounded top-k buffer by sorting the full candidate stream. Sessions
+  * should raise spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+  * (graft.GraftSession.tuned does) — see that scaladoc for the sizing
+  * argument.
   */
 case class TopKByScore(
     scoreExpr: Expression,

@@ -59,7 +59,7 @@ object Curate extends QueryPack {
          |drops AS (SELECT DISTINCT id_b AS doc_id FROM pairs
          |          JOIN sizes sa ON sa.doc_id = id_a
          |          JOIN sizes sb ON sb.doc_id = id_b
-         |          WHERE ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) >= 0.5)
+         |          WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5)
          |SELECT ex.doc_id, lang, source, quality
          |FROM ex LEFT JOIN drops ON ex.doc_id = drops.doc_id
          |WHERE drops.doc_id IS NULL

@@ -96,17 +96,24 @@ object Text extends QueryPack {
         .orderBy("doc_id", "rn")
     }),
 
-    // per-(lang, source) corpus stats incl. vocabulary size
-    "text_lang_stats" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("lang"), col("source"), col("doc_id"), col("n_chars"),
-          explode(split(col("text"), " ")).as("tok"))
+    // per-(lang, source) corpus stats incl. vocabulary size. Doc-level
+    // stats aggregate BEFORE the token explode (summing n_chars after
+    // the explode counts each doc once per token — token-weighted, not
+    // per-doc; ADVICE r01), then join the vocab count per group.
+    "text_lang_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val docStats = docs.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val vocab = docs
+        .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("lang", "source")
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          round(sum(col("n_chars")).cast("double") / countDistinct(col("doc_id")), 4)
-            .as("avg_chars"),
-          countDistinct(col("tok")).as("vocab"))
-        .orderBy("lang", "source")),
+        .agg(countDistinct(col("tok")).as("vocab"))
+      docStats.join(vocab, Seq("lang", "source"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          round(col("sum_chars").cast("double") / col("n_docs"), 4).as("avg_chars"),
+          col("vocab"))
+        .orderBy("lang", "source")
+    }),
 
     // language-ID heuristic: diacritic/script markers, else 'en'.
     // Honest plumbing — fixture text is ASCII so the interesting branches
@@ -148,13 +155,18 @@ object Text extends QueryPack {
     }),
 
     // positional rolling-hash document fingerprint (modular arithmetic,
-    // md5-derived token hashes — engine-portable)
+    // md5-derived token hashes — engine-portable). Each term reduces
+    // mod p BEFORE the sum: tokHash(<2^32) × w(<2^20) is ~2^52 per
+    // term, so an unreduced LongType sum overflows past ~2k tokens
+    // while DuckDB's HUGEINT sum stays exact (ADVICE r01); the reduced
+    // terms are < 2^30, giving 2^33 headroom in the accumulator.
     "text_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
         .withColumn("w", (col("pos") + 1) * 2654435761L % 1000003L)
         .groupBy("doc_id")
-        .agg((sum(tokHashS(col("tok")) * col("w")) % 1000000007L).as("fingerprint"))
+        .agg((sum(tokHashS(col("tok")) * col("w") % 1000000007L) % 1000000007L)
+          .as("fingerprint"))
         .orderBy("doc_id"))
   )
 
@@ -196,13 +208,18 @@ object Text extends QueryPack {
         |FROM scored QUALIFY rn <= 5 ORDER BY doc_id, rn""".stripMargin,
 
     "text_lang_stats" ->
-      """SELECT lang, source, COUNT(DISTINCT doc_id) AS n_docs,
-        |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(DISTINCT doc_id), 4) AS avg_chars,
-        |  COUNT(DISTINCT tok) AS vocab
-        |FROM (SELECT lang, source, doc_id, n_chars,
-        |             unnest(string_split(text, ' ')) AS tok
-        |      FROM documents)
-        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+      """WITH ds AS (
+        |  SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        |  FROM documents GROUP BY lang, source),
+        |v AS (
+        |  SELECT lang, source, COUNT(DISTINCT tok) AS vocab
+        |  FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY lang, source)
+        |SELECT lang, source, n_docs,
+        |  ROUND(CAST(sum_chars AS DOUBLE) / n_docs, 4) AS avg_chars, vocab
+        |FROM ds JOIN v USING (lang, source)
+        |ORDER BY lang, source""".stripMargin,
 
     "text_langid" ->
       """SELECT doc_id, lang,
@@ -239,7 +256,7 @@ object Text extends QueryPack {
          |         unnest(string_split(text,' ')) AS tok
          |  FROM documents)
          |SELECT doc_id,
-         |  CAST(SUM($tokHashD * ((pos * 2654435761) % 1000003)) % 1000000007 AS BIGINT) AS fingerprint
+         |  CAST(SUM(($tokHashD * ((pos * 2654435761) % 1000003)) % 1000000007) % 1000000007 AS BIGINT) AS fingerprint
          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -15,6 +15,15 @@ object Extras extends QueryPack {
     * object-level for Encoder derivation). */
   case class Ev(user_id: Long, event_type: String, value: Double)
 
+  /** Deterministic roundtrip dir keyed by (format, source dir); `write`
+    * runs only if the dir's _SUCCESS marker is absent, so repeated bench
+    * invocations reuse the first write instead of re-writing per call. */
+  private def roundtripDir(fmt: String, dir: String)(write: String => Unit): String = {
+    val tmp = s"/tmp/graft_rt_${fmt}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    if (!Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS"))) write(tmp)
+    tmp
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact percentiles (linear interpolation — matches quantile_cont)
     "agg_percentile" -> ((s, dir) =>
@@ -158,11 +167,16 @@ object Extras extends QueryPack {
     }),
 
     // non-parquet sources: parquet → csv → read back (int/string columns
-    // only — csv double formatting is not oracle-stable)
+    // only — csv double formatting is not oracle-stable). The write goes
+    // to a deterministic per-sfDir path exactly once per process: the
+    // bench/profiler call each query repeatedly, and a fresh temp dir per
+    // invocation leaked /tmp space and billed write I/O to a read key
+    // (ADVICE r01).
     "source_csv_roundtrip" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft_csv").toString
-      Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
-        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val tmp = roundtripDir("csv", dir) { tmp =>
+        Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+      }
       s.read.option("header", "true").option("inferSchema", "false")
         .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .csv(tmp)
@@ -170,9 +184,10 @@ object Extras extends QueryPack {
     }),
 
     "source_json_roundtrip" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft_json").toString
-      Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
-        .write.mode("overwrite").json(tmp)
+      val tmp = roundtripDir("json", dir) { tmp =>
+        Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+          .write.mode("overwrite").json(tmp)
+      }
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .json(tmp)
         .orderBy("n_nationkey")

@@ -15,13 +15,12 @@ class ExtrasSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir",
-      Files.createTempDirectory("graft_wh").toString)
-    .config("spark.ui.enabled", "false")
+  private lazy val spark: SparkSession = GraftSession.tuned(
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_wh").toString))
     .getOrCreate()
 
   test("flatMapGroupsWithState running counts across micro-batches == batch counts") {

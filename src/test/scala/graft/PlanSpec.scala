@@ -12,12 +12,7 @@ class PlanSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark: SparkSession = GraftSession.local("4")
 
   private def physical(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
