@@ -17,6 +17,21 @@ object Profile {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val only = args.drop(1).toSet
+    // GRAFT_EXPLAIN=1: dump executed plans for the selected queries
+    // instead of timing them (plan-shape audits per SURVEY §7)
+    if (sys.env.get("GRAFT_EXPLAIN").contains("1")) {
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
+        .foreach { case (name, fn) =>
+          println(s"==== $name ====")
+          val df = fn(spark, sfDir)
+          // collect() executes THIS QueryExecution (count() would build a
+          // new one), so AQE's final plan — reuse, coalesce — is shown
+          df.collect()
+          println(df.queryExecution.executedPlan.toString)
+        }
+      spark.stop(); return
+    }
     val rows = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
       .map { case (name, fn) =>

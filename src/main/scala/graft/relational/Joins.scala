@@ -87,18 +87,24 @@ object Joins extends QueryPack {
     }),
 
     // range join done the scalable way: equi key + residual range pred —
-    // shuffles once on the key, never enumerates the cross product
-    "join_range" -> ((s, dir) =>
-      Tables.orders(s, dir)
-        .join(Tables.lineitem(s, dir),
-          col("o_orderkey") === col("l_orderkey") &&
-            col("l_shipdate").cast("date") >= col("o_orderdate").cast("date") &&
-            col("l_shipdate").cast("date") <= date_add(col("o_orderdate").cast("date"), 30),
-          "inner")
-        .select(col("o_orderkey"), col("l_linenumber"),
-          col("o_orderdate").cast("date").as("odate"),
+    // shuffles once on the key, never enumerates the cross product. The
+    // date casts (and the +30d upper bound) are projected once per input
+    // row BEFORE the join, so the residual predicate is two primitive
+    // comparisons instead of re-casting per probed pair.
+    "join_range" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("odate"))
+        .withColumn("odate_hi", date_add(col("odate"), 30))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
           col("l_shipdate").cast("date").as("sdate"))
-        .orderBy("o_orderkey", "l_linenumber")),
+      o.join(l,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("sdate") >= col("odate") && col("sdate") <= col("odate_hi"),
+          "inner")
+        .select(col("o_orderkey"), col("l_linenumber"), col("odate"), col("sdate"))
+        .orderBy("o_orderkey", "l_linenumber")
+    }),
 
     // ASOF join: for each purchase, the latest click at-or-before it per
     // user. Single window pass (carry-forward), not an m×n join — this is

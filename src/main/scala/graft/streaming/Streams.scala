@@ -49,13 +49,32 @@ object Streams extends QueryPack {
     // max event time already seen in arrival order (event_id). The
     // true state-store semantics (window finalization) are covered by
     // the MemoryStream test in StreamSpec.
+    //
+    // The running max is a global prefix scan, computed the distributed
+    // way (round 1 used one unpartitioned Window — a single-task
+    // scale-killer, VERDICT r01 item 7): (1) running max WITHIN each
+    // event_id chunk (partitioned window), (2) prefix max OVER the
+    // per-chunk maxima — the only ordered-unpartitioned step, but on
+    // n/4096 summary rows, not the data — (3) broadcast-join the prior-
+    // chunk max back and combine. Same semantics, no full-data global
+    // window.
     "stream_watermark" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, dir)
+      val chunked = Tables.events(s, dir)
         .withColumn("t", unix_timestamp(date_trunc("second", col("ts"))))
-        .withColumn("runmax", max(col("t")).over(w))
+        .withColumn("chunk", floor(col("event_id") / 4096))
+      val wIn = Window.partitionBy(col("chunk")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPrior = Window.orderBy(col("chunk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val priorMax = chunked.groupBy("chunk").agg(max(col("t")).as("cmax"))
+        .withColumn("prior", max(col("cmax")).over(wPrior))
+        .select("chunk", "prior")
+      chunked
+        .withColumn("inmax", max(col("t")).over(wIn))
+        .join(broadcast(priorMax), Seq("chunk"))
+        // greatest() skips NULL (first chunk has no prior)
+        .withColumn("runmax", greatest(col("inmax"), col("prior")))
         .where(col("t") >= col("runmax") - 600)
         .select(col("event_id"), col("user_id"), col("event_type"), col("t"))
         .orderBy("event_id")

@@ -47,6 +47,18 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8 (exact=${exact.size}, ivf=${ivf.size})")
   }
 
+  test("dedup_embed_lsh recalls >= 0.9 of exact embedding near-dups") {
+    val exact = q("dedup_embed")
+      .where("is_dup").select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty, "fixture should contain embedding near-dups")
+    val lsh = q("dedup_embed_lsh")
+      .where("is_dup").select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (exact=${exact.size}, lsh=${lsh.size})")
+    // no false positives: every flagged dup is verified by exact cosine
+    assert(lsh.subsetOf(exact), "LSH-flagged dups must pass the exact re-check")
+  }
+
   test("agg_approx_distinct within 5% of exact distinct counts") {
     val approx = q("agg_approx_distinct").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
