@@ -17,6 +17,7 @@ object SparkEntry {
     relational.Windows,
     relational.Scalars,
     relational.Extras,
+    relational.Extras2,
     relational.Subqueries,
     llm.Dedup,
     llm.Similarity,
