@@ -34,4 +34,6 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+    // managed tables (the bucketed-join demo) land outside the repo
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
 }

@@ -106,6 +106,66 @@ object Extras2 extends QueryPack {
           bit_xor(col("user_id")).as("bxor"))
         .orderBy("event_type")),
 
+    // binary/text encodings: hex round-trip, base64, ascii/chr
+    "fn_encode" -> ((s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        hex(col("c_mktsegment")).as("hx"),
+        unhex(hex(col("c_mktsegment"))).cast("string").as("rt"),
+        base64(col("c_name").cast("binary")).as("b64"),
+        ascii(col("c_mktsegment")).cast("long").as("asc"),
+        chr(ascii(col("c_mktsegment")) + 32).as("ch"))
+        .orderBy("c_custkey")),
+
+    // distributed higher moments the numerically-portable way: exact
+    // DECIMAL power sums (order-independent — the engine-exactness rule
+    // that makes raw SUM(double) unusable, SURVEY §7.5), then one
+    // closed-form double projection mirrored token-for-token in the
+    // oracle. Built-in skewness/kurtosis can't be oracle-checked:
+    // Spark computes population g1/g2, DuckDB sample G1/G2, and both
+    // accumulate doubles order-dependently.
+    "agg_moments" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val x = col("l_quantity")
+      val d = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 8))
+      val agg = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(d(x)).cast("double").as("s1"),
+          sum(d(x * x)).cast("double").as("s2"),
+          sum(d(x * x * x)).cast("double").as("s3"),
+          sum(d(x * x * x * x)).cast("double").as("s4"))
+      val mean = col("s1") / col("n")
+      val m2 = col("s2") / col("n") - mean * mean
+      val skew = (col("s3") / col("n") - lit(3.0) * mean * (col("s2") / col("n"))
+        + lit(2.0) * mean * mean * mean) / (m2 * sqrt(m2))
+      val kurt = (col("s4") / col("n") - lit(4.0) * mean * (col("s3") / col("n"))
+        + lit(6.0) * (mean * mean) * (col("s2") / col("n"))
+        - lit(3.0) * ((mean * mean) * (mean * mean))) / (m2 * m2) - lit(3.0)
+      agg.select(col("l_returnflag"),
+          round(mean, 6).as("mean_q"),
+          round(m2, 6).as("var_p"),
+          round(skew, 6).as("skew_p"),
+          round(kurt, 6).as("kurt_p"))
+        .orderBy("l_returnflag")
+    }),
+
+    // correlated LATERAL subquery through the SQL front-end: per-order
+    // aggregate computed in a lateral derived table (decorrelates to a
+    // grouped join — no per-row re-execution at scale)
+    "sub_lateral" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderkey, o_orderstatus, t.max_qty, t.n_lines
+        FROM orders_v,
+        LATERAL (SELECT MAX(l_quantity) AS max_qty, COUNT(*) AS n_lines
+                 FROM lineitem_v WHERE l_orderkey = o_orderkey) t
+        WHERE o_orderkey <= 5000
+        ORDER BY o_orderkey""")
+    }),
+
     // Zipf view of the corpus: frequency-ranked vocabulary top 30.
     // (The unpartitioned rank window runs over the AGGREGATED vocab —
     // a few hundred rows — not the corpus; scale-safe like the chunk
@@ -181,6 +241,44 @@ object Extras2 extends QueryPack {
       """SELECT event_type,
         |  bit_and(user_id) AS band, bit_or(user_id) AS bor, bit_xor(user_id) AS bxor
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "fn_encode" ->
+      """SELECT c_custkey,
+        |  hex(c_mktsegment) AS hx,
+        |  CAST(unhex(hex(c_mktsegment)) AS VARCHAR) AS rt,
+        |  to_base64(encode(c_name)) AS b64,
+        |  CAST(ascii(c_mktsegment) AS BIGINT) AS asc,
+        |  chr(ascii(c_mktsegment) + 32) AS ch
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "agg_moments" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, n, s1, s2, s3, s4, s1 / n AS mean,
+        |             s2 / n - (s1 / n) * (s1 / n) AS m2
+        |      FROM a)
+        |SELECT l_returnflag,
+        |  ROUND(mean, 6) AS mean_q,
+        |  ROUND(m2, 6) AS var_p,
+        |  ROUND((s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean)
+        |        / (m2 * sqrt(m2)), 6) AS skew_p,
+        |  ROUND((s4 / n - 4.0 * mean * (s3 / n) + 6.0 * (mean * mean) * (s2 / n)
+        |        - 3.0 * ((mean * mean) * (mean * mean))) / (m2 * m2) - 3.0, 6) AS kurt_p
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "sub_lateral" ->
+      """SELECT o_orderkey, o_orderstatus, t.max_qty, t.n_lines
+        |FROM orders,
+        |LATERAL (SELECT MAX(l_quantity) AS max_qty, COUNT(*) AS n_lines
+        |         FROM lineitem WHERE l_orderkey = o_orderkey) t
+        |WHERE o_orderkey <= 5000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "text_zipf" ->
       """WITH v AS (

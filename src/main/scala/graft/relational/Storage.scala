@@ -1,0 +1,101 @@
+package graft.relational
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Physical-layout operators — the storage-side half of the 100 TB
+  * story: partition pruning (a filter on the partition column prunes
+  * whole directories before any I/O) and bucketed co-located joins (two
+  * tables pre-bucketed on the join key join with ZERO shuffle — the
+  * layout a 1000-executor fact-fact join needs). PlanSpec asserts both
+  * plan shapes: PartitionFilters on the pruned scan, no Exchange under
+  * the bucketed SortMergeJoin.
+  *
+  * Both keys write their layout once per (layout, sfDir) — guarded like
+  * the csv/json roundtrips — so repeated bench invocations only read.
+  */
+object Storage extends QueryPack {
+
+  // no dots: the key is also used in table identifiers
+  private def key(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** documents re-written as lang-partitioned parquet, once per sfDir. */
+  private[relational] def partitionedDocs(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/graft_part_docs_${key(dir)}"
+    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+      Tables.documents(s, dir)
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+    }
+    path
+  }
+
+  /** orders+customer saved as parquet tables bucketed on the join key,
+    * once per session catalog (in-memory catalog → once per process; a
+    * fresh process finds the catalog empty but the managed location
+    * still on disk, so stale locations are removed before rewriting). */
+  private[relational] def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val (ot, ct) = (s"orders_b_${key(dir)}", s"customer_b_${key(dir)}")
+    if (!s.catalog.tableExists(ot)) {
+      val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")) match {
+        case u if u.getScheme == "file" => Paths.get(u)
+        case u if u.getScheme == null => Paths.get(u.getPath)
+        case u => Paths.get(u.getPath)
+      }
+      Seq(ot, ct).map(wh.resolve).filter(Files.exists(_)).foreach { p =>
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+      Tables.orders(s, dir).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .format("parquet").saveAsTable(ot)
+      Tables.customer(s, dir).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .format("parquet").saveAsTable(ct)
+    }
+    (ot, ct)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // partition pruning: the lang predicate selects directories, not
+    // rows — PushedFilters never even sees it (PlanSpec "scan_partitioned")
+    "scan_partitioned" -> ((s, dir) => {
+      val path = partitionedDocs(s, dir)
+      s.read.parquet(path)
+        .where(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // bucketed co-located join: both sides pre-bucketed on the key, so
+    // the SortMergeJoin reads bucket i against bucket i — no Exchange
+    // anywhere in the plan (PlanSpec "join_bucketed"). The merge hint
+    // keeps the small fixture side from broadcasting, which would hide
+    // the layout being demonstrated.
+    "join_bucketed" -> ((s, dir) => {
+      val (ot, ct) = bucketedTables(s, dir)
+      s.table(ot).hint("merge")
+        .join(s.table(ct).hint("merge"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          Stable.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // oracle reads the ORIGINAL documents table: partitioning must not
+    // change results, only plan shape
+    "scan_partitioned" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+
+    "join_bucketed" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

@@ -107,6 +107,18 @@ object Pipeline {
         unix_timestamp(col("p_ts")).as("p_t"), unix_timestamp(col("c_ts")).as("c_t"))
   }
 
+  /** Union of two event streams into one windowed aggregate — the
+    * multi-source fan-in every broker-consumer topology needs (N topics
+    * → one pipeline). unionByName keeps the merge schema-safe; in
+    * streaming mode each source keeps its own offsets and the union is
+    * planned incrementally like any other stateless op. */
+  def unionCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .groupBy(window(col("ts_sec"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("n"))
+
   /** Custom keyed state (SURVEY §2.10 / guide): running per-user event
     * count maintained in the state store via flatMapGroupsWithState,
     * emitting the updated count on every arrival. Input: (user_id,

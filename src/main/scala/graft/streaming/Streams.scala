@@ -44,6 +44,17 @@ object Streams extends QueryPack {
         .orderBy("p_id", "c_id")
     }),
 
+    // multi-source fan-in: two filtered streams unioned into one
+    // windowed aggregate, judged via the batch form; the two-file-stream
+    // execution is verified in StreamSpec
+    "stream_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Pipeline.unionCounts(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") === "click"))
+        .orderBy("ws", "event_type")
+    }),
+
     // batch analog of the 10-minute watermark rule: an event is "late"
     // (dropped) if its event time is more than 10 minutes behind the
     // max event time already seen in arrival order (event_id). The
@@ -136,6 +147,11 @@ object Streams extends QueryPack {
          |FROM p JOIN c ON p.user_id = c.user_id
          |  AND c_t >= p_t - 1800 AND c_t <= p_t
          |ORDER BY p_id, c_id""".stripMargin,
+
+    "stream_union" ->
+      s"""SELECT ($epochSec // 600) * 600 AS ws, event_type, COUNT(*) AS n
+         |FROM events WHERE event_type IN ('purchase', 'click')
+         |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
 
     "stream_watermark" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type, $epochSec AS t FROM events)

@@ -61,6 +61,25 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("scan_partitioned: the lang predicate becomes a PartitionFilter (directory pruning)") {
+    val plan = physical("scan_partitioned")
+    assert(plan.contains("PartitionFilters") && plan.contains("(lang"),
+      s"lang not a partition filter:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(lang)"),
+      s"lang should prune directories, not filter rows:\n$plan")
+  }
+
+  test("join_bucketed: co-located SortMergeJoin with zero Exchange") {
+    val plan = physical("join_bucketed")
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$plan")
+    // the join itself must not shuffle either side; the only exchange
+    // allowed is the one feeding the final aggregation
+    val joinPart = plan.split("SortMergeJoin")(1)
+    assert(!joinPart.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle its inputs:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"), s"bucket scan missing:\n$plan")
+  }
+
   test("topk_global plans as TakeOrderedAndProject (no full sort)") {
     val plan = physical("topk_global")
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not streamed:\n$plan")

@@ -104,6 +104,16 @@ class StreamSpec extends AnyFunSuite {
     assertSameRows(streamed, batch)
   }
 
+  test("union of two filtered streams: stream == batch") {
+    val streamed = runFileStream(ev => Pipeline.unionCounts(
+      ev.where(col("event_type") === "purchase"),
+      ev.where(col("event_type") === "click")), "union2")
+    val bev = Tables.events(spark, dir)
+    assertSameRows(streamed, Pipeline.unionCounts(
+      bev.where(col("event_type") === "purchase"),
+      bev.where(col("event_type") === "click")))
+  }
+
   test("stream-stream interval join (purchases x clicks): stream == batch") {
     val streamDir = Files.createTempDirectory("graft_stream_ss")
     Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
