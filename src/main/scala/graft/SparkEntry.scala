@@ -18,6 +18,7 @@ object SparkEntry {
     relational.Scalars,
     relational.Extras,
     relational.Extras2,
+    relational.Extras3,
     relational.Storage,
     relational.Subqueries,
     llm.Dedup,
