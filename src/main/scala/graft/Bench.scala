@@ -6,9 +6,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    // one tiny action so session/executor/codegen infrastructure init is
-    // not billed to whichever query happens to run first
+    // warm the machinery the first measured query would otherwise pay
+    // for: session init, the parquet reader path, codegen + a shuffle
+    // (range(100) alone left ~2 s of first-query overhead on the books)
     spark.range(100).count()
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy(col("n_regionkey")).count().count()
     // deterministic (alphabetical) order: run-to-run comparability
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

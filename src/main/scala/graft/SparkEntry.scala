@@ -19,6 +19,7 @@ object SparkEntry {
     relational.Extras,
     relational.Extras2,
     relational.Extras3,
+    relational.Extras4,
     relational.Storage,
     relational.Subqueries,
     llm.Dedup,

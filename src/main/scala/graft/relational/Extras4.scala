@@ -1,0 +1,173 @@
+package graft.relational
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-2 widening, batch D: bag-semantics set ops, the range source,
+  * struct-exploding generators (inline, stack), IGNORE NULLS window
+  * navigation, the second array family, and multi-column distinct
+  * counting.
+  */
+object Extras4 extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // INTERSECT ALL / EXCEPT ALL: bag semantics — duplicates preserved
+    // by multiplicity, the form dedup accounting actually needs
+    "set_intersect_all" -> ((s, dir) => {
+      val a = Tables.events(s, dir).where(col("event_id") <= 6000)
+        .select(col("user_id"), col("event_type"))
+      val b = Tables.events(s, dir).where(col("event_id") > 3000)
+        .select(col("user_id"), col("event_type"))
+      a.intersectAll(b).orderBy("user_id", "event_type")
+    }),
+
+    "set_except_all" -> ((s, dir) => {
+      val a = Tables.events(s, dir).where(col("event_id") <= 6000)
+        .select(col("user_id"), col("event_type"))
+      val b = Tables.events(s, dir).where(col("event_id") > 3000)
+        .select(col("user_id"), col("event_type"))
+      a.exceptAll(b).orderBy("user_id", "event_type")
+    }),
+
+    // generated source: spark.range is the zero-I/O table generator
+    // (parallelized on the cluster, not enumerated on the driver)
+    "source_range" -> ((s, dir) =>
+      s.range(1, 1001).toDF("id")
+        .select(col("id"),
+          (col("id") * col("id")).as("sq"),
+          (col("id") % 7).as("m7"))
+        .orderBy("id")),
+
+    // inline: explode an array of STRUCTS into columns — the generator
+    // behind flattening nested event payloads
+    "fn_inline" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), inline(array(
+          struct(lit("lo").as("tag"), (col("o_totalprice") * 0.1).as("amt")),
+          struct(lit("hi").as("tag"), (col("o_totalprice") * 0.9).as("amt")))))
+        .select(col("o_orderkey"), col("tag"), round(col("amt"), 4).as("amt"))
+        .orderBy("o_orderkey", "tag")),
+
+    // stack: columns-to-rows generator (the SQL-side unpivot primitive)
+    "fn_stack" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_orderkey, l_linenumber, m, v
+        FROM lineitem_v
+        LATERAL VIEW stack(2, 'qty', l_quantity, 'disc', l_discount) AS m, v
+        WHERE l_orderkey <= 2000
+        ORDER BY l_orderkey, l_linenumber, m""")
+    }),
+
+    // IGNORE NULLS navigation: carry the last/next non-null reading
+    // past gaps — sensor-style sparse columns
+    "win_ignore_nulls" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("t", unix_timestamp(date_trunc("second", col("ts"))))
+        .withColumn("hi", when(col("value") > 100, col("value")))
+        .select(col("event_id"), col("user_id"), col("t"), col("hi"),
+          lag(col("hi"), 1, null, ignoreNulls = true).over(w).as("prev_hi"),
+          lead(col("hi"), 1, null, ignoreNulls = true).over(w).as("next_hi"))
+        .orderBy("event_id")
+    }),
+
+    // second array family: set algebra on token arrays (both engines
+    // sort the results — DuckDB's list_intersect does not preserve
+    // left-operand order the way Spark's array_intersect does)
+    "fn_array2" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val stop = array(lit("the"), lit("and"), lit("a"), lit("of"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        array_join(sort_array(array_intersect(toks, stop)), ",").as("stops_present"),
+        array_join(sort_array(array_except(array_distinct(toks), stop)), ",")
+          .as("content_vocab"),
+        array_join(sort_array(array_union(slice(toks, 1, 3), stop)), ",").as("head_u_stop"),
+        coalesce(array_position(toks, "the"), lit(0L)).as("first_the"),
+        size(array_remove(toks, "the")).cast("long").as("n_no_the"))
+        .orderBy("doc_id")
+    }),
+
+    // multi-column distinct counting (one pass, no concat hacks)
+    "agg_distinct_multi" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count_distinct(col("user_id"), col("event_type")).as("uid_type"),
+          count_distinct(col("user_id")).as("uids"))
+        .orderBy("event_type"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "set_intersect_all" ->
+      """SELECT user_id, event_type FROM events WHERE event_id <= 6000
+        |INTERSECT ALL
+        |SELECT user_id, event_type FROM events WHERE event_id > 3000
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT user_id, event_type FROM events WHERE event_id <= 6000
+        |EXCEPT ALL
+        |SELECT user_id, event_type FROM events WHERE event_id > 3000
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "source_range" ->
+      """SELECT CAST(g AS BIGINT) AS id, CAST(g * g AS BIGINT) AS sq,
+        |       CAST(g % 7 AS BIGINT) AS m7
+        |FROM generate_series(1, 1000) t(g) ORDER BY id""".stripMargin,
+
+    "fn_inline" ->
+      """SELECT o_orderkey, 'lo' AS tag, ROUND(o_totalprice * 0.1, 4) AS amt
+        |FROM orders WHERE o_orderkey <= 2000
+        |UNION ALL
+        |SELECT o_orderkey, 'hi', ROUND(o_totalprice * 0.9, 4)
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey, tag""".stripMargin,
+
+    "fn_stack" ->
+      """SELECT l_orderkey, l_linenumber, m, v FROM (
+        |  SELECT l_orderkey, l_linenumber, 'qty' AS m, l_quantity AS v
+        |  FROM lineitem WHERE l_orderkey <= 2000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'disc', l_discount
+        |  FROM lineitem WHERE l_orderkey <= 2000)
+        |ORDER BY l_orderkey, l_linenumber, m""".stripMargin,
+
+    "win_ignore_nulls" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS t,
+        |    CASE WHEN value > 100 THEN value END AS hi
+        |  FROM events)
+        |SELECT event_id, user_id, t, hi,
+        |  lag(hi IGNORE NULLS) OVER w AS prev_hi,
+        |  lead(hi IGNORE NULLS) OVER w AS next_hi
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "fn_array2" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT ['the', 'and', 'a', 'of'] AS stop)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(list_intersect(toks, stop)), ','), '')
+        |    AS stops_present,
+        |  array_to_string(list_sort(list_filter(list_distinct(toks),
+        |    x -> NOT list_contains(stop, x))), ',') AS content_vocab,
+        |  array_to_string(list_sort(list_distinct(list_concat(toks[1:3], stop))), ',')
+        |    AS head_u_stop,
+        |  CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS first_the,
+        |  CAST(len(list_filter(toks, x -> x != 'the')) AS BIGINT) AS n_no_the
+        |FROM d, s ORDER BY doc_id""".stripMargin,
+
+    "agg_distinct_multi" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT (user_id, event_type)) AS uid_type,
+        |  COUNT(DISTINCT user_id) AS uids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
