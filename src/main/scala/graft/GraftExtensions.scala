@@ -16,5 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[functions.DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => functions.DotProduct(exprs.head, exprs(1))))
+    // whole-operator surface: plans GroupTopKPlan → GroupTopKExec
+    e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.GroupTopKStrategy)
   }
 }

@@ -93,6 +93,22 @@ object Extras4 extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // grouped top-k as a NATIVE plan node (custom LogicalPlan + Strategy
+    // + SparkPlan, org.apache.spark.sql.graft.GroupTopK): full rows
+    // through one hash exchange + sort, then a streaming O(1)-state
+    // per-partition filter — no rank column, no per-group buffering.
+    // PlanSpec asserts the GroupTopKExec node and its single exchange.
+    "topk_per_group_native" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.GroupTopK
+      GroupTopK.topk(
+          Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+          3,
+          Seq("o_orderstatus"),
+          Seq("o_totalprice" -> true, "o_orderkey" -> false))
+        .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     // multi-column distinct counting (one pass, no concat hacks)
     "agg_distinct_multi" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -163,6 +179,12 @@ object Extras4 extends QueryPack {
         |  CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS first_the,
         |  CAST(len(list_filter(toks, x -> x != 'the')) AS BIGINT) AS n_no_the
         |FROM d, s ORDER BY doc_id""".stripMargin,
+
+    "topk_per_group_native" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "agg_distinct_multi" ->
       """SELECT event_type,

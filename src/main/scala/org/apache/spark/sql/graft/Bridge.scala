@@ -14,6 +14,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over a (possibly custom) logical plan — the constructor
+    * custom operators like GroupTopK need. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register graft's custom expressions as SQL functions on an existing
     * session (the SparkSessionExtensions route in graft.GraftExtensions
     * only applies to sessions built with .withExtensions). */

@@ -80,6 +80,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SelectedBucketsCount"), s"bucket scan missing:\n$plan")
   }
 
+  test("topk_per_group_native plans through the custom GroupTopKExec node") {
+    val plan = physical("topk_per_group_native")
+    assert(plan.contains("GroupTopK"), s"custom exec node missing:\n$plan")
+    // exactly one hash exchange below the node (EnsureRequirements), on
+    // the group key — plus only the final orderBy's range exchange
+    val below = plan.split("GroupTopK")(1)
+    assert(below.contains("Exchange hashpartitioning(o_orderstatus"),
+      s"expected a single group-key exchange below GroupTopKExec:\n$plan")
+  }
+
   test("topk_global plans as TakeOrderedAndProject (no full sort)") {
     val plan = physical("topk_global")
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not streamed:\n$plan")
