@@ -70,6 +70,25 @@ object Multimodal extends QueryPack {
           element_at(col("media.meta"), "lang").as("lang"))
         .orderBy("doc_id")),
 
+    // frame sampling: the video-style access pattern — treat the payload
+    // as fixed 64-byte frames, keep every 4th, emit per-frame length +
+    // content hash. All plan-side arithmetic (sequence + dynamic-offset
+    // substring on the BINARY column); a real codec would replace the
+    // hash with a decoded-frame feature, same shape.
+    "multimodal_framesample" -> ((s, dir) =>
+      packed(s, dir)
+        .select(col("doc_id"), col("media.kind").as("kind"),
+          col("media.bytes").as("bytes"))
+        .withColumn("n_frames", ceil(octet_length(col("bytes")) / 64.0).cast("long"))
+        .withColumn("frame_no", explode(
+          sequence(lit(0L), greatest(col("n_frames") - 1, lit(0L)), lit(4L))))
+        .select(col("doc_id"), col("kind"), col("frame_no"),
+          octet_length(expr("substring(bytes, cast(frame_no*64+1 as int), 64)"))
+            .cast("long").as("frame_len"),
+          md5(expr("substring(bytes, cast(frame_no*64+1 as int), 64)"))
+            .as("frame_hash"))
+        .orderBy("doc_id", "frame_no")),
+
     // partition-wise feature extraction through the typed boundary;
     // the byte-histogram fake is portable enough to oracle-check in SQL
     "multimodal_features" -> ((s, dir) => {
@@ -98,6 +117,23 @@ object Multimodal extends QueryPack {
         |FROM documents
         |WHERE doc_id % 3 <> 1
         |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_framesample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'text' END AS kind,
+        |    text, CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, kind, text,
+        |    unnest(generate_series(0, greatest(n_frames - 1, 0), 4)) AS frame_no
+        |  FROM d)
+        |SELECT doc_id, kind, frame_no,
+        |  CAST(length(substring(text, CAST(frame_no * 64 + 1 AS BIGINT), 64)) AS BIGINT)
+        |    AS frame_len,
+        |  md5(substring(text, CAST(frame_no * 64 + 1 AS BIGINT), 64)) AS frame_hash
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
 
     "multimodal_features" ->
       s"""SELECT doc_id,

@@ -112,19 +112,23 @@ object Similarity extends QueryPack {
         .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
       val wCell = Window.partitionBy(col("vec_id"))
         .orderBy(col("aff").desc, col("cent_id"))
+      // ids-only cell assignments; candidates-then-verify like the LSH
+      // variant — the cell self-join ships (vec_id, cell) pairs and the
+      // embedding arrays are fetched once per DISTINCT candidate pair
       val assigned = e.join(broadcast(cents), lit(true))
         .withColumn("aff", cosOf(col("v"), col("nrm"), col("cv"), col("cn")))
         .withColumn("pr", row_number().over(wCell))
         .where(col("pr") <= P)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
-      assigned.select(col("vec_id").as("id_a"), col("v").as("va"),
-          col("nrm").as("na"), col("cell"))
-        .join(assigned.select(col("vec_id").as("id_b"), col("v").as("vb"),
-          col("nrm").as("nb"), col("cell")), Seq("cell"))
+        .select(col("vec_id"), col("cent_id").as("cell"))
+      val cands = assigned.select(col("vec_id").as("id_a"), col("cell"))
+        .join(assigned.select(col("vec_id").as("id_b"), col("cell")), Seq("cell"))
         .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          cosOf(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
-        .groupBy("id_a", "id_b").agg(first(col("cos")).as("cos"))
+        .select("id_a", "id_b").distinct()
+      val (a, b) = sides(s, dir)
+      cands
+        .join(a, Seq("id_a"))
+        .join(b, Seq("id_b"))
+        .withColumn("cos", cosOf(col("va"), col("na"), col("vb"), col("nb")))
         .where(col("cos") > 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("id_a", "id_b")

@@ -154,6 +154,25 @@ object Text extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // training-data chunking: overlapping character windows (size 200,
+    // stride 150) with per-chunk token counts — the layout step that
+    // turns documents into model-sized training rows. Pure plan-side
+    // arithmetic (sequence + dynamic-offset substring), so it
+    // parallelizes per document with no UDF.
+    "text_chunking" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("n_chunks",
+          greatest(ceil((length(col("text")) - 50) / 150.0), lit(1.0)).cast("long"))
+        .withColumn("chunk_no", explode(
+          sequence(lit(0L), col("n_chunks") - 1, lit(1L))))
+        .select(col("doc_id"), col("chunk_no"),
+          expr("substring(text, cast(chunk_no*150+1 as int), 200)").as("chunk"))
+        .select(col("doc_id"), col("chunk_no"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          size(split(col("chunk"), " ")).cast("long").as("n_toks"),
+          md5(col("chunk")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_no")),
+
     // positional rolling-hash document fingerprint (modular arithmetic,
     // md5-derived token hashes — engine-portable). Each term reduces
     // mod p BEFORE the sum: tokHash(<2^32) × w(<2^20) is ~2^52 per
@@ -249,6 +268,25 @@ object Text extends QueryPack {
         |      + CAST(0.25 AS DOUBLE) * least((n_chars - (n_tok - 1)) / n_tok / 8.0, 1.0)
         |      + 0.000000001, 4) AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "text_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(greatest(ceil((length(text) - 50) / 150.0), 1.0) AS BIGINT) AS n_chunks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, n_chunks - 1, 1)) AS chunk_no
+        |  FROM d),
+        |x AS (
+        |  SELECT doc_id, chunk_no,
+        |    substring(text, CAST(chunk_no * 150 + 1 AS BIGINT), 200) AS chunk
+        |  FROM c)
+        |SELECT doc_id, chunk_no,
+        |  CAST(length(chunk) AS BIGINT) AS chunk_len,
+        |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_toks,
+        |  md5(chunk) AS chunk_hash
+        |FROM x ORDER BY doc_id, chunk_no""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH t AS (
