@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit behavior of the custom expressions/operators added in rounds
+  * 1-2: DotProduct's null/shape contract, SrpSignature's equivalence to
+  * the unfused form, SimhashAgg's equivalence to the spelled-out 60-sum
+  * construction, and the GroupTopK plan node's semantics on edge cases.
+  */
+class FunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = GraftSession.local("4")
+
+  test("DotProduct: NULL on length mismatch and on null elements; exact on clean input") {
+    import graft.functions.DotProduct.dot
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)), // clean: 32.0
+      (2L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))       // length mismatch
+    ).toDF("id", "a", "b")
+    val rows = df.select(col("id"), dot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(rows(0).getDouble(1) === 32.0)
+    assert(rows(1).isNullAt(1), "length mismatch must yield NULL")
+
+    // null element → NULL (matches the zip_with/aggregate form)
+    val nullElem = Seq((1L, Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("id", "a", "b")
+      .select(dot(col("a").cast("array<double>"), col("b").cast("array<double>")).as("d"))
+      .collect()
+    assert(nullElem(0).isNullAt(0), "null element must yield NULL")
+  }
+
+  test("SrpSignature equals the unfused when(dot(v, plane) > 0) construction") {
+    import graft.functions.{DotProduct, SrpSignature}
+    import DotProduct.dot
+    import SrpSignature.srpSignature
+    import spark.implicits._
+    val vecs = Seq.tabulate(8)(i => (i.toLong, Seq.tabulate(64)(j => math.sin(i * 64 + j))))
+      .toDF("id", "v").withColumn("v", col("v").cast("array<double>"))
+    val (l, b, dim, seed) = (12, 3, 64, 42L)
+    // reference: unfused per-plane dots over the same Gaussian stream
+    val flat = SrpSignature.planes(l, b, dim, seed)
+    val unfused = vecs.select(col("id"), array((0 until l).map { t =>
+      (0 until b).map { j =>
+        val plane = typedlit(flat.slice((t * b + j) * dim, (t * b + j + 1) * dim).toSeq)
+        when(dot(col("v"), plane) > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*).as("sig")).orderBy("id").collect().map(_.getSeq[Int](1))
+    val fused = vecs.select(col("id"), srpSignature(col("v"), l, b, dim, seed).as("sig"))
+      .orderBy("id").collect().map(_.getSeq[Int](1))
+    assert(fused.toSeq == unfused.toSeq)
+  }
+
+  test("SimhashAgg equals the spelled-out 60-sum fold") {
+    import graft.functions.SimhashAgg.simhashAgg
+    import spark.implicits._
+    val toks = Seq((1L, "alpha"), (1L, "beta"), (1L, "gamma"), (2L, "delta"), (2L, "alpha"))
+      .toDF("g", "tok").withColumn("m", md5(col("tok")))
+    def dv(d: Int) = conv(substring(col("m"), d, 1), 16, 10).cast("long")
+    def contrib(i: Int) = shiftright(dv(i / 4 + 1), i % 4) % 2 * 2 - 1
+    val sums = toks.groupBy("g")
+      .agg((0 until 60).map(i => sum(contrib(i)).as(s"s$i")).head,
+        (0 until 60).map(i => sum(contrib(i)).as(s"s$i")).tail: _*)
+    val expected = sums.select(col("g"),
+      (0 until 60).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _).as("h")).orderBy("g").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fused = toks.groupBy("g").agg(simhashAgg(col("m")).as("h"))
+      .orderBy("g").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fused.toSeq == expected.toSeq)
+  }
+
+  test("GroupTopK: k larger than group, ties broken by the declared order, full rows kept") {
+    import org.apache.spark.sql.graft.GroupTopK
+    import spark.implicits._
+    val df = Seq(
+      ("a", 3.0, 1L, "x1"), ("a", 3.0, 2L, "x2"), ("a", 1.0, 3L, "x3"),
+      ("b", 5.0, 4L, "x4")
+    ).toDF("g", "score", "id", "payload")
+    val out = GroupTopK.topk(df, 2, Seq("g"), Seq("score" -> true, "id" -> false))
+      .orderBy("g", "id").collect()
+    assert(out.map(_.getString(3)).toSeq == Seq("x1", "x2", "x4"),
+      "ties break on id; group b keeps its single row with k=2")
+  }
+}
