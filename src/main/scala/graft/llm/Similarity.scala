@@ -41,25 +41,43 @@ object Similarity extends QueryPack {
       e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")))
   }
 
-  /** SRP-LSH geometry: L tables × B sign bits, 64-dim planes, seed 42 —
-    * the same Gaussian stream as round 1's literal planes, now emitted
-    * by the fused SrpSignature expression (one codegen loop instead of
-    * L×B dot-product sub-expressions; VERDICT r01 item 2). */
+  /** SRP-LSH geometry: L tables × B(n) sign bits, 64-dim planes, seed
+    * 42, emitted by the fused SrpSignature expression (one codegen loop
+    * instead of L×B dot-product sub-expressions; VERDICT r01 item 2).
+    *
+    * Bits per table are CORPUS-ADAPTIVE: with uniform occupancy the
+    * bucket join produces ≈ L·n²/2^(B+1) candidate pairs, so a fixed B
+    * is quadratic in disguise — measured directly on the 10× ScaleGen
+    * probe, where B=3 (8 buckets/table) took sim_lsh_ann from ~2.5 s to
+    * 134 s. Sizing 2^B ∝ n caps candidates-per-vector at a constant:
+    * B = max(3, ⌈log2(L·n²/4e7)⌉) keeps ≈≤20 M candidate pairs at any
+    * n (B=3 through n≈2 k — the fixtures and the sf0.001 recall tests
+    * are unchanged — 7 bits at 20 k, 14 at 200 k). The recall trade is
+    * the textbook one: P(candidate) = 1-(1-p^B)^L with p = 1-θ/π, so
+    * at production near-dup thresholds (cos ≥ 0.9, p ≈ 0.9) recall
+    * stays ≥0.95 through B=13, while low-similarity targets (cos 0.4)
+    * degrade — at that radius ~n²/8 of ALL pairs qualify and no LSH
+    * family can prune without losing them (BASELINE.md round-1 note).
+    */
   private[llm] val L = 12
   private[llm] val B = 3
+
+  private[llm] def adaptiveBits(n: Long): Int =
+    math.max(B, math.ceil(math.log(L.toDouble * n * n / 4e7) / math.log(2)).toInt)
 
   /** (vec_id, tbl, sig) bucket assignments — ids only, no vector
     * payload, so the bucket self-join shuffles ~12 ints per vector
     * instead of 12 copies of the 64-double embedding. */
-  private[llm] def srpBuckets(e: DataFrame): DataFrame = {
+  private[llm] def srpBuckets(e: DataFrame, bits: Int): DataFrame = {
     import graft.functions.SrpSignature.srpSignature
     e.select(col("vec_id"),
-      posexplode(srpSignature(col("v"), L, B, 64, 42L)).as(Seq("tbl", "sig")))
+      posexplode(srpSignature(col("v"), L, bits, 64, 42L)).as(Seq("tbl", "sig")))
   }
 
-  /** Distinct candidate id pairs (id_a < id_b) that share ≥1 SRP bucket. */
+  /** Distinct candidate id pairs (id_a < id_b) that share ≥1 SRP bucket.
+    * The one driver-side action is the corpus count that sizes B. */
   private[llm] def srpCandidates(e: DataFrame): DataFrame = {
-    val sigs = srpBuckets(e)
+    val sigs = srpBuckets(e, adaptiveBits(e.count()))
     sigs.select(col("vec_id").as("id_a"), col("tbl"), col("sig"))
       .join(sigs.select(col("vec_id").as("id_b"), col("tbl"), col("sig")),
         Seq("tbl", "sig"))
