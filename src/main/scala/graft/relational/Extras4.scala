@@ -109,6 +109,32 @@ object Extras4 extends QueryPack {
         .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    // third string family: character-class trims, prefix/suffix tests
+    "fn_string3" -> ((s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        trim(col("c_name"), "Customer#0").as("tr"),
+        ltrim(col("c_name"), "Custo").as("ltr"),
+        rtrim(col("c_name"), "0123456789").as("rtr"),
+        substring(col("c_name"), 1, 8).as("l8"),
+        col("c_name").substr(length(col("c_name")) - 2, lit(3)).as("r3"),
+        col("c_name").startsWith("Customer").as("sw"),
+        col("c_name").endsWith("0").as("ew"),
+        col("c_name").contains("#").as("ct"))
+        .orderBy("c_custkey")),
+
+    // ordered string aggregation: listagg ... WITHIN GROUP (the ANSI
+    // form — deterministic because the order is declared)
+    "agg_listagg" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c_mktsegment,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names
+        FROM customer_v
+        WHERE c_custkey <= 40
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
     // multi-column distinct counting (one pass, no concat hacks)
     "agg_distinct_multi" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -185,6 +211,24 @@ object Extras4 extends QueryPack {
         |QUALIFY row_number() OVER (PARTITION BY o_orderstatus
         |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
         |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "fn_string3" ->
+      """SELECT c_custkey,
+        |  trim(c_name, 'Customer#0') AS tr,
+        |  ltrim(c_name, 'Custo') AS ltr,
+        |  rtrim(c_name, '0123456789') AS rtr,
+        |  left(c_name, 8) AS l8,
+        |  right(c_name, 3) AS r3,
+        |  starts_with(c_name, 'Customer') AS sw,
+        |  ends_with(c_name, '0') AS ew,
+        |  contains(c_name, '#') AS ct
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "agg_listagg" ->
+      """SELECT c_mktsegment,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer WHERE c_custkey <= 40
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "agg_distinct_multi" ->
       """SELECT event_type,
