@@ -135,6 +135,19 @@ object Extras4 extends QueryPack {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
+    // sketch-based percentiles (KLL-style bounded memory — the form
+    // that replaces exact percentile at 100 TB, where a full sort per
+    // group is off the table). Probabilistic: no SQL oracle; rank-error
+    // bound vs the exact twin asserted in FunctionsSpec.
+    "agg_approx_percentile" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(o_totalprice, 0.95, 1000)").as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
     // multi-column distinct counting (one pass, no concat hacks)
     "agg_distinct_multi" -> ((s, dir) =>
       Tables.events(s, dir)

@@ -72,6 +72,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fused.toSeq == expected.toSeq)
   }
 
+  test("agg_approx_percentile within 2% relative error of exact percentiles") {
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("agg_approx_percentile")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = SparkEntry.queries("agg_percentile")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    exact.foreach { case (k, (m, p95)) =>
+      val (am, ap95) = approx(k)
+      assert(math.abs(am - m) / m <= 0.02, s"$k median: $am vs $m")
+      assert(math.abs(ap95 - p95) / p95 <= 0.02, s"$k p95: $ap95 vs $p95")
+    }
+  }
+
   test("GroupTopK: k larger than group, ties broken by the declared order, full rows kept") {
     import org.apache.spark.sql.graft.GroupTopK
     import spark.implicits._
