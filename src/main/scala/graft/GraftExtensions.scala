@@ -16,7 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[functions.DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => functions.DotProduct(exprs.head, exprs(1))))
-    // whole-operator surface: plans GroupTopKPlan → GroupTopKExec
+    // whole-operator surface: plans GroupTopKPlan → GroupTopKExec, and
+    // prunes columns through the custom node (built-in ColumnPruning
+    // stops at operators it doesn't know)
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.GroupTopKStrategy)
+    e.injectOptimizerRule(_ => org.apache.spark.sql.graft.GroupTopKPruning)
   }
 }

@@ -82,6 +82,29 @@ case class GroupTopKExec(
     copy(child = newChild)
 }
 
+/** Column pruning through the custom node: Catalyst's own ColumnPruning
+  * stops at operators it doesn't know, so `topk(df, …).select(cols)`
+  * would read EVERY column of the child into the exchange. This rule
+  * pushes a pruning projection below GroupTopKPlan keeping only the
+  * columns the parent projects plus the node's own group/order
+  * references — with it, the parquet ReadSchema shrinks to the used
+  * columns (asserted in PlanSpec).
+  */
+object GroupTopKPruning extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projectList, g @ GroupTopKPlan(groups, order, k, child)) =>
+      val needed = AttributeSet(projectList.flatMap(_.references)) ++
+        AttributeSet(groups.flatMap(_.references)) ++
+        AttributeSet(order.flatMap(_.references))
+      val keep = child.output.filter(needed.contains)
+      if (keep.size == child.output.size) p
+      else Project(projectList, GroupTopKPlan(groups, order, k, Project(keep, child)))
+  }
+}
+
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupTopKPlan(g, o, k, child) => GroupTopKExec(g, o, k, planLater(child)) :: Nil
@@ -104,6 +127,10 @@ object GroupTopK {
     if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GroupTopKStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(GroupTopKPruning)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GroupTopKPruning
     }
     val ord = order.map { case (name, desc) =>
       SortOrder(UnresolvedAttribute.quoted(name), if (desc) Descending else Ascending)

@@ -90,6 +90,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected a single group-key exchange below GroupTopKExec:\n$plan")
   }
 
+  test("GroupTopKPruning: a select above the custom node prunes the scan") {
+    import org.apache.spark.sql.graft.GroupTopK
+    import org.apache.spark.sql.functions.col
+    val plan = GroupTopK.topk(
+        Tables.orders(spark, dir), 2,
+        Seq("o_orderstatus"), Seq("o_totalprice" -> true))
+      .select(col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(
+      "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"),
+      s"columns not pruned through GroupTopKPlan:\n$plan")
+  }
+
   test("topk_global plans as TakeOrderedAndProject (no full sort)") {
     val plan = physical("topk_global")
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not streamed:\n$plan")
