@@ -109,6 +109,82 @@ object Extras4 extends QueryPack {
         .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    // TPC-H Q3 shape (shipping-priority revenue): 3-way join, derived
+    // revenue accumulated in DECIMAL, top-10 by revenue — the classic
+    // "does the whole SQL stack compose" probe
+    "sql_tpch_q3" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+                    AS DOUBLE) AS revenue,
+               CAST(o_orderdate AS DATE) AS odate
+        FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+                        JOIN lineitem_v ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10""")
+    }),
+
+    // TPC-H Q10 shape (returned-item customer revenue): 4-way join with
+    // a broadcastable dim, grouped revenue, top-20
+    "sql_tpch_q10" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+                    AS DOUBLE) AS revenue
+        FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+                        JOIN lineitem_v ON l_orderkey = o_orderkey
+                        JOIN nation_v ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")
+    }),
+
+    // custom table-generating function: one row per word trigram with
+    // its position, via a real Generator subclass (functions.NGramsUdtf)
+    // instead of the transform+filter+explode composition — completes
+    // the UDTF extension surface with a custom implementation
+    "explode_ngrams_udtf" -> ((s, dir) => {
+      import graft.functions.NGramsUdtf.ngrams
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          ngrams(split(col("text"), " "), 3).as(Seq("pos", "ngram")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("ngram"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // dialect parity: GROUP BY ALL / ORDER BY ALL through the SQL
+    // front-end (every non-aggregate output column groups; order by
+    // the full output row)
+    "sql_group_order_all" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""
+        SELECT event_type, user_id % 4 AS ubucket, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sv
+        FROM events_v GROUP BY ALL ORDER BY ALL""")
+    }),
+
+    // inline literal table source (VALUES clause)
+    "source_values" -> ((s, dir) =>
+      s.sql("""
+        SELECT CAST(id AS BIGINT) AS id, name, CAST(score AS DOUBLE) AS score
+        FROM VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', 3.5)
+          AS t(id, name, score)
+        ORDER BY id""")),
+
     // third string family: character-class trims, prefix/suffix tests
     "fn_string3" -> ((s, dir) =>
       Tables.customer(s, dir).select(
@@ -224,6 +300,56 @@ object Extras4 extends QueryPack {
         |QUALIFY row_number() OVER (PARTITION BY o_orderstatus
         |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
         |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "sql_tpch_q3" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+        |       AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS odate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "sql_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+        |       AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "explode_ngrams_udtf" ->
+      """WITH t AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS p,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+        |  tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS ngram
+        |FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        |QUALIFY lead(tok, 2) OVER w IS NOT NULL
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "sql_group_order_all" ->
+      """SELECT event_type, user_id % 4 AS ubucket, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sv
+        |FROM events GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    "source_values" ->
+      """SELECT CAST(id AS BIGINT) AS id, name, CAST(score AS DOUBLE) AS score
+        |FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', 3.5))
+        |  t(id, name, score)
+        |ORDER BY id""".stripMargin,
 
     "fn_string3" ->
       """SELECT c_custkey,
