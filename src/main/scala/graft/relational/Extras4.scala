@@ -185,6 +185,26 @@ object Extras4 extends QueryPack {
           AS t(id, name, score)
         ORDER BY id""")),
 
+    // second map family: construction, merge, filtering, value
+    // transformation — entries emitted as a sorted k=v string so the
+    // unordered map type compares deterministically across engines
+    "fn_map2" -> ((s, dir) => {
+      val base = map(lit("type"), col("event_type"),
+        lit("uid"), col("user_id").cast("string"))
+      val extra = map(lit("k"), get_json_object(col("props"), "$.k"))
+      val m = map_concat(base, extra)
+      Tables.events(s, dir).select(
+        col("event_id"),
+        array_join(sort_array(transform(map_entries(m),
+          e => concat_ws("=", e.getField("key"), e.getField("value")))), ",")
+          .as("entries"),
+        map_contains_key(m, "uid").as("has_uid"),
+        map_contains_key(m, "missing").as("has_missing"),
+        size(map_filter(m, (_, v) => length(v) >= 3)).cast("long").as("n_long_vals"),
+        element_at(transform_values(m, (_, v) => upper(v)), "type").as("type_up"))
+        .orderBy("event_id")
+    }),
+
     // third string family: character-class trims, prefix/suffix tests
     "fn_string3" -> ((s, dir) =>
       Tables.customer(s, dir).select(
@@ -350,6 +370,20 @@ object Extras4 extends QueryPack {
         |FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', 3.5))
         |  t(id, name, score)
         |ORDER BY id""".stripMargin,
+
+    "fn_map2" ->
+      """SELECT event_id,
+        |  array_to_string(list_sort([
+        |    'type=' || event_type,
+        |    'uid=' || CAST(user_id AS VARCHAR),
+        |    'k=' || (props->>'$.k')]), ',') AS entries,
+        |  TRUE AS has_uid,
+        |  FALSE AS has_missing,
+        |  CAST(len(list_filter(
+        |    [event_type, CAST(user_id AS VARCHAR), props->>'$.k'],
+        |    v -> length(v) >= 3)) AS BIGINT) AS n_long_vals,
+        |  upper(event_type) AS type_up
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "fn_string3" ->
       """SELECT c_custkey,
