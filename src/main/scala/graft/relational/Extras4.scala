@@ -185,6 +185,20 @@ object Extras4 extends QueryPack {
           AS t(id, name, score)
         ORDER BY id""")),
 
+    // null-handling API surface: na.fill / na.drop / na.replace over
+    // derived nullable columns (the cleanup pass every ingest runs)
+    "fn_na" -> ((s, dir) => {
+      val withNulls = Tables.events(s, dir).select(
+        col("event_id"),
+        nullif(col("user_id") % 5, lit(2L)).as("u5"),
+        nullif(col("event_type"), lit("error")).as("etype"),
+        when(col("value") > 100, col("value")).as("hi"))
+      withNulls.na.fill(Map("u5" -> -1L, "etype" -> "none"))
+        .na.replace("etype", Map("signup" -> "join"))
+        .na.drop(Seq("hi"))
+        .orderBy("event_id")
+    }),
+
     // second map family: construction, merge, filtering, value
     // transformation — entries emitted as a sorted k=v string so the
     // unordered map type compares deterministically across engines
@@ -370,6 +384,17 @@ object Extras4 extends QueryPack {
         |FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', 3.5))
         |  t(id, name, score)
         |ORDER BY id""".stripMargin,
+
+    "fn_na" ->
+      """SELECT event_id,
+        |  coalesce(nullif(user_id % 5, 2), -1) AS u5,
+        |  CASE coalesce(nullif(event_type, 'error'), 'none')
+        |    WHEN 'signup' THEN 'join'
+        |    ELSE coalesce(nullif(event_type, 'error'), 'none') END AS etype,
+        |  CASE WHEN value > 100 THEN value END AS hi
+        |FROM events
+        |WHERE (CASE WHEN value > 100 THEN value END) IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
 
     "fn_map2" ->
       """SELECT event_id,
