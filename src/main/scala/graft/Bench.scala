@@ -21,11 +21,13 @@ object Bench {
     }
     // 3-decimal seconds keep the line short: log tails are truncated by
     // the harness, and round 1 lost the parsed total to exactly that.
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
+    def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => s""""$k":${s3(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // loss-proof copy: the stdout line rides an sbt log that gets
     // truncated; a file survives (VERDICT r01 item 8)

@@ -34,4 +34,13 @@ object Tables {
   }
   def documents(s: SparkSession, dir: String): DataFrame  = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
+
+  /** Cheap content fingerprint (size + mtime) of a fixture file, for
+    * write-once layout caches: a regenerated fixture at the SAME path
+    * must invalidate the cached derived layout, or the engine would be
+    * verified against stale data. */
+  def fingerprint(dir: String, name: String): String = {
+    val p = java.nio.file.Paths.get(s"$dir/$name.parquet")
+    s"${java.nio.file.Files.size(p)}_${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+  }
 }

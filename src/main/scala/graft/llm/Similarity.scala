@@ -63,7 +63,10 @@ object Similarity extends QueryPack {
   private[llm] val B = 3
 
   private[llm] def adaptiveBits(n: Long): Int =
-    math.max(B, math.ceil(math.log(L.toDouble * n * n / 4e7) / math.log(2)).toInt)
+    // capped at 30: SrpSignature packs the signature in an Int (bits<31);
+    // past ~8e7 vectors the right lever is more tables (L), not more bits
+    math.min(30,
+      math.max(B, math.ceil(math.log(L.toDouble * n * n / 4e7) / math.log(2)).toInt))
 
   /** (vec_id, tbl, sig) bucket assignments — ids only, no vector
     * payload, so the bucket self-join shuffles ~12 ints per vector
@@ -75,9 +78,11 @@ object Similarity extends QueryPack {
   }
 
   /** Distinct candidate id pairs (id_a < id_b) that share ≥1 SRP bucket.
-    * The one driver-side action is the corpus count that sizes B. */
-  private[llm] def srpCandidates(e: DataFrame): DataFrame = {
-    val sigs = srpBuckets(e, adaptiveBits(e.count()))
+    * `nRows` sizes B — callers count the RAW embeddings table (a parquet
+    * metadata-only count), not the repartitioned/normed plan, so the
+    * sizing action costs no shuffle or norm work. */
+  private[llm] def srpCandidates(e: DataFrame, nRows: Long): DataFrame = {
+    val sigs = srpBuckets(e, adaptiveBits(nRows))
     sigs.select(col("vec_id").as("id_a"), col("tbl"), col("sig"))
       .join(sigs.select(col("vec_id").as("id_b"), col("tbl"), col("sig")),
         Seq("tbl", "sig"))
@@ -163,7 +168,7 @@ object Similarity extends QueryPack {
     "sim_lsh_ann" -> ((s, dir) => {
       val e = vecs(s, dir)
       val (a, b) = sides(s, dir)
-      srpCandidates(e)
+      srpCandidates(e, Tables.embeddings(s, dir).count())
         .join(a, Seq("id_a"))
         .join(b, Seq("id_b"))
         .withColumn("cos", cosOf(col("va"), col("na"), col("vb"), col("nb")))

@@ -209,8 +209,12 @@ object Extras4 extends QueryPack {
       val m = map_concat(base, extra)
       Tables.events(s, dir).select(
         col("event_id"),
+        // null-valued entries become NULL (array_join skips them) — a
+        // bare concat_ws would keep the key as "k" while the oracle's
+        // 'k=' || NULL drops the whole entry
         array_join(sort_array(transform(map_entries(m),
-          e => concat_ws("=", e.getField("key"), e.getField("value")))), ",")
+          e => when(e.getField("value").isNotNull,
+            concat_ws("=", e.getField("key"), e.getField("value"))))), ",")
           .as("entries"),
         map_contains_key(m, "uid").as("has_uid"),
         map_contains_key(m, "missing").as("has_missing"),

@@ -21,9 +21,10 @@ object Storage extends QueryPack {
   // no dots: the key is also used in table identifiers
   private def key(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
 
-  /** documents re-written as lang-partitioned parquet, once per sfDir. */
+  /** documents re-written as lang-partitioned parquet, once per
+    * (sfDir, source fingerprint) — regenerated fixtures invalidate. */
   private[relational] def partitionedDocs(s: SparkSession, dir: String): String = {
-    val path = s"/tmp/graft_part_docs_${key(dir)}"
+    val path = s"/tmp/graft_part_docs_${key(dir)}_${Tables.fingerprint(dir, "documents")}"
     if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
       Tables.documents(s, dir)
         .write.mode("overwrite").partitionBy("lang").parquet(path)
@@ -36,7 +37,8 @@ object Storage extends QueryPack {
     * fresh process finds the catalog empty but the managed location
     * still on disk, so stale locations are removed before rewriting). */
   private[relational] def bucketedTables(s: SparkSession, dir: String): (String, String) = {
-    val (ot, ct) = (s"orders_b_${key(dir)}", s"customer_b_${key(dir)}")
+    val fp = key(Tables.fingerprint(dir, "orders"))
+    val (ot, ct) = (s"orders_b_${key(dir)}_$fp", s"customer_b_${key(dir)}_$fp")
     if (!s.catalog.tableExists(ot)) {
       val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")) match {
         case u if u.getScheme == "file" => Paths.get(u)

@@ -58,7 +58,13 @@ case class GroupTopKExec(
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val groupLocal = groupExprs
+    // normalize float/double group keys (-0.0 → 0.0, canonical NaN):
+    // Spark's NormalizeFloatingNumbers rule only rewrites built-in
+    // Aggregate/Join/Window nodes, and without it 0.0 vs -0.0 compare
+    // equal in the sort (groups stay contiguous) but differ in key
+    // BYTES, which would split the run and emit extra rows
+    val groupLocal = groupExprs.map(
+      org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize)
     val outLocal = child.output
     val kLocal = k
     child.execute().mapPartitionsInternal { it =>

@@ -15,12 +15,14 @@ class ExtrasSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  // the per-run temp warehouse must be set AFTER tuned(), which sets a
+  // shared default warehouse of its own
   private lazy val spark: SparkSession = GraftSession.tuned(
     SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft_wh").toString))
+      .config("spark.sql.shuffle.partitions", "4"))
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft_wh").toString)
     .getOrCreate()
 
   test("flatMapGroupsWithState running counts across micro-batches == batch counts") {

@@ -105,11 +105,26 @@ class StreamSpec extends AnyFunSuite {
   }
 
   test("union of two filtered streams: stream == batch") {
-    val streamed = runFileStream(ev => Pipeline.unionCounts(
-      ev.where(col("event_type") === "purchase"),
-      ev.where(col("event_type") === "click")), "union2")
+    // two DISTINCT file-stream sources (separate dirs, separate offset
+    // logs) — a self-union of one source would not exercise the
+    // multi-source fan-in the operator documents
+    def src(name: String) = {
+      val d = Files.createTempDirectory(s"graft_stream_$name")
+      Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        d.resolve("events.parquet"))
+      MessageSource.fileStream(spark, d.toString)
+    }
+    val unioned = Pipeline.unionCounts(
+      src("u1").where(col("event_type") === "purchase"),
+      src("u2").where(col("event_type") === "click"))
+    val ckpt = Files.createTempDirectory("graft_ckpt_union").toString
+    val q = unioned.writeStream.outputMode("complete")
+      .format("memory").queryName("union2")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
     val bev = Tables.events(spark, dir)
-    assertSameRows(streamed, Pipeline.unionCounts(
+    assertSameRows(spark.table("union2"), Pipeline.unionCounts(
       bev.where(col("event_type") === "purchase"),
       bev.where(col("event_type") === "click")))
   }
