@@ -43,6 +43,10 @@ case class SimhashAgg(
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String]
+      // md5() always yields 32 hex bytes; fail fast on anything shorter
+      // rather than reading out-of-bounds UTF8String memory
+      require(s.numBytes >= 15,
+        s"simhash_agg expects an md5 hex string (>=15 bytes), got ${s.numBytes} bytes")
       var d = 0
       while (d < 15) {
         val c = s.getByte(d)

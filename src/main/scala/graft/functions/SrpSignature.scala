@@ -28,9 +28,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *
   * Output: ARRAY<INT> of length numTables; element t is the 0..2^bits-1
   * bucket of the vector in table t. NULL input → NULL; vectors shorter
-  * than `dim` project on their defined prefix (null elements read as 0
-  * only when containsNull=false says they can't occur — the similarity
-  * callers cast from the no-null parquet column).
+  * than `dim` project on their defined prefix; null ELEMENTS contribute
+  * 0 to every projection (same policy as DotProduct's elementsNullable
+  * path — never read a slot whose null bit is set).
   */
 case class SrpSignature(
     child: Expression,
@@ -64,7 +64,10 @@ case class SrpSignature(
         val base = (t * bits + j) * dim
         var s = 0.0
         var i = 0
-        while (i < n) { s += v.getDouble(i) * flatPlanes(base + i); i += 1 }
+        while (i < n) {
+          if (!v.isNullAt(i)) s += v.getDouble(i) * flatPlanes(base + i)
+          i += 1
+        }
         if (s > 0) sig |= 1 << j
         j += 1
       }
@@ -94,7 +97,7 @@ case class SrpSignature(
          |    int $base = ($t * $bits + $j) * $dim;
          |    double $s = 0.0;
          |    for (int $i = 0; $i < $n; $i++) {
-         |      $s += $v.getDouble($i) * $planesRef[$base + $i];
+         |      if (!$v.isNullAt($i)) $s += $v.getDouble($i) * $planesRef[$base + $i];
          |    }
          |    if ($s > 0) $sig |= 1 << $j;
          |  }

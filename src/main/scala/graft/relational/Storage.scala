@@ -37,7 +37,9 @@ object Storage extends QueryPack {
     * fresh process finds the catalog empty but the managed location
     * still on disk, so stale locations are removed before rewriting). */
   private[relational] def bucketedTables(s: SparkSession, dir: String): (String, String) = {
-    val fp = key(Tables.fingerprint(dir, "orders"))
+    // both source fingerprints in the key: a regenerated customer.parquet
+    // (orders unchanged) must invalidate the cached layout too
+    val fp = key(Tables.fingerprint(dir, "orders") + "_" + Tables.fingerprint(dir, "customer"))
     val (ot, ct) = (s"orders_b_${key(dir)}_$fp", s"customer_b_${key(dir)}_$fp")
     if (!s.catalog.tableExists(ot)) {
       val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")) match {

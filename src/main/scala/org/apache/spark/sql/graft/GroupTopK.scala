@@ -130,13 +130,18 @@ object GroupTopK {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.Descending
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GroupTopKStrategy
-    }
-    if (!spark.experimental.extraOptimizations.contains(GroupTopKPruning)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ GroupTopKPruning
+    // check-then-append on the session-global experimental lists is racy
+    // under concurrent query construction; the rules are idempotent, so a
+    // session-scoped lock is cheap insurance against double registration
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ GroupTopKStrategy
+      }
+      if (!spark.experimental.extraOptimizations.contains(GroupTopKPruning)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ GroupTopKPruning
+      }
     }
     val ord = order.map { case (name, desc) =>
       SortOrder(UnresolvedAttribute.quoted(name), if (desc) Descending else Ascending)
