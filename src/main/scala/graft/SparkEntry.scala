@@ -20,9 +20,13 @@ object SparkEntry {
     relational.Extras2,
     relational.Extras3,
     relational.Extras4,
+    relational.Extras5,
     relational.Storage,
     relational.Subqueries,
+    llm.Cluster,
     llm.Dedup,
+    llm.Embeddings,
+    llm.Text2,
     llm.Similarity,
     llm.Text,
     llm.Multimodal,

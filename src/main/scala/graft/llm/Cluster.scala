@@ -1,0 +1,112 @@
+package graft.llm
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup-cluster resolution (SURVEY.md §2.11 north star): near-dup PAIRS
+  * are only half of deduplication — a training pipeline must resolve the
+  * pair graph into connected components ("keep one doc per cluster"),
+  * because near-duplicate relations are not transitive: A~B and B~C
+  * pairs with A!~C still mean {A,B,C} is one dup cluster.
+  *
+  * Implementation: iterative min-label propagation over the symmetric
+  * edge list — label(x) := min(label(x), min of neighbors' labels) until
+  * fixpoint. Each round is ONE shuffle (edge⋈label join + min-agg), and
+  * the iteration count is the graph diameter, which for dedup graphs is
+  * tiny (dup clusters are near-cliques: variants of one source doc all
+  * pair with each other, so the diameter is 1-3 hops). Per-round
+  * localCheckpoint keeps the lineage flat (no exponential plan growth),
+  * and the propagation runs over only the nodes that appear in an edge —
+  * singleton docs never enter the loop and are labeled by a final left
+  * join. At 100 TB the same loop holds (label state is (id, id) pairs —
+  * tiny next to the corpus); for adversarial long-chain graphs the
+  * textbook upgrade is alternating large-star/small-star (O(log n)
+  * rounds), which this operator's edge/label layout already matches.
+  *
+  * Oracle: DuckDB recursive transitive closure — cluster_id is the min
+  * doc_id reachable from each doc, exactly what min-propagation
+  * converges to.
+  */
+object Cluster extends QueryPack {
+
+  /** Connected components over a symmetric (src, dst) edge list:
+    * (node, lbl) with lbl = min node id of the component. */
+  private[graft] def components(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint() // reused every round: compute pairs once
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neigh = e.join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(neigh, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("node"), col("lbl").as("prev")), Seq("node"))
+        .where(col("lbl") =!= col("prev")).count()
+      labels = next
+    }
+    labels
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // near-dup clusters: trigram-Jaccard pairs (the exact, oracle-green
+    // pair generator shared with dedup_ngram_jaccard) resolved into
+    // components; every doc gets cluster_id = min doc_id of its cluster
+    // (singletons: themselves)
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), 0.5)
+        .select(col("id_a"), col("id_b"))
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val labels = components(edges)
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(labels.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // same trigram-Jaccard pair CTE as dedup_ngram_jaccard, then a
+    // recursive transitive closure; cluster_id = min reachable doc_id
+    "dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+        |         unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        |tg AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS ng
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |pruned AS (
+        |  SELECT tg.doc_id, tg.ng FROM tg
+        |  JOIN (SELECT ng, count(*) AS dfreq FROM tg GROUP BY ng) d USING (ng)
+        |  WHERE dfreq <= 20),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM pruned a JOIN pruned b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+        |          UNION SELECT id_b, id_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(LEAST(MIN(r.b), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  )
+}

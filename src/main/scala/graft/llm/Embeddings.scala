@@ -1,0 +1,120 @@
+package graft.llm
+
+import graft.{QueryPack, Tables}
+import graft.functions.DotProduct.dot
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column preprocessing (round 3, SURVEY.md §2.11): L2
+  * normalization, int8 quantization, and radius (range) similarity
+  * search — the vector-side curation steps that precede ANN indexing in
+  * a training pipeline. All map-side array expressions (no shuffle at
+  * all for normalize/quantize); range search broadcasts the small query
+  * set, which is the shape a 1000-executor scan wants: corpus stays
+  * partition-local, queries ride the broadcast.
+  */
+object Embeddings extends QueryPack {
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Same FP sequence as the oracle's list_dot_product: sequential
+    * fused loop over the array (graft.functions.DotProduct). */
+  private def norm(v: Column): Column = sqrt(dot(v, v))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L2 normalization summary: the norm, the first normalized
+    // component, and a decimal-stable checksum of the normalized vector
+    // (arrays don't survive the hash gate — QueryPack contract — so the
+    // key emits scalars that pin every element via the checksum)
+    "embed_normalize" -> ((s, dir) => {
+      val nrm = norm(col("v"))
+      // ones vector via transform: dot(v, ones) = element sum, same
+      // sequential order as the oracle's list_dot_product
+      val ones = transform(col("v"), _ => lit(1.0))
+      // + 0.0 after round: a component in (-5e-5, 0) rounds to -0.0 in
+      // DuckDB but +0.0 in Spark; IEEE -0.0 + 0.0 = +0.0 normalizes both
+      vecs(s, dir).select(
+        col("vec_id"),
+        round(nrm, 4).as("l2_norm"),
+        (round(element_at(col("v"), 1) / nrm, 4) + 0.0).as("c0"),
+        (round(dot(col("v"), ones) / nrm, 4) + 0.0).as("csum"))
+        .orderBy("vec_id")
+    }),
+
+    // symmetric int8 quantization: scale = 127/max|x|, q = floor(x*scale
+    // + 0.5) ∈ [-127, 127] (floor(+0.5) instead of round: SQL ROUND
+    // half-away and JVM rint half-even disagree on exact .5 — floor is
+    // identical everywhere; the products are bit-identical doubles in
+    // both engines, so the quantized ints match exactly). The emitted
+    // hash pins all 64 lanes.
+    "embed_quantize" -> ((s, dir) => {
+      val mx = array_max(transform(col("v"), x => abs(x)))
+      val scale = lit(127.0) / mx
+      val q = transform(col("v"), x => floor(x * scale + 0.5).cast("long"))
+      vecs(s, dir).select(
+        col("vec_id"),
+        round(scale, 4).as("q_scale"),
+        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(q).as("q_min"),
+        array_max(q).as("q_max"),
+        md5(array_join(transform(q, _.cast("string")), ",")).as("q_hash"))
+        .orderBy("vec_id")
+    }),
+
+    // radius search: every corpus vector within cosine ≥ 0.3 of each
+    // query (queries = vec_id % 40 == 0 — a small set, broadcast).
+    // Exact per the QueryPack contract; the ANN twins (sim_lsh_ann /
+    // sim_ivf_ann) are the sub-linear scale path for low radii.
+    "sim_range_search" -> ((s, dir) => {
+      val e = vecs(s, dir)
+        .repartition(col("vec_id"))
+        .withColumn("nrm", norm(col("v")))
+      val q = e.where(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("id_q"), col("v").as("vq"), col("nrm").as("nq"))
+      val cos = dot(col("vq"), col("v")) / (col("nq") * col("nrm"))
+      e.join(broadcast(q), col("id_q") =!= col("vec_id"))
+        .withColumn("cos", cos)
+        .where(col("cos") >= 0.3)
+        .select(col("id_q"), col("vec_id").as("id_m"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy("id_q", "id_m")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "embed_normalize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT vec_id,
+        |  ROUND(nrm, 4) AS l2_norm,
+        |  ROUND(v[1] / nrm, 4) + 0.0 AS c0,
+        |  ROUND(list_dot_product(v, list_transform(v, x -> 1.0)) / nrm, 4) + 0.0 AS csum
+        |FROM n ORDER BY vec_id""".stripMargin,
+
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |             127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+        |      FROM e),
+        |q AS (SELECT vec_id, scale,
+        |             list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+        |      FROM s)
+        |SELECT vec_id,
+        |  ROUND(scale, 4) AS q_scale,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_min(q) AS BIGINT) AS q_min,
+        |  CAST(list_max(q) AS BIGINT) AS q_max,
+        |  md5(array_to_string(q, ',')) AS q_hash
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "sim_range_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT q.vec_id AS id_q, m.vec_id AS id_m,
+        |       ROUND(list_cosine_similarity(q.v, m.v), 4) AS cos_sim
+        |FROM e q JOIN e m ON q.vec_id % 40 = 0 AND q.vec_id <> m.vec_id
+        |WHERE list_cosine_similarity(q.v, m.v) >= 0.3
+        |ORDER BY id_q, id_m""".stripMargin
+  )
+}

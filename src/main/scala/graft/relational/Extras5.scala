@@ -1,0 +1,110 @@
+package graft.relational
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-3 relational widening: the TPC-H Q1 pricing summary (the
+  * canonical scan-heavy aggregation benchmark shape), URL parsing, and
+  * re-aggregatable HLL sketches (build per fine group, merge to coarse —
+  * the pattern that makes 100 TB distinct-count rollups one narrow
+  * shuffle of fixed-size sketch bytes instead of a re-scan per level).
+  */
+object Extras5 extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 (fixture subset: no partsupp/comment; same aggregate
+    // shape): one scan, map-side partial aggregation into 6 groups.
+    // Decimal-accumulate / double-emit per SURVEY §7.5.
+    "sql_tpch_q1" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sum_charge,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    }),
+
+    // URL synthesis + parse-back: host / path / query-param extraction
+    // with the native parse_url expression (the oracle re-derives the
+    // same parts with regexes — parse_url is Spark-side surface under
+    // test, not shared plumbing)
+    "fn_url" -> ((s, dir) => {
+      val url = concat(
+        lit("https://shard"), (col("o_orderkey") % 4).cast("string"),
+        lit(".example.com/"), lower(col("o_orderstatus")),
+        lit("/"), lower(regexp_replace(col("o_orderpriority"), "[^A-Za-z0-9]", "-")),
+        lit("?id="), col("o_orderkey").cast("string"),
+        lit("&p="), (col("o_orderkey") % 7).cast("string"))
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY"), lit("id")).as("q_id"),
+        parse_url(url, lit("QUERY"), lit("p")).as("q_p"))
+        .orderBy("o_orderkey")
+    }),
+
+    // two-level sketch rollup: HLL per (event_type, day), MERGED (not
+    // recomputed) to per-type distinct-user estimates. The daily
+    // sketches are the reusable artifact — any coarser rollup (weekly,
+    // global) is another cheap union over the same bytes.
+    // Probabilistic estimate — no SQL oracle; ±5% vs exact
+    // count-distinct asserted in ExtrasSpec.
+    "agg_sketch_merge" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sql_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+        |       AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6)))
+        |       AS DOUBLE) AS sum_charge,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "fn_url" ->
+      """WITH u AS (
+        |  SELECT o_orderkey,
+        |    'https://shard' || CAST(o_orderkey % 4 AS VARCHAR)
+        |      || '.example.com/' || lower(o_orderstatus)
+        |      || '/' || lower(regexp_replace(o_orderpriority, '[^A-Za-z0-9]', '-', 'g'))
+        |      || '?id=' || CAST(o_orderkey AS VARCHAR)
+        |      || '&p=' || CAST(o_orderkey % 7 AS VARCHAR) AS url
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+        |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]id=([^&]*)', 1) AS q_id,
+        |  regexp_extract(url, '[?&]p=([^&]*)', 1) AS q_p
+        |FROM u ORDER BY o_orderkey""".stripMargin
+  )
+}

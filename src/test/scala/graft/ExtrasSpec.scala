@@ -96,6 +96,19 @@ class ExtrasSpec extends AnyFunSuite {
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey")).count())
   }
 
+  test("agg_sketch_merge: merged-HLL estimate within 5% of exact distinct users") {
+    val approx = relational.Extras5.queries("agg_sketch_merge")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = Tables.events(spark, dir)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n <= 0.05,
+        s"$k: estimate ${approx(k)} vs exact $n")
+    }
+  }
+
   test("salted skew join == plain join") {
     val salted = SparkEntry.queries("join_skew_salted")(spark, dir)
     val plain = Tables.events(spark, dir)

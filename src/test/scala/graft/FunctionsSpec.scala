@@ -97,4 +97,44 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out.map(_.getString(3)).toSeq == Seq("x1", "x2", "x4"),
       "ties break on id; group b keeps its single row with k=2")
   }
+
+  test("SrpSignature: null elements contribute 0 (signature == zero-filled vector's)") {
+    import graft.functions.SrpSignature.srpSignature
+    import spark.implicits._
+    val withNull = Seq((1L, Seq[java.lang.Double](0.5, null, -0.25, 1.0)))
+      .toDF("id", "v")
+      .select(srpSignature(col("v").cast("array<double>"), 4, 3, 4, 7L).as("sig"))
+      .collect()(0).getSeq[Int](0)
+    val zeroed = Seq((1L, Seq(0.5, 0.0, -0.25, 1.0)))
+      .toDF("id", "v")
+      .select(srpSignature(col("v"), 4, 3, 4, 7L).as("sig"))
+      .collect()(0).getSeq[Int](0)
+    assert(withNull == zeroed,
+      "a null element must project as 0, not read garbage slot bytes")
+  }
+
+  test("SimhashAgg rejects non-md5-shaped input instead of reading out of bounds") {
+    import graft.functions.SimhashAgg.simhashAgg
+    import spark.implicits._
+    val short = Seq("abc").toDF("h")
+    val err = intercept[Exception] {
+      short.agg(simhashAgg(col("h"))).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("Cluster.components: min label propagates across a 5-node chain (diameter > 1 round)") {
+    import spark.implicits._
+    // chain 10-11-12-13-14 plus isolated pair 20-21: forces multiple
+    // propagation rounds before the fixpoint
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val labels = graft.llm.Cluster.components(edges)
+      .orderBy("node").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 14L).forall(labels(_) == 10L), "chain collapses to min id 10")
+    assert(labels(20L) == 20L && labels(21L) == 20L, "pair collapses to 20")
+  }
 }
