@@ -31,8 +31,20 @@ import org.apache.spark.sql.functions._
 object Cluster extends QueryPack {
 
   /** Connected components over a symmetric (src, dst) edge list:
-    * (node, lbl) with lbl = min node id of the component. */
+    * (node, lbl) with lbl = min node id of the component.
+    *
+    * Storage discipline (VERDICT r03 item 1 + ADVICE r03): each round
+    * checkpoints ONE frame carrying both the new label and a changed
+    * flag, so convergence detection is a scan of the just-materialized
+    * local blocks (no second join job per round), and the superseded
+    * round's checkpoint blocks are unpersisted eagerly via
+    * Bridge.uncheckpoint instead of lingering until driver GC. On exit
+    * only the FINAL round's blocks remain (the returned frame reads
+    * them; a local checkpoint cannot be recomputed once dropped) — the
+    * edge checkpoint is released too.
+    */
   private[graft] def components(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
     val e = edges.localCheckpoint() // reused every round: compute pairs once
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
@@ -41,16 +53,92 @@ object Cluster extends QueryPack {
     while (changed > 0) {
       val neigh = e.join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(neigh, Seq("node"), "left")
+      val step = labels.join(neigh, Seq("node"), "left")
         .select(col("node"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("node"), col("lbl").as("prev")), Seq("node"))
-        .where(col("lbl") =!= col("prev")).count()
-      labels = next
+      changed = step.where(col("chg")).count()
+      Bridge.uncheckpoint(labels) // superseded round — data now lives in step
+      labels = step.select("node", "lbl")
     }
+    Bridge.uncheckpoint(e)
     labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * the O(log n)-round alternative to min-label propagation for
+    * adversarial (long-diameter) graphs. Dedup graphs are near-cliques
+    * where plain propagation wins (1-3 rounds, one shuffle each), but a
+    * chain-shaped graph makes propagation O(diameter); the star
+    * alternation contracts any component to a star centered at its min
+    * node in O(log n) rounds. Same storage discipline as components():
+    * one checkpoint per round, superseded blocks dropped eagerly.
+    *
+    * Returns (labels(node, lbl), rounds). Fixpoint detection: the edge
+    * multiset is stable when (count, Σ xxhash64(u,v)) stops changing —
+    * one aggregate job per round, no except() re-shuffle.
+    */
+  private[graft] def componentsStar(edges: DataFrame): (DataFrame, Int) = {
+    import org.apache.spark.sql.graft.Bridge
+
+    // large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(m, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: smaller neighbors (and u itself) link to the min
+    def smallStar(e: DataFrame): DataFrame = {
+      val canon = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = canon.groupBy("u").agg(min(col("v")).as("m"))
+      canon.join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+    }
+
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var prev: (Long, java.math.BigDecimal) = (-1L, java.math.BigDecimal.valueOf(-1))
+    var cur = checksum(e)
+    while (cur != prev) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      Bridge.uncheckpoint(e)
+      e = next
+      rounds += 1
+      prev = cur
+      cur = checksum(e)
+    }
+    // fixpoint is a star per component: every non-root has exactly one
+    // (node, root) edge; roots (and singletons) label themselves
+    val labels = nodes
+      .join(e.select(col("u").as("node"), col("v").as("lbl")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+    (labels, rounds)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

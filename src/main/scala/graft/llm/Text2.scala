@@ -81,7 +81,11 @@ object Text2 extends QueryPack {
         .select(
           col("doc_id"),
           round(fracDup + 1e-9, 4).as("frac_dup_tok"),
-          round(fracDupBig + 1e-9, 4).as("frac_dup_bigram"),
+          // <2-token doc has no bigrams: 0/0 would be NaN here while the
+          // oracle's inner join dropped the row (ADVICE r03) — define
+          // frac_dup_bigram = 0.0 and LEFT JOIN + COALESCE in the oracle
+          when(col("n_big") === 0, lit(0.0))
+            .otherwise(round(fracDupBig + 1e-9, 4)).as("frac_dup_bigram"),
           round(topShare + 1e-9, 4).as("top_tok_share"),
           round(meanWl + 1e-9, 4).as("mean_word_len"),
           (fracDup <= 0.75 && topShare <= 0.1 &&
@@ -148,13 +152,14 @@ object Text2 extends QueryPack {
         |d AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars FROM documents)
         |SELECT d.doc_id,
         |  ROUND(1.0 - n_uniq / n_tok + 0.000000001, 4) AS frac_dup_tok,
-        |  ROUND(1.0 - u_big / n_big + 0.000000001, 4) AS frac_dup_bigram,
+        |  COALESCE(ROUND(1.0 - u_big / n_big + 0.000000001, 4), 0.0) AS frac_dup_bigram,
         |  ROUND(top_c / n_tok + 0.000000001, 4) AS top_tok_share,
         |  ROUND((n_chars - (n_tok - 1)) / n_tok + 0.000000001, 4) AS mean_word_len,
         |  ((1.0 - n_uniq / n_tok) <= 0.75 AND (top_c / n_tok) <= 0.1
         |    AND (n_chars - (n_tok - 1)) / n_tok >= 3.0
         |    AND (n_chars - (n_tok - 1)) / n_tok <= 10.0) AS keep
-        |FROM d JOIN ts ON ts.doc_id = d.doc_id JOIN bs ON bs.doc_id = d.doc_id
+        |FROM d JOIN ts ON ts.doc_id = d.doc_id
+        |       LEFT JOIN bs ON bs.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
     "text_pack_sequences" ->

@@ -22,6 +22,25 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Release the block storage behind a localCheckpoint()ed Dataset.
+    *
+    * Dataset.localCheckpoint materializes the query to cached RDD blocks
+    * and returns a plan over a LogicalRDD — but offers no public way to
+    * free those blocks before the driver GC + ContextCleaner get around
+    * to it. Iterative operators (graft.llm.Cluster) checkpoint per round
+    * and must drop the superseded round's blocks eagerly, or a long
+    * session carries every round's labels in storage memory (VERDICT r03
+    * item 1). Traverses the analyzed plan and unpersists every LogicalRDD
+    * it finds — call ONLY on frames whose checkpoint data is no longer
+    * referenced by any live plan (local checkpoints cannot be recomputed).
+    */
+  def uncheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register graft's custom expressions as SQL functions on an existing
     * session (the SparkSessionExtensions route in graft.GraftExtensions
     * only applies to sessions built with .withExtensions). */

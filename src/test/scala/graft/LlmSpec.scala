@@ -82,6 +82,59 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("components() drops superseded checkpoint blocks eagerly") {
+    import spark.implicits._
+    // {1,2,3} one cluster, {10,11} another; symmetric edge list as
+    // dedup_clusters builds it
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val labels = graft.llm.Cluster.components(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // VERDICT r03 item 1: only the FINAL round's checkpoint may remain —
+    // the edge checkpoint and every superseded label round must be gone
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"residual checkpoint blocks: $leaked")
+  }
+
+  test("componentsStar resolves long chains in O(log n) rounds, no leaked blocks") {
+    import spark.implicits._
+    // two disjoint 128-node chains — diameter 127, the adversarial shape
+    // min-propagation would take O(diameter) rounds on
+    val n = 128L
+    val edges = ((0L until n - 1).map(i => (i, i + 1)) ++
+      (0L until n - 1).map(i => (1000 + i, 1000 + i + 1))).toDF("src", "dst")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (labels, rounds) = graft.llm.Cluster.componentsStar(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 2 * n)
+    (0L until n).foreach(i => assert(got(i) === 0L, s"node $i"))
+    (0L until n).foreach(i => assert(got(1000 + i) === 1000L, s"node ${1000 + i}"))
+    val bound = 2 * math.ceil(math.log(2.0 * n) / math.log(2)).toInt
+    assert(rounds <= bound, s"$rounds rounds > 2*log2(2n) = $bound")
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"residual checkpoint blocks: $leaked")
+  }
+
+  test("componentsStar == components on the fixture dup graph") {
+    val pairs = q("dedup_ngram_jaccard")
+      .select(org.apache.spark.sql.functions.col("id_a").as("src"),
+        org.apache.spark.sql.functions.col("id_b").as("dst"))
+    val sym = pairs.union(pairs.select(
+      org.apache.spark.sql.functions.col("dst").as("src"),
+      org.apache.spark.sql.functions.col("src").as("dst")))
+    val a = graft.llm.Cluster.components(sym)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (bDf, _) = graft.llm.Cluster.componentsStar(sym)
+    val b = bDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("selector-compiled pipeline == hand-built Column pipeline") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, dir)
