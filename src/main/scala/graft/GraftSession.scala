@@ -30,10 +30,29 @@ object GraftSession {
     * buffer ≈ low hundreds of MB per task worst-case — within executor
     * sizing; past THAT, the sort fallback is the correct behavior.
     */
-  def tuned(b: SparkSession.Builder): SparkSession.Builder = b
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
-    // managed tables (the bucketed-join demo) land outside the repo
-    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+  def tuned(b: SparkSession.Builder): SparkSession.Builder = {
+    val base = b
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // managed tables (the bucketed-join demo) land outside the repo
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+    // Streaming state store, opt-in (SPARK_GRAFT_STATESTORE=rocksdb or
+    // .config with rocksDBStateStoreConf directly): the default
+    // HDFS-backed provider keeps every key in executor heap — at
+    // 100 TB-scale streaming (billions of window/session keys) that is
+    // the first OOM; RocksDB spills state to local disk with the same
+    // exactly-once checkpoint contract. Runtime-settable per session —
+    // StreamSpec exercises both providers.
+    sys.env.get("SPARK_GRAFT_STATESTORE") match {
+      case Some("rocksdb") =>
+        base.config("spark.sql.streaming.stateStore.providerClass", rocksDBProvider)
+      case _ => base
+    }
+  }
+
+  /** FQCN of Spark's RocksDB state store provider (ships in spark-sql;
+    * rocksdbjni is on the default classpath). */
+  val rocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 }

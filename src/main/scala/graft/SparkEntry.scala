@@ -25,6 +25,7 @@ object SparkEntry {
     relational.Subqueries,
     llm.Cluster,
     llm.Dedup,
+    llm.Incremental,
     llm.Embeddings,
     llm.Text2,
     llm.Similarity,

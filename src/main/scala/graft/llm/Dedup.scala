@@ -28,17 +28,38 @@ object Dedup extends QueryPack {
     s"((($dv >> ${i % 4}) % 2) * 2 - 1)"
   }
 
-  /** Per-doc SimHash (Spark): explode tokens, one fused SimhashAgg pass
-    * (round 1 spelled this as 60 separate sums + a 60-term fold — see
-    * graft.functions.SimhashAgg for the bit spec, which is unchanged). */
-  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc SimHash over any docs(doc_id, text) frame: explode tokens,
+    * one fused SimhashAgg pass (round 1 spelled this as 60 separate sums
+    * + a 60-term fold — see graft.functions.SimhashAgg for the bit spec,
+    * which is unchanged). Shared with the incremental signature store
+    * (graft.llm.Incremental). */
+  private[llm] def simhashOf(docs: DataFrame): DataFrame = {
     import graft.functions.SimhashAgg.simhashAgg
-    Tables.documents(s, dir)
+    docs
       .repartition(col("doc_id")) // parallelize the signature aggregation
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id")
       .agg(simhashAgg(md5(col("tok"))).as("h"))
   }
+
+  private def simhashDf(s: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.documents(s, dir))
+
+  /** Distinct (doc_id, ng) trigrams of docs(doc_id, text) — trigram
+    * dedup happens MAP-SIDE via array_distinct on the trigram array
+    * (same semantics as a (doc_id, ng) DISTINCT without shuffling every
+    * trigram instance). Shared by ngramJaccardPairs and the incremental
+    * postings index. */
+  private[llm] def trigrams(docs: DataFrame): DataFrame =
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(array_distinct(
+        filter(
+          transform(col("toks"), (t, i) =>
+            concat_ws(" ", t, try_element_at(col("toks"), i + 2),
+              try_element_at(col("toks"), i + 3))),
+          (_, i) => i < size(col("toks")) - 2))).as("ng"))
 
   /** Exact trigram-Jaccard pairs ≥ threshold over `docs(doc_id, text)`.
     * Trigrams come straight off the token array (no per-doc window
@@ -48,19 +69,7 @@ object Dedup extends QueryPack {
     * pruning bounds each posting's fan-out at 190 pairs. Reused by the
     * dedup_ngram_jaccard key and the curation pipeline. */
   private[llm] def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // per-doc de-dup of trigrams happens MAP-SIDE via array_distinct on
-    // the trigram array — same semantics as a (doc_id, ng) DISTINCT but
-    // without shuffling every trigram instance (one less full shuffle;
-    // the first shuffle the trigrams see is the posting-list groupBy)
-    val tg = docs
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(array_distinct(
-        filter(
-          transform(col("toks"), (t, i) =>
-            concat_ws(" ", t, try_element_at(col("toks"), i + 2),
-              try_element_at(col("toks"), i + 3))),
-          (_, i) => i < size(col("toks")) - 2))).as("ng"))
+    val tg = trigrams(docs)
     // localCheckpoint: the posting list feeds BOTH sizes and pairs; with
     // plain lineage the collect_list aggregate runs once per consumer
     // (exchange reuse only shares the shuffle BELOW it). Checkpoint
@@ -91,8 +100,9 @@ object Dedup extends QueryPack {
       .select(col("id_a"), col("id_b"), round(col("jraw"), 4).as("jacc"))
   }
 
-  /** DuckDB twin: same construction, SQL generated by the same loop. */
-  private val simhashSql: String = {
+  /** DuckDB twin: same construction, SQL generated by the same loop.
+    * Shared with the incremental signature-store oracle. */
+  private[llm] val simhashSql: String = {
     val sums = (0 until 60).map(i => s"SUM(${contribD(i)}) AS s$i").mkString(", ")
     val h = (0 until 60).map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

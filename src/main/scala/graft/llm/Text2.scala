@@ -110,6 +110,32 @@ object Text2 extends QueryPack {
           expr("cum_before div 2048").as("seq_id"),
           (col("cum_before") % 2048).as("seq_offset"))
         .orderBy("doc_id")
+    }),
+
+    // Hot-shard variant (VERDICT r03 item 8): a skewed shard (one lang
+    // dominating the corpus) makes the per-shard window a single-task
+    // straggler; adding a deterministic hash bucket to the partition key
+    // caps any window's row count at shard/8 while keeping the packing
+    // semantics sequential WITHIN each (shard, bucket) — trainer
+    // sequences never mix buckets, so the output contract (fixed 2048
+    // slots per seq_id) is unchanged, just keyed one level finer. The
+    // bucket is doc_id % 8 (engine-portable; a murmur hash would do the
+    // same job but has no DuckDB twin).
+    "text_pack_bucketed" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("lang"), col("source"), col("bucket"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("doc_id") % 8).as("bucket"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("source"), col("bucket"),
+          col("n_tok"),
+          expr("cum_before div 2048").as("seq_id"),
+          (col("cum_before") % 2048).as("seq_offset"))
+        .orderBy("doc_id")
     })
   )
 
@@ -173,6 +199,22 @@ object Text2 extends QueryPack {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM d)
         |SELECT doc_id, lang, source, n_tok,
+        |  cum_before // 2048 AS seq_id,
+        |  cum_before % 2048 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_pack_bucketed" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, doc_id % 8 AS bucket,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, source, bucket, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang, source, bucket
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM d)
+        |SELECT doc_id, lang, source, bucket, n_tok,
         |  cum_before // 2048 AS seq_id,
         |  cum_before % 2048 AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin

@@ -70,6 +70,32 @@ object Extras5 extends QueryPack {
         .agg(count(lit(1)).as("n_days"),
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
         .orderBy("event_type")
+    }),
+
+    // cross-JOB sketch re-aggregation (VERDICT r03 item 9): the daily
+    // sketch BYTES are written to parquet by one job (once per fixture
+    // fingerprint) and merged by a second that reads only the sketch
+    // table — proving the re-aggregation artifact survives storage, not
+    // just a plan boundary. This is the production rollup shape: the
+    // daily job appends (type, day, sketch) rows; weekly/global rollups
+    // never touch raw events again. Estimates are bit-identical to
+    // agg_sketch_merge's one-job path (ExtrasSpec asserts equality).
+    // Probabilistic — no SQL oracle; same ±5% bound as agg_sketch_merge.
+    "agg_sketch_persisted" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_hll_daily_${key}_${Tables.fingerprint(dir, "events")}"
+      if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+        Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        .orderBy("event_type")
     })
   )
 

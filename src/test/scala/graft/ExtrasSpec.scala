@@ -109,6 +109,16 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_sketch_persisted: two-job (write sketches, merge from disk) == one-job estimates") {
+    val oneJob = relational.Extras5.queries("agg_sketch_merge")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val twoJob = relational.Extras5.queries("agg_sketch_persisted")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // the parquet roundtrip must not perturb a single sketch byte:
+    // estimates are EXACTLY equal, not merely within the HLL bound
+    assert(twoJob === oneJob)
+  }
+
   test("salted skew join == plain join") {
     val salted = SparkEntry.queries("join_skew_salted")(spark, dir)
     val plain = Tables.events(spark, dir)

@@ -37,14 +37,14 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ANN recall $recall < 0.9 (exact=${exact.size}, ann=${ann.size})")
   }
 
-  test("sim_ivf_ann recalls >= 0.8 of exact cos>0.4 pairs (3-probe coarse cells)") {
+  test("sim_ivf_ann recalls >= 0.95 of exact cos>0.4 pairs (learned centroids, 5 probes)") {
     val exact = q("sim_cosine_pairs")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = q("sim_ivf_ann")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
     val recall = exact.count(ivf.contains).toDouble / exact.size
-    assert(recall >= 0.8, s"IVF recall $recall < 0.8 (exact=${exact.size}, ivf=${ivf.size})")
+    assert(recall >= 0.95, s"IVF recall $recall < 0.95 (exact=${exact.size}, ivf=${ivf.size})")
   }
 
   test("dedup_embed_lsh recalls >= 0.9 of exact embedding near-dups") {

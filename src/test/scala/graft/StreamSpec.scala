@@ -54,6 +54,26 @@ class StreamSpec extends AnyFunSuite {
     assertSameRows(streamed, Pipeline.tumbling(Tables.events(spark, dir)))
   }
 
+  test("RocksDB state store: stateful stream results == default provider == batch") {
+    // the provider is a runtime SQL conf picked up at query start — the
+    // opt-in GraftSession wires via SPARK_GRAFT_STATESTORE=rocksdb;
+    // exercised here directly so one suite run covers both providers
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(conf)
+    spark.conf.set(conf, GraftSession.rocksDBProvider)
+    try {
+      val tumb = runFileStream(Pipeline.tumbling, "tumbling_rocks")
+      assertSameRows(tumb, Pipeline.tumbling(Tables.events(spark, dir)))
+      val sess = runFileStream(Pipeline.sessions, "sessions_rocks")
+      assertSameRows(sess, Pipeline.sessions(Tables.events(spark, dir)))
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None => spark.conf.unset(conf)
+      }
+    }
+  }
+
   test("session windows: stream(AvailableNow) == batch") {
     val streamed = runFileStream(Pipeline.sessions, "sessions")
     assertSameRows(streamed, Pipeline.sessions(Tables.events(spark, dir)))
