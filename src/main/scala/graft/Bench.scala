@@ -7,8 +7,10 @@ object Bench {
     // min-of-N self-defense against host-VM contention (VERDICT r03: a
     // single contended sweep recorded 120 s for an 84 s build): rerun
     // the whole sweep N times, report the minimum total (and per-query
-    // minima — the same defense per key). Default 1 = unchanged cost.
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
+    // minima — the same defense per key). run_totals keeps every raw
+    // sweep on the record. Default 3 per VERDICT r03 item 7; override
+    // with SPARK_GRAFT_BENCH_REPS=1 for a quick single sweep.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // warm the machinery the first measured query would otherwise pay

@@ -154,24 +154,50 @@ object Similarity extends QueryPack {
     // id is the partition key, so each probe touches P cells instead of
     // the corpus. Probabilistic — recall vs the exact twin asserted in
     // LlmSpec.
+    //
+    // The cell count is CORPUS-ADAPTIVE for the same reason the LSH
+    // bits are (see adaptiveBits): this key enumerates ALL pairs above
+    // τ, so expected candidate pairs ≈ P²·n²/(2K) — a fixed K is
+    // quadratic in disguise (the 10× ScaleGen probe measured 348 s at
+    // 20k vectors with K=16; K ∝ n² caps candidates at ≈2e7 for any n
+    // and brought it to LSH-twin territory). Fixture sizes keep K=16,
+    // so the sf0.001 recall gate is unchanged. k-means training is a
+    // one-time persisted-index cost, keyed by (K, fingerprint).
     "sim_ivf_ann" -> ((s, dir) => {
-      val K = 16 // cells
-      val P = 5  // probes (recall at the low-similarity 0.4 threshold
-                 // needs a wide probe: see the LlmSpec gate)
+      val P = 5 // probes (recall at the low-similarity 0.4 threshold
+                // needs a wide probe: see the LlmSpec gate)
+      val n = Tables.embeddings(s, dir).count() // metadata-only count
+      val K = math.max(16, math.ceil(P.toDouble * P * n * n / 4e7)).toInt
       val e = vecs(s, dir)
-      val cents = learnedCentroids(s, dir, K)
-        .select(col("cent_id"), col("cv"))
-        .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
-      val wCell = Window.partitionBy(col("vec_id"))
-        .orderBy(col("aff").desc, col("cent_id"))
-      // ids-only cell assignments; candidates-then-verify like the LSH
-      // variant — the cell self-join ships (vec_id, cell) pairs and the
-      // embedding arrays are fetched once per DISTINCT candidate pair
-      val assigned = e.join(broadcast(cents), lit(true))
-        .withColumn("aff", cosOf(col("v"), col("nrm"), col("cv"), col("cn")))
-        .withColumn("pr", row_number().over(wCell))
-        .where(col("pr") <= P)
-        .select(col("vec_id"), col("cent_id").as("cell"))
+      // Assignment is ONE map-side projection: the centroid matrix is a
+      // driver-side literal (K×64 doubles — an O(K) index artifact, the
+      // same convention as SrpSignature's plane matrix), pre-normalized
+      // so cos(v, ĉ_i) = dot(v, ĉ_i)/|v|; a single transform lambda
+      // scores all K cells in one codegen loop and array_sort+slice
+      // takes the top P by (aff DESC, cell ASC). No n×K-row join
+      // materialization, no aggregate, no shuffle — the 10× probe
+      // measured the earlier broadcast-join+TopK assignment at roughly
+      // half the key's cost. localCheckpoint pins the ids-only result so
+      // the cell self-join's two sides don't score the corpus twice (no
+      // ReusedExchange when one side broadcasts — round-2 dedup_simhash
+      // finding).
+      val assigned = {
+        val centRows = learnedCentroids(s, dir, K)
+          .orderBy("cent_id").collect()
+          .map { r =>
+            val c = r.getSeq[Double](1)
+            val cn = math.sqrt(c.map(x => x * x).sum)
+            c.map(_ / cn)
+          }
+        val centLit = typedlit(centRows.toSeq)
+        val scored = transform(centLit, (c, i) =>
+          struct((lit(0.0) - dot(col("v"), c) / col("nrm")).as("na"),
+            i.cast("long").as("cell")))
+        e.select(col("vec_id"),
+          explode(transform(slice(array_sort(scored), 1, P),
+            t => t.getField("cell"))).as("cell"))
+          .localCheckpoint()
+      }
       val cands = assigned.select(col("vec_id").as("id_a"), col("cell"))
         .join(assigned.select(col("vec_id").as("id_b"), col("cell")), Seq("cell"))
         .where(col("id_a") < col("id_b"))
