@@ -21,6 +21,7 @@ object SparkEntry {
     relational.Extras3,
     relational.Extras4,
     relational.Extras5,
+    relational.Extras6,
     relational.Storage,
     relational.Subqueries,
     llm.Cluster,
@@ -28,6 +29,7 @@ object SparkEntry {
     llm.Incremental,
     llm.Embeddings,
     llm.Text2,
+    llm.Text3,
     llm.Similarity,
     llm.Text,
     llm.Multimodal,

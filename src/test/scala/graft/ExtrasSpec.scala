@@ -127,4 +127,61 @@ class ExtrasSpec extends AnyFunSuite {
     assert(salted.count() === plain.count())
     assert(salted.except(plain).count() === 0)
   }
+
+  test("BloomMightContain: no false negatives, FP rate within configured bound") {
+    import spark.implicits._
+    val present = spark.range(0, 1000).toDF("k")
+    val bf = present.stat.bloomFilter("k", 1000, 0.01)
+    val probes = spark.range(0, 100000).toDF("k")
+      .select(col("k"), functions.BloomMightContain.prune(col("k"), bf).as("hit"))
+    // every inserted key must probe true (bloom filters have no FNs)
+    assert(probes.where(col("k") < 1000 && !col("hit")).count() === 0)
+    // FP rate over the 99k absent keys: configured 1%, allow 3x slack
+    val fps = probes.where(col("k") >= 1000 && col("hit")).count()
+    assert(fps < 3000, s"false positives $fps exceed 3x the 1% bound")
+  }
+
+  test("join_bloom_pruned: probe prunes most non-matching fact rows pre-join") {
+    val dim = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val bf = dim.stat.bloomFilter("c_custkey", 1000, 0.01)
+    val orders = Tables.orders(spark, dir)
+    val kept = orders.where(
+      functions.BloomMightContain.prune(col("o_custkey"), bf)).count()
+    val matching = orders.join(dim, col("o_custkey") === col("c_custkey")).count()
+    val total = orders.count()
+    // the probe must pass all true matches and not degenerate to a no-op
+    assert(kept >= matching)
+    assert(kept < total,
+      s"bloom probe kept all $total rows — pruning is not happening")
+  }
+
+  test("scan_zorder: layout makes most files min/max-skippable for the 2-D range") {
+    val path = relational.Extras6.zorderedEvents(spark, dir)
+    // per-file column stats, as the parquet reader's row-group pruning
+    // sees them: a file whose [min,max] on EITHER predicate column
+    // misses the queried range is skipped entirely by the pushed
+    // filters. The z-interleave is what makes BOTH ranges narrow per
+    // file — a single-column sort would leave the other column's range
+    // full-width in every file.
+    val stats = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+        min("value").as("vlo"), max("value").as("vhi"))
+      .collect()
+    val total = stats.length
+    val overlapping = stats.count { r =>
+      r.getLong(2) >= 100 && r.getLong(1) <= 200 &&   // [ulo,uhi] ∩ [100,200]
+      r.getDouble(4) >= 100d && r.getDouble(3) <= 200d // [vlo,vhi] ∩ [100,200]
+    }
+    assert(total >= 8, s"layout should produce multiple files, got $total")
+    assert(overlapping * 2 <= total,
+      s"$overlapping of $total files overlap the 2-D range — layout not clustering")
+    // and the predicates actually reach the scan, so the skipping applies
+    val plan = spark.read.parquet(path)
+      .where(col("user_id").between(100, 200) && col("value").between(100d, 200d))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual(user_id,100)"),
+      s"range predicates not pushed to parquet:\n$plan")
+  }
 }

@@ -135,6 +135,30 @@ class LlmSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("decontaminate: drops exactly the docs sharing a 5-gram with the eval set") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),      // contains eval 5-gram
+      (2L, "one two three four five six seven"),        // disjoint — kept
+      (3L, "zeta epsilon delta gamma beta alpha"),      // reversed — kept
+      (4L, "x alpha beta gamma delta epsilon y"),       // eval 5-gram mid-doc
+      (5L, "alpha beta gamma delta")                    // only 4 tokens — kept
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val kept = graft.llm.Text3.decontaminate(corpus, eval)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L, 5L))
+  }
+
+  test("fivegrams: n-gram count and shape") {
+    import spark.implicits._
+    val one = Seq((7L, "a b c d e f g")).toDF("doc_id", "text")
+    val grams = graft.llm.Text3.fivegrams(one).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(grams.toSet === Set((7L, "a b c d e"), (7L, "b c d e f"), (7L, "c d e f g")))
+  }
+
   test("selector-compiled pipeline == hand-built Column pipeline") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, dir)
