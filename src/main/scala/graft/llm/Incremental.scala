@@ -96,6 +96,39 @@ object Incremental extends QueryPack {
     t
   }
 
+  /** Day-1 embedding SRP index, two bucketed artifacts: the band store
+    * (tbl, sig, idx_id) — ids only, so probing shuffles ints — and the
+    * vector store (idx_id, v, nrm) for the exact cosine re-check of
+    * candidates. Together they make delta-vs-corpus embedding dedup a
+    * probe of persisted metadata: day-1 vectors are read back only for
+    * the (few) candidate ids, never re-signed. Bits are sized from the
+    * day-1 count with the same corpus-adaptive rule as the batch LSH
+    * keys (the index fingerprint pins the fixture, so build and probe
+    * always agree). */
+  private[llm] def embedIndex(s: SparkSession, dir: String): (String, String, Int) = {
+    val day1n = Tables.embeddings(s, dir).where(col("vec_id") % 4 =!= 0).count()
+    val bits = Similarity.adaptiveBits(day1n)
+    val fp = key(Tables.fingerprint(dir, "embeddings"))
+    val (st, vt) = (s"dedup_embidx_sig_${key(dir)}_$fp", s"dedup_embidx_vec_${key(dir)}_$fp")
+    if (!s.catalog.tableExists(st)) {
+      dropStale(s, Seq(st, vt))
+      val day1 = Tables.embeddings(s, dir).where(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      import graft.functions.DotProduct.dot
+      day1.select(col("vec_id").as("idx_id"), col("v"),
+        sqrt(dot(col("v"), col("v"))).as("nrm"))
+        .write.mode("overwrite")
+        .bucketBy(16, "idx_id").sortBy("idx_id")
+        .format("parquet").saveAsTable(vt)
+      Similarity.srpBuckets(day1, bits)
+        .select(col("tbl"), col("sig"), col("vec_id").as("idx_id"))
+        .write.mode("overwrite")
+        .bucketBy(16, "tbl", "sig").sortBy("tbl", "sig")
+        .format("parquet").saveAsTable(st)
+    }
+    (st, vt, bits)
+  }
+
   /** 4×15-bit LSH bands of a (doc_id, h) signature frame — same band
     * spec as dedup_simhash. */
   private def bands(sh: DataFrame): DataFrame =
@@ -140,6 +173,30 @@ object Incremental extends QueryPack {
           bit_count(col("hd").bitwiseXOR(col("h"))).cast("long").as("hamming"))
         .distinct()
         .where(col("hamming") <= 6)
+        .orderBy("delta_id", "idx_id")
+    }),
+
+    // delta embeddings vs the persisted SRP index: candidates from the
+    // band store (ids only), exact cosine re-check against the vector
+    // store — day-1 vectors are fetched per-candidate, never re-signed.
+    // Probabilistic (SRP bucketing can miss a pair) — no SQL oracle;
+    // LlmSpec asserts recall ≥ 0.9 vs the exact delta×day1 join and
+    // zero false positives (the exact re-check guarantees the latter).
+    "dedup_incr_embed" -> ((s, dir) => {
+      import graft.functions.DotProduct.dot
+      val (st, vt, bits) = embedIndex(s, dir)
+      val delta = Tables.embeddings(s, dir).where(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val dsig = Similarity.srpBuckets(delta, bits)
+        .select(col("vec_id").as("delta_id"), col("tbl"), col("sig"))
+      val cand = dsig.join(s.table(st), Seq("tbl", "sig"))
+        .select("delta_id", "idx_id").distinct()
+      val dvec = delta.select(col("vec_id").as("delta_id"), col("v").as("vd"),
+        sqrt(dot(col("v"), col("v"))).as("nd"))
+      cand.join(dvec, Seq("delta_id")).join(s.table(vt), Seq("idx_id"))
+        .withColumn("cos", dot(col("vd"), col("v")) / (col("nd") * col("nrm")))
+        .where(col("cos") > 0.45)
+        .select(col("delta_id"), col("idx_id"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("delta_id", "idx_id")
     })
   )

@@ -194,6 +194,20 @@ object Extras extends QueryPack {
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .json(tmp)
         .orderBy("n_nationkey")
+    }),
+
+    // ORC roundtrip (columnar-binary alternative to parquet — doubles
+    // survive exactly, unlike the text formats above, so o_totalprice
+    // rides along as a precision check). Own write-once path keyed on
+    // the ORDERS fingerprint (roundtripDir fingerprints nation).
+    "source_orc_roundtrip" -> ((s, dir) => {
+      val fp = graft.Tables.fingerprint(dir, "orders")
+      val tmp = s"/tmp/graft_rt_orc_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
+      if (!Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS")))
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).orderBy("o_orderkey")
     })
   )
 
@@ -293,6 +307,11 @@ object Extras extends QueryPack {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "source_json_roundtrip" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    // oracle reads the ORIGINAL orders parquet: the orc hop must be
+    // bit-exact, doubles included
+    "source_orc_roundtrip" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey"
   )
 }

@@ -73,6 +73,29 @@ object Storage extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // dynamic partition pruning: the fact side is lang-partitioned; the
+    // dim filter (grp = 1) is only known at runtime, yet the fact scan
+    // still skips non-matching lang directories — Catalyst turns the
+    // broadcast build side into a runtime IN-filter on the partition
+    // column (PlanSpec asserts the dynamicpruning expression in the
+    // scan). At 100 TB this is the difference between scanning every
+    // partition of a fact table and scanning the two the dims select.
+    "scan_dpp" -> ((s, dir) => {
+      import s.implicits._
+      val path = partitionedDocs(s, dir)
+      // the dim must be a real datasource: over a LocalRelation the
+      // grp filter constant-folds into the relation and DPP's
+      // selective-predicate check never sees it
+      val dimPath = "/tmp/graft_dpp_dims_v1"
+      if (!Files.exists(Paths.get(dimPath, "_SUCCESS")))
+        Seq(("en", 1), ("fr", 2), ("zh", 2)).toDF("lang", "grp")
+          .coalesce(1).write.mode("overwrite").parquet(dimPath)
+      s.read.parquet(path)
+        .join(s.read.parquet(dimPath).where(col("grp") === 1), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // bucketed co-located join: both sides pre-bucketed on the key, so
     // the SortMergeJoin reads bucket i against bucket i — no Exchange
     // anywhere in the plan (PlanSpec "join_bucketed"). The merge hint
@@ -95,6 +118,13 @@ object Storage extends QueryPack {
     "scan_partitioned" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+
+    "scan_dpp" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |JOIN (VALUES ('en', 1), ('fr', 2), ('zh', 2)) AS dims(lang, grp) USING (lang)
+        |WHERE grp = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "join_bucketed" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

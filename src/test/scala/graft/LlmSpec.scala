@@ -59,6 +59,27 @@ class LlmSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), "LSH-flagged dups must pass the exact re-check")
   }
 
+  test("dedup_incr_embed: recall >= 0.9 vs exact delta-x-day1 pairs, zero false positives") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.DotProduct.dot
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val exact = e.where(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("delta_id"), col("v").as("vd"), col("nrm").as("nd"))
+      .join(e.where(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id").as("idx_id"), col("v").as("vi"), col("nrm").as("ni")))
+      .where(dot(col("vd"), col("vi")) / (col("nd") * col("ni")) > 0.45)
+      .select("delta_id", "idx_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain cross-day embedding near-dups")
+    val incr = q("dedup_incr_embed").select("delta_id", "idx_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(incr.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"incremental recall $recall < 0.9 (exact=${exact.size}, incr=${incr.size})")
+    assert(incr.subsetOf(exact), "every reported pair must pass the exact cosine re-check")
+  }
+
   test("agg_approx_distinct within 5% of exact distinct counts") {
     val approx = q("agg_approx_distinct").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -69,6 +69,12 @@ class PlanSpec extends AnyFunSuite {
       s"lang should prune directories, not filter rows:\n$plan")
   }
 
+  test("scan_dpp: runtime dim filter prunes fact partitions (dynamicpruning in scan)") {
+    val plan = physical("scan_dpp")
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the fact scan:\n$plan")
+  }
+
   test("join_bucketed: co-located SortMergeJoin with zero Exchange") {
     val plan = physical("join_bucketed")
     assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$plan")
