@@ -89,6 +89,23 @@ object Pipeline {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_name"), col("c_mktsegment"))
 
+  /** Bloom-gated stream-static enrichment: a STATELESS map-side Bloom
+    * probe (built once from the dim selection, e.g. by a nightly job)
+    * drops most non-matching events before they ever reach the join —
+    * at production stream rates the filter runs per-event with no state
+    * store and no shuffle, and the exact join behind it keeps results
+    * identical to the plain join (false positives only cost join
+    * lookups). The 10-min tumbling count is the downstream consumer. */
+  def bloomEnrich(events: DataFrame, dim: DataFrame,
+      bf: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    events
+      .where(graft.functions.BloomMightContain.prune(col("user_id"), bf))
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts_sec"), "10 minutes").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("c_mktsegment"), col("n"))
+
   /** Stream-stream interval join: purchases matched to same-user clicks
     * that happened at most 30 minutes before. In streaming mode both
     * sides carry watermarks so the join state is bounded (clicks older

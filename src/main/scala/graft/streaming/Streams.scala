@@ -55,6 +55,18 @@ object Streams extends QueryPack {
         .orderBy("ws", "event_type")
     }),
 
+    // bloom-gated enrichment, judged via the batch form (the oracle is
+    // the PLAIN join — the probe must never change results); the
+    // streaming execution is verified in StreamSpec
+    "stream_bloom_enrich" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val bf = dim.stat.bloomFilter("c_custkey", math.max(dim.count(), 1000L), 0.01)
+      Pipeline.bloomEnrich(Tables.events(s, dir), dim, bf)
+        .orderBy("ws", "c_mktsegment")
+    }),
+
     // batch analog of the 10-minute watermark rule: an event is "late"
     // (dropped) if its event time is more than 10 minutes behind the
     // max event time already seen in arrival order (event_id). The
@@ -152,6 +164,12 @@ object Streams extends QueryPack {
       s"""SELECT ($epochSec // 600) * 600 AS ws, event_type, COUNT(*) AS n
          |FROM events WHERE event_type IN ('purchase', 'click')
          |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "stream_bloom_enrich" ->
+      s"""SELECT ($epochSec // 600) * 600 AS ws, c_mktsegment, COUNT(*) AS n
+         |FROM events JOIN customer ON user_id = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY 1, 2 ORDER BY ws, c_mktsegment""".stripMargin,
 
     "stream_watermark" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type, $epochSec AS t FROM events)

@@ -99,6 +99,24 @@ class StreamSpec extends AnyFunSuite {
     assertSameRows(streamed, Pipeline.enrich(Tables.events(spark, dir), cust))
   }
 
+  test("bloom-gated enrichment: stream == batch == plain join (probe changes nothing)") {
+    val dim = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val bf = dim.stat.bloomFilter("c_custkey", 1000, 0.01)
+    val streamed = runFileStream(Pipeline.bloomEnrich(_, dim, bf), "bloom_enrich")
+    val batch = Pipeline.bloomEnrich(Tables.events(spark, dir), dim, bf)
+    assertSameRows(streamed, batch)
+    // and the bloom gate must not change the result vs the plain join
+    val plain = Tables.events(spark, dir)
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts_sec"), "10 minutes").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("c_mktsegment"), col("n"))
+    assertSameRows(batch, plain)
+  }
+
   test("streaming dedup keeps one row per key (== batch key set)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
