@@ -158,6 +158,28 @@ object Extras6 extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Count-Min-sketch frequency estimation — the third sketch family
+    // (HLL: distinct counts; Bloom: membership; CMS: frequencies). One
+    // pass builds a fixed-size sketch of per-user event counts; any
+    // later probe answers "how often did key k occur" without the raw
+    // data. Like the HLL keys the sketch is mergeable, so per-shard
+    // sketches union into a global one with no re-scan. Probabilistic
+    // (est ∈ [true, true + ε·N] w.p. δ) — no SQL oracle; the bound is
+    // asserted in ExtrasSpec against exact counts.
+    "agg_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.util.sketch.CountMinSketch
+      val sk = Tables.events(s, dir).select(
+        count_min_sketch(col("user_id"), lit(0.0001d), lit(0.99d), lit(42)).as("sk"))
+      val est = udf((bytes: Array[Byte], k: Long) =>
+        CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+          .estimateCount(k))
+      val probes = (0L until 20L).toDF("user_id")
+      probes.crossJoin(broadcast(sk))
+        .select(col("user_id"), est(col("sk"), col("user_id")).as("est_n"))
+        .orderBy("user_id")
+    }),
+
     // 2-D range query over the z-ordered layout: both predicates prune
     // at file/row-group level because the morton interleave makes
     // min/max of BOTH columns correlate with file position. The oracle

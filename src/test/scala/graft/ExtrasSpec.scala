@@ -156,6 +156,22 @@ class ExtrasSpec extends AnyFunSuite {
       s"bloom probe kept all $total rows — pruning is not happening")
   }
 
+  test("agg_heavy_hitters: CMS estimates within [exact, exact + eps*N]") {
+    val est = relational.Extras6.queries("agg_heavy_hitters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, dir)
+      .where(col("user_id") < 20)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = Tables.events(spark, dir).count()
+    est.foreach { case (k, e) =>
+      val ex = exact.getOrElse(k, 0L)
+      assert(e >= ex, s"CMS underestimated key $k: $e < $ex (impossible for CMS)")
+      assert(e <= ex + math.ceil(0.0001 * total).toLong + 1,
+        s"CMS overestimate for $k: $e vs exact $ex (N=$total)")
+    }
+  }
+
   test("scan_zorder: layout makes most files min/max-skippable for the 2-D range") {
     val path = relational.Extras6.zorderedEvents(spark, dir)
     // per-file column stats, as the parquet reader's row-group pruning
