@@ -36,6 +36,65 @@ object Extras5 extends QueryPack {
         ORDER BY l_returnflag, l_linestatus""")
     }),
 
+    // TPC-H Q5 (local supplier volume, year shifted into the fixture
+    // date domain): the canonical 6-table join — two fact tables and a
+    // full dim chain. Catalyst broadcast-joins every dim and AQE picks
+    // the fact-fact order; the decimal-accumulate/double-emit rules are
+    // Q1's.
+    "sql_tpch_q5" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      Tables.region(s, dir).createOrReplaceTempView("region_v")
+      s.sql("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+                    AS DOUBLE) AS revenue
+        FROM customer_v, orders_v, lineitem_v, supplier_v, nation_v, region_v
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")
+    }),
+
+    // TPC-H Q6 (forecast revenue change): pure scan-filter-sum — the
+    // query every pushdown/codegen path should make I/O-bound
+    "sql_tpch_q6" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    }),
+
+    // TPC-H Q14 (promo effect): conditional aggregation over a
+    // broadcast part join, single-row ratio output
+    "sql_tpch_q14" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT ROUND(
+          100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                   AS DECIMAL(28,4))) AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(28,4))) AS DOUBLE), 4) AS promo_revenue
+        FROM lineitem_v, part_v
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'""")
+    }),
+
     // URL synthesis + parse-back: host / path / query-param extraction
     // with the native parse_url expression (the oracle re-derives the
     // same parts with regexes — parse_url is Spark-side surface under
@@ -116,6 +175,41 @@ object Extras5 extends QueryPack {
         |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "sql_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+        |       AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "sql_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4)))
+        |            AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "sql_tpch_q14" ->
+      """SELECT ROUND(
+        |  100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+        |             THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+        |           AS DECIMAL(28,4))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |           AS DECIMAL(28,4))) AS DOUBLE), 4) AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'""".stripMargin,
 
     "fn_url" ->
       """WITH u AS (

@@ -96,6 +96,56 @@ object Storage extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // dynamic partition overwrite — the production "replace one day's
+    // partitions, leave the rest" sink: write the full lang-partitioned
+    // table, then OVERWRITE only the 'en' partition with transformed
+    // rows (partitionOverwriteMode=dynamic as a WRITE option, so only
+    // partitions present in the incoming frame are replaced). The read-
+    // back must show exactly en-updated + others-intact, which is what
+    // the oracle checks. Both writes rerun per call — the key IS the
+    // sink behavior, not a cached layout.
+    "sink_dynamic_overwrite" -> ((s, dir) => {
+      val path = s"/tmp/graft_dynover_${key(dir)}"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+      docs.where(col("lang") === "en")
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // upsert (MERGE) into a parquet table, composed from primitives —
+    // vanilla parquet has no MERGE INTO, so the engine expresses it as
+    // base ⟗ updates with per-column coalesce, rewritten atomically:
+    // updates win on matched keys, inserts append, untouched rows ride
+    // through. One shuffle on the merge key; at 100 TB the rewrite
+    // scopes to the partitions the updates touch (the sink above).
+    "sink_upsert" -> ((s, dir) => {
+      val path = s"/tmp/graft_upsert_${key(dir)}"
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val upserts = base.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100d).as("c_acctbal"))
+        .unionByName(base.where(col("c_custkey") < 5)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            concat(col("c_name"), lit("_new")).as("c_name"), col("c_acctbal")))
+      base.join(upserts
+            .select(col("c_custkey"), col("c_name").as("u_name"),
+              col("c_acctbal").as("u_acctbal")),
+          Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          coalesce(col("u_name"), col("c_name")).as("c_name"),
+          coalesce(col("u_acctbal"), col("c_acctbal")).as("c_acctbal"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path).orderBy("c_custkey")
+    }),
+
     // bucketed co-located join: both sides pre-bucketed on the key, so
     // the SortMergeJoin reads bucket i against bucket i — no Exchange
     // anywhere in the plan (PlanSpec "join_bucketed"). The merge hint
@@ -125,6 +175,25 @@ object Storage extends QueryPack {
         |JOIN (VALUES ('en', 1), ('fr', 2), ('zh', 2)) AS dims(lang, grp) USING (lang)
         |WHERE grp = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // expected state after the partial overwrite: en rows transformed,
+    // every other lang untouched
+    "sink_dynamic_overwrite" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN lang = 'en' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // expected merged state: updates win on matched keys, inserts
+    // append, the rest ride through
+    "sink_upsert" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+        |    AS c_acctbal
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 10000000, c_name || '_new', c_acctbal
+        |FROM customer WHERE c_custkey < 5
+        |ORDER BY c_custkey""".stripMargin,
 
     "join_bucketed" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
