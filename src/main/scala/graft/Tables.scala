@@ -35,6 +35,11 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame  = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 
+  /** Filesystem/table-identifier-safe key for a scale-factor dir — the
+    * shared sanitizer for every write-once layout path and managed
+    * table name (was re-declared per pack before round 4). */
+  def pathKey(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+
   /** Cheap content fingerprint (size + mtime) of a fixture file, for
     * write-once layout caches: a regenerated fixture at the SAME path
     * must invalidate the cached derived layout, or the engine would be

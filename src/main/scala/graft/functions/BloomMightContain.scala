@@ -55,4 +55,21 @@ object BloomMightContain {
   /** Column-API entry: `prune(col, bf)` is true iff col MAY be in bf. */
   def prune(c: Column, bf: BloomFilter): Column =
     Bridge.column(BloomMightContain(Bridge.expression(c), bf))
+
+  /** Build a filter over one BIGINT key column of a (small) build-side
+    * frame — the sizing rule lives here so every consumer agrees:
+    * expected items = the frame's actual count (floored at 1000 so
+    * degenerate builds don't over-saturate), fpp 1%. Two passes over
+    * the build side (count + aggregate), both dim-sized. */
+  def buildFor(df: org.apache.spark.sql.DataFrame, keyCol: String): BloomFilter =
+    df.stat.bloomFilter(keyCol, math.max(df.count(), 1000L), 0.01)
+}
+
+/** Serializable carrier that re-materializes a CountMinSketch from its
+  * bytes ONCE per executor (@transient lazy), so probe UDFs don't pay a
+  * per-row deserialization. */
+class CmsHolder(bytes: Array[Byte]) extends Serializable {
+  @transient lazy val cms: org.apache.spark.util.sketch.CountMinSketch =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
 }

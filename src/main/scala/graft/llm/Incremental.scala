@@ -39,7 +39,7 @@ import java.nio.file.{Files, Paths}
   */
 object Incremental extends QueryPack {
 
-  private def key(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+  private def key(dir: String): String = Tables.pathKey(dir)
 
   private def day1(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).where(col("doc_id") % 4 =!= 0)
@@ -102,12 +102,16 @@ object Incremental extends QueryPack {
     * candidates. Together they make delta-vs-corpus embedding dedup a
     * probe of persisted metadata: day-1 vectors are read back only for
     * the (few) candidate ids, never re-signed. Bits are sized from the
-    * day-1 count with the same corpus-adaptive rule as the batch LSH
-    * keys (the index fingerprint pins the fixture, so build and probe
-    * always agree). */
+    * raw table count (metadata-only) with the same corpus-adaptive rule
+    * as the batch LSH keys (the index fingerprint pins the fixture, so
+    * build and probe always agree). */
   private[llm] def embedIndex(s: SparkSession, dir: String): (String, String, Int) = {
-    val day1n = Tables.embeddings(s, dir).where(col("vec_id") % 4 =!= 0).count()
-    val bits = Similarity.adaptiveBits(day1n)
+    // bits sized from the RAW table count — parquet-footer metadata
+    // only, no day-1 scan on the (hot) probe path. The ~0.75 factor to
+    // the true day-1 size shifts log2(n²) by under one bit; the sizing
+    // is a heuristic and build/probe apply the same rule, which is the
+    // property that matters.
+    val bits = Similarity.adaptiveBits(Tables.embeddings(s, dir).count())
     val fp = key(Tables.fingerprint(dir, "embeddings"))
     val (st, vt) = (s"dedup_embidx_sig_${key(dir)}_$fp", s"dedup_embidx_vec_${key(dir)}_$fp")
     if (!s.catalog.tableExists(st)) {

@@ -20,7 +20,7 @@ import java.nio.file.{Files, Paths}
   */
 object Extras6 extends QueryPack {
 
-  private def key(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+  private def key(dir: String): String = Tables.pathKey(dir)
 
   /** Spread the low 16 bits of c onto even bit positions (classic
     * morton magic-number dilation, 4 mask-shift rounds). */
@@ -66,7 +66,7 @@ object Extras6 extends QueryPack {
       val dim = Tables.customer(s, dir)
         .where(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"), col("c_name"))
-      val bf = dim.stat.bloomFilter("c_custkey", math.max(dim.count(), 1000L), 0.01)
+      val bf = BloomMightContain.buildFor(dim, "c_custkey")
       Tables.orders(s, dir)
         .where(BloomMightContain.prune(col("o_custkey"), bf))
         .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
@@ -168,15 +168,17 @@ object Extras6 extends QueryPack {
     // asserted in ExtrasSpec against exact counts.
     "agg_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.util.sketch.CountMinSketch
-      val sk = Tables.events(s, dir).select(
+      // one aggregate job distills the events into the ~1 MB sketch
+      // (the build side, like the bloom key's filter); probing is then
+      // map-side. The holder deserializes the bytes once per executor
+      // (@transient lazy), not once per probe row.
+      val bytes = Tables.events(s, dir).select(
         count_min_sketch(col("user_id"), lit(0.0001d), lit(0.99d), lit(42)).as("sk"))
-      val est = udf((bytes: Array[Byte], k: Long) =>
-        CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-          .estimateCount(k))
-      val probes = (0L until 20L).toDF("user_id")
-      probes.crossJoin(broadcast(sk))
-        .select(col("user_id"), est(col("sk"), col("user_id")).as("est_n"))
+        .head().getAs[Array[Byte]](0)
+      val holder = new graft.functions.CmsHolder(bytes)
+      val est = udf((k: Long) => holder.cms.estimateCount(k))
+      (0L until 20L).toDF("user_id")
+        .select(col("user_id"), est(col("user_id")).as("est_n"))
         .orderBy("user_id")
     }),
 
@@ -238,7 +240,7 @@ object Extras6 extends QueryPack {
 
     "fn_bin_quantile" ->
       """SELECT o_orderkey, o_orderpriority,
-        |  CAST(floor(o_totalprice / 50000) + 1 AS BIGINT) AS bucket,
+        |  CAST(LEAST(floor(o_totalprice / 50000) + 1, 13) AS BIGINT) AS bucket,
         |  CAST(ntile(10) OVER (PARTITION BY o_orderpriority
         |       ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
         |FROM orders ORDER BY o_orderkey""".stripMargin,

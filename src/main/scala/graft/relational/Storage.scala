@@ -19,7 +19,7 @@ import java.nio.file.{Files, Paths}
 object Storage extends QueryPack {
 
   // no dots: the key is also used in table identifiers
-  private def key(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+  private def key(dir: String): String = Tables.pathKey(dir)
 
   /** documents re-written as lang-partitioned parquet, once per
     * (sfDir, source fingerprint) — regenerated fixtures invalidate. */
@@ -132,8 +132,11 @@ object Storage extends QueryPack {
       val upserts = base.where(col("c_custkey") % 10 === 0)
         .select(col("c_custkey"), col("c_name"),
           (col("c_acctbal") + 100d).as("c_acctbal"))
+        // insert keys live in a namespace DISJOINT from any possible
+        // base key (custkeys are non-negative at every SF): a fixed
+        // positive offset would collide once the table reaches it
         .unionByName(base.where(col("c_custkey") < 5)
-          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          .select((-col("c_custkey") - 1L).as("c_custkey"),
             concat(col("c_name"), lit("_new")).as("c_name"), col("c_acctbal")))
       base.join(upserts
             .select(col("c_custkey"), col("c_name").as("u_name"),
@@ -191,7 +194,7 @@ object Storage extends QueryPack {
         |    AS c_acctbal
         |FROM customer
         |UNION ALL
-        |SELECT c_custkey + 10000000, c_name || '_new', c_acctbal
+        |SELECT -c_custkey - 1, c_name || '_new', c_acctbal
         |FROM customer WHERE c_custkey < 5
         |ORDER BY c_custkey""".stripMargin,
 

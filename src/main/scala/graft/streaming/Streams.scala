@@ -62,7 +62,7 @@ object Streams extends QueryPack {
       val dim = Tables.customer(s, dir)
         .where(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"), col("c_mktsegment"))
-      val bf = dim.stat.bloomFilter("c_custkey", math.max(dim.count(), 1000L), 0.01)
+      val bf = graft.functions.BloomMightContain.buildFor(dim, "c_custkey")
       Pipeline.bloomEnrich(Tables.events(s, dir), dim, bf)
         .orderBy("ws", "c_mktsegment")
     }),
