@@ -47,6 +47,35 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"IVF recall $recall < 0.95 (exact=${exact.size}, ivf=${ivf.size})")
   }
 
+  test("IVF assignment: broadcast-join path == centroid-literal path; K=sqrt(n), sub-bits off at fixture scale") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.DotProduct.dot
+    import graft.llm.Similarity
+    val n = Tables.embeddings(spark, dir).count()
+    val k = Similarity.ivfCells(n)
+    assert(k == math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+    assert(Similarity.ivfSubBits(n, k, 5) == 0, "sub-bucketing must be inactive at fixture scale")
+    // superlinear guard: at 100x-probe scale K stays sqrt(n) and the sub-bits
+    // cap the expected candidate pairs near the 4e7 budget
+    val bigN = 200000L
+    val bigK = Similarity.ivfCells(bigN)
+    assert(bigK <= math.ceil(math.sqrt(bigN.toDouble)).toInt)
+    val bigBits = Similarity.ivfSubBits(bigN, bigK, 5)
+    val boundedPairs = 12.0 * 25 * bigN * bigN / (2.0 * bigK * math.pow(2, bigBits))
+    assert(bigBits > 0 && boundedPairs <= 4.5e7, s"pairs bound $boundedPairs exceeds budget")
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = Similarity.learnedCentroids(spark, dir, k)
+    def rows(viaBroadcast: Boolean) =
+      Similarity.assignCells(e, cents, 5, viaBroadcast)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lit = rows(viaBroadcast = false)
+    val bc = rows(viaBroadcast = true)
+    assert(lit == bc, s"paths disagree: literal-only=${(lit -- bc).take(5)} bc-only=${(bc -- lit).take(5)}")
+    assert(lit.size == n * 5, "every vector gets exactly P probe cells")
+  }
+
   test("dedup_embed_lsh recalls >= 0.9 of exact embedding near-dups") {
     val exact = q("dedup_embed")
       .where("is_dup").select("vec_id").collect().map(_.getLong(0)).toSet
