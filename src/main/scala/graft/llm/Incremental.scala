@@ -105,7 +105,17 @@ object Incremental extends QueryPack {
     * raw table count (metadata-only) with the same corpus-adaptive rule
     * as the batch LSH keys (the index fingerprint pins the fixture, so
     * build and probe always agree). */
-  private[llm] def embedIndex(s: SparkSession, dir: String): (String, String, Int) = {
+  private[llm] def embedIndex(s: SparkSession, dir: String): (String, String, Int) =
+    srpIndexOf(s, dir, "dedup_embidx", Some(col("vec_id") % 4 =!= 0))
+
+  /** Full-corpus variant of the two-artifact SRP index, for ANN kNN
+    * serving (ann_query_topk): same band store + vector store, no day-1
+    * predicate. Shares the fingerprint-keyed write-once discipline. */
+  private[llm] def annIndex(s: SparkSession, dir: String): (String, String, Int) =
+    srpIndexOf(s, dir, "ann_embidx", None)
+
+  private def srpIndexOf(s: SparkSession, dir: String, tag: String,
+                         pred: Option[org.apache.spark.sql.Column]): (String, String, Int) = {
     // bits sized from the RAW table count — parquet-footer metadata
     // only, no day-1 scan on the (hot) probe path. The ~0.75 factor to
     // the true day-1 size shifts log2(n²) by under one bit; the sizing
@@ -113,18 +123,18 @@ object Incremental extends QueryPack {
     // property that matters.
     val bits = Similarity.adaptiveBits(Tables.embeddings(s, dir).count())
     val fp = key(Tables.fingerprint(dir, "embeddings"))
-    val (st, vt) = (s"dedup_embidx_sig_${key(dir)}_$fp", s"dedup_embidx_vec_${key(dir)}_$fp")
+    val (st, vt) = (s"${tag}_sig_${key(dir)}_$fp", s"${tag}_vec_${key(dir)}_$fp")
     if (!s.catalog.tableExists(st)) {
       dropStale(s, Seq(st, vt))
-      val day1 = Tables.embeddings(s, dir).where(col("vec_id") % 4 =!= 0)
+      val base = pred.foldLeft(Tables.embeddings(s, dir))(_.where(_))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       import graft.functions.DotProduct.dot
-      day1.select(col("vec_id").as("idx_id"), col("v"),
+      base.select(col("vec_id").as("idx_id"), col("v"),
         sqrt(dot(col("v"), col("v"))).as("nrm"))
         .write.mode("overwrite")
         .bucketBy(16, "idx_id").sortBy("idx_id")
         .format("parquet").saveAsTable(vt)
-      Similarity.srpBuckets(day1, bits)
+      Similarity.srpBuckets(base, bits)
         .select(col("tbl"), col("sig"), col("vec_id").as("idx_id"))
         .write.mode("overwrite")
         .bucketBy(16, "tbl", "sig").sortBy("tbl", "sig")
