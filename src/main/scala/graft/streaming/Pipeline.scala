@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.selector.Selector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The flagship message-filtering pipeline (SURVEY.md §7.3) and the
@@ -25,6 +25,95 @@ object Pipeline {
       when(Selector.compileEvents(acceptSelector), "ACCEPT")
         .when(Selector.compileEvents(rescheduleSelector), "RESCHEDULE")
         .otherwise("REJECT"))
+
+  /** PIP-105 redelivery (VERDICT r04 missing item 2): a RESCHEDULE
+    * verdict is not terminal — the broker redelivers the message with an
+    * incremented delivery count (the JMS JMSXDeliveryCount convention)
+    * until the verdict changes or the max-redelivery policy dead-letters
+    * it. Routing may reference the delivery count, which is what makes a
+    * retry meaningful: here the transient fault on an 'error' event
+    * clears once delivery_count exceeds event_id mod 4 — deterministic
+    * (a stand-in for backoff elapsing), so the final disposition is
+    * closed-form oracle-able. */
+  val maxDeliveries = 3
+
+  /** One delivery attempt: tri-state route aware of `delivery_count`. */
+  def routeAttempt(ev: DataFrame): DataFrame =
+    ev.withColumn("verdict",
+      when(Selector.compileEvents(acceptSelector), "ACCEPT")
+        .when(Selector.compileEvents(rescheduleSelector) &&
+          pmod(col("event_id"), lit(4)) < col("delivery_count"), "ACCEPT")
+        .when(Selector.compileEvents(rescheduleSelector), "RESCHEDULE")
+        .otherwise("REJECT"))
+
+  /** Batch twin of the redelivery loop: final disposition + attempt
+    * count per message. Attempt 1 routes the full input (one scan);
+    * every later attempt routes only the previous round's RESCHEDULE
+    * set, localCheckpoint-pinned so the shrinking pending frame is
+    * materialized once instead of re-deriving the whole chain (the two
+    * small per-call blocks are GC-managed — the loop is depth-bounded by
+    * maxDeliveries, not data-dependent like Cluster's). */
+  def redeliver(events: DataFrame): DataFrame = {
+    var pending = events.withColumn("delivery_count", lit(1))
+    var parts = List.empty[DataFrame]
+    for (a <- 1 to maxDeliveries) {
+      val routed = routeAttempt(pending)
+      val last = a == maxDeliveries
+      val fin =
+        (if (last) routed else routed.where(col("verdict") =!= "RESCHEDULE"))
+          .select(col("event_id"),
+            when(col("verdict") === "RESCHEDULE", lit("DEAD_LETTER"))
+              .otherwise(col("verdict")).as("disposition"),
+            col("delivery_count").cast("long").as("attempts"))
+      parts ::= fin
+      if (!last)
+        pending = routed.where(col("verdict") === "RESCHEDULE")
+          .drop("verdict")
+          .withColumn("delivery_count", col("delivery_count") + 1)
+          .localCheckpoint()
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Columns a delivery attempt needs (the re-enqueue payload). */
+  val redeliverySchema = "event_id LONG, event_type STRING, value DOUBLE, props STRING, delivery_count INT"
+
+  /** Streaming redelivery: the file-source re-enqueue loop. Each
+    * micro-batch routes its messages; final verdicts append to `outDir`
+    * (dead-lettering RESCHEDULEs that exhausted maxDeliveries), and
+    * still-RESCHEDULE'd messages are written BACK into `inDir` with
+    * delivery_count+1 — the broker's redelivery, expressed as a file
+    * re-enqueue since no broker connector exists offline. One
+    * AvailableNow pass consumes everything enqueued before it started,
+    * so the driver loops passes until the input quiesces — bounded by
+    * maxDeliveries because each pass increments every pending message's
+    * delivery count. StreamSpec asserts the result == redeliver(). */
+  def redeliverStream(s: SparkSession, inDir: String, outDir: String, ckpt: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    for (_ <- 1 to maxDeliveries) {
+      val q = s.readStream.schema(redeliverySchema).json(inDir)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val routed = routeAttempt(batch).localCheckpoint()
+          routed.where(col("verdict") =!= "RESCHEDULE" ||
+              col("delivery_count") >= maxDeliveries)
+            .select(col("event_id"),
+              when(col("verdict") === "RESCHEDULE", lit("DEAD_LETTER"))
+                .otherwise(col("verdict")).as("disposition"),
+              col("delivery_count").cast("long").as("attempts"))
+            .write.mode("append").parquet(outDir)
+          routed.where(col("verdict") === "RESCHEDULE" &&
+              col("delivery_count") < maxDeliveries)
+            .drop("verdict")
+            .withColumn("delivery_count", col("delivery_count") + 1)
+            .write.mode("append").json(inDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+  }
 
   /** Flagship: route → keep ACCEPTed → enrich with the customer dim
     * (broadcast: the dim is bounded) → per-5-min-window per-type counts

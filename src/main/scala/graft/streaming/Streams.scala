@@ -67,6 +67,14 @@ object Streams extends QueryPack {
         .orderBy("ws", "c_mktsegment")
     }),
 
+    // PIP-105 redelivery: final disposition + attempt count per message
+    // after the RESCHEDULE/redeliver loop (delivery-count-aware routing,
+    // dead-letter after maxDeliveries). Judged via the batch twin
+    // (closed-form oracle below); the actual file-source re-enqueue
+    // loop is verified stream==batch in StreamSpec.
+    "stream_redelivery" -> ((s, dir) =>
+      Pipeline.redeliver(Tables.events(s, dir)).orderBy("event_id")),
+
     // batch analog of the 10-minute watermark rule: an event is "late"
     // (dropped) if its event time is more than 10 minutes behind the
     // max event time already seen in arrival order (event_id). The
@@ -170,6 +178,27 @@ object Streams extends QueryPack {
          |FROM events JOIN customer ON user_id = c_custkey
          |WHERE c_mktsegment = 'BUILDING'
          |GROUP BY 1, 2 ORDER BY ws, c_mktsegment""".stripMargin,
+
+    // closed form of the redelivery loop: an accepted message delivers
+    // on attempt 1; an 'error' message recovers at attempt
+    // event_id%4 + 1 when that is within the max-delivery budget, else
+    // dead-letters after maxDeliveries (=3) attempts
+    "stream_redelivery" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |                  CAST(props->>'$.k' AS DOUBLE) AS k FROM events)
+        |SELECT event_id,
+        |  CASE WHEN event_type IN ('purchase','signup') AND k >= 50
+        |            AND value BETWEEN 10 AND 400 THEN 'ACCEPT'
+        |       WHEN event_type = 'error' AND event_id % 4 < 3 THEN 'ACCEPT'
+        |       WHEN event_type = 'error' THEN 'DEAD_LETTER'
+        |       ELSE 'REJECT' END AS disposition,
+        |  CAST(CASE WHEN event_type IN ('purchase','signup') AND k >= 50
+        |                 AND value BETWEEN 10 AND 400 THEN 1
+        |            WHEN event_type = 'error' AND event_id % 4 < 3
+        |              THEN event_id % 4 + 1
+        |            WHEN event_type = 'error' THEN 3
+        |            ELSE 1 END AS BIGINT) AS attempts
+        |FROM e ORDER BY event_id""".stripMargin,
 
     "stream_watermark" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type, $epochSec AS t FROM events)

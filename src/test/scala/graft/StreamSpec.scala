@@ -205,6 +205,29 @@ class StreamSpec extends AnyFunSuite {
     assertSameRows(sunk, Pipeline.filterPipeline(Tables.events(spark, dir), cust))
   }
 
+  test("PIP-105 redelivery loop: stream re-enqueue == batch; recoveries and dead-letters exercised") {
+    val inDir = Files.createTempDirectory("graft_redeliver_in").toString
+    val outDir = Files.createTempDirectory("graft_redeliver_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_redeliver").toString
+    // enqueue the fixture events as first-delivery messages
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("props"),
+        lit(1).as("delivery_count"))
+      .write.mode("append").json(inDir)
+    Pipeline.redeliverStream(spark, inDir, outDir, ckpt)
+    val streamed = spark.read.parquet(outDir)
+    val batch = Pipeline.redeliver(Tables.events(spark, dir))
+    assertSameRows(streamed, batch)
+    // every message gets exactly one final disposition
+    assert(streamed.count() === Tables.events(spark, dir).count())
+    // the crafted transient-fault model must exercise both loop exits:
+    // recovery on a retry (ACCEPT with attempts > 1) and exhaustion
+    assert(streamed.where("disposition = 'ACCEPT' AND attempts > 1").count() > 0,
+      "no message recovered on redelivery")
+    assert(streamed.where("disposition = 'DEAD_LETTER' AND attempts = 3").count() > 0,
+      "no message dead-lettered after maxDeliveries")
+  }
+
   test("rate source produces the canonical message shape") {
     val rate = graft.streaming.MessageSource.rateStream(spark, 100)
     assert(rate.isStreaming)
