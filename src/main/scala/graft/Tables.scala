@@ -48,4 +48,47 @@ object Tables {
     val p = java.nio.file.Paths.get(s"$dir/$name.parquet")
     s"${java.nio.file.Files.size(p)}_${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
   }
+
+  /** Drop EVERY warehouse directory whose name starts with `prefix` —
+    * called before a write-once layout writes a new fingerprint's
+    * artifacts, so a regenerated fixture does not leave the previous
+    * fingerprint's tables accumulating forever (ADVICE r04: dropping
+    * only the current names leaked every superseded fingerprint). Also
+    * clears the in-memory catalog's stale registration: a same-process
+    * fixture regen would otherwise leave tableExists=true pointing at a
+    * deleted location. */
+  def dropStaleTables(s: SparkSession, prefix: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")) match {
+      case u if u.getScheme == "file" => Paths.get(u)
+      case u => Paths.get(u.getPath)
+    }
+    if (Files.isDirectory(wh)) {
+      Files.list(wh).iterator().asScala.toList
+        .filter(_.getFileName.toString.startsWith(prefix))
+        .foreach { p =>
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
+    }
+    s.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(prefix))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
+  /** /tmp sibling of dropStaleTables for path-based (non-catalog)
+    * write-once layouts: removes every /tmp entry starting with
+    * `prefix` before the new fingerprint's layout is written. */
+  def dropStalePaths(prefix: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val tmp = Paths.get("/tmp")
+    Files.list(tmp).iterator().asScala.toList
+      .filter(p => p.getFileName.toString.startsWith(prefix))
+      .foreach { p =>
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+  }
 }

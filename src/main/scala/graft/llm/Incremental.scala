@@ -47,25 +47,11 @@ object Incremental extends QueryPack {
   private def delta(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).where(col("doc_id") % 4 === 0)
 
-  /** Drop a stale managed-table directory (in-memory catalog → a fresh
-    * process sees tableExists=false while the location persists). */
-  private def dropStale(s: SparkSession, tables: Seq[String]): Unit = {
-    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")) match {
-      case u if u.getScheme == "file" => Paths.get(u)
-      case u => Paths.get(u.getPath)
-    }
-    tables.map(wh.resolve).filter(Files.exists(_)).foreach { p =>
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
-  }
-
   /** Day-1 trigram postings, df-pruned, bucketed on ng. */
   private[llm] def jaccardIndex(s: SparkSession, dir: String): String = {
     val t = s"dedup_ngidx_${key(dir)}_${key(Tables.fingerprint(dir, "documents"))}"
     if (!s.catalog.tableExists(t)) {
-      dropStale(s, Seq(t))
+      Tables.dropStaleTables(s, s"dedup_ngidx_${key(dir)}_")
       val tg = Dedup.trigrams(day1(s, dir))
       val pruned = tg
         .join(tg.groupBy("ng").agg(count(lit(1)).as("dfreq")), Seq("ng"))
@@ -85,7 +71,7 @@ object Incremental extends QueryPack {
   private[llm] def simhashIndex(s: SparkSession, dir: String): String = {
     val t = s"dedup_shidx_${key(dir)}_${key(Tables.fingerprint(dir, "documents"))}"
     if (!s.catalog.tableExists(t)) {
-      dropStale(s, Seq(t))
+      Tables.dropStaleTables(s, s"dedup_shidx_${key(dir)}_")
       bands(Dedup.simhashOf(day1(s, dir)))
         .select(col("band_id"), col("band_val"),
           col("doc_id").as("idx_id"), col("h"))
@@ -125,7 +111,8 @@ object Incremental extends QueryPack {
     val fp = key(Tables.fingerprint(dir, "embeddings"))
     val (st, vt) = (s"${tag}_sig_${key(dir)}_$fp", s"${tag}_vec_${key(dir)}_$fp")
     if (!s.catalog.tableExists(st)) {
-      dropStale(s, Seq(st, vt))
+      Tables.dropStaleTables(s, s"${tag}_sig_${key(dir)}_")
+      Tables.dropStaleTables(s, s"${tag}_vec_${key(dir)}_")
       val base = pred.foldLeft(Tables.embeddings(s, dir))(_.where(_))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       import graft.functions.DotProduct.dot
