@@ -156,6 +156,26 @@ class ExtrasSpec extends AnyFunSuite {
       s"bloom probe kept all $total rows — pruning is not happening")
   }
 
+  test("join_bloom_persisted: byte-roundtripped filter == in-process filter == plain join") {
+    val persisted = relational.Extras6.queries("join_bloom_persisted")(spark, dir)
+    val inProcess = relational.Extras6.queries("join_bloom_pruned")(spark, dir)
+    val plain = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice"))
+    assert(persisted.count() === plain.count())
+    assert(persisted.except(plain).count() === 0)
+    assert(plain.except(persisted).count() === 0)
+    assert(persisted.except(inProcess).count() === 0)
+    assert(inProcess.except(persisted).count() === 0)
+    // the filter artifact really went through a parquet boundary
+    import scala.jdk.CollectionConverters._
+    val hit = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+      .iterator().asScala.exists(_.getFileName.toString.startsWith(
+        s"graft_bloom_cust_${Tables.pathKey(dir)}_"))
+    assert(hit, "persisted bloom parquet artifact not found under /tmp")
+  }
+
   test("agg_heavy_hitters: CMS estimates within [exact, exact + eps*N]") {
     val est = relational.Extras6.queries("agg_heavy_hitters")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
