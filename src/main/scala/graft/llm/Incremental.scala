@@ -72,12 +72,7 @@ object Incremental extends QueryPack {
     val t = s"dedup_shidx_${key(dir)}_${key(Tables.fingerprint(dir, "documents"))}"
     if (!s.catalog.tableExists(t)) {
       Tables.dropStaleTables(s, s"dedup_shidx_${key(dir)}_")
-      bands(Dedup.simhashOf(day1(s, dir)))
-        .select(col("band_id"), col("band_val"),
-          col("doc_id").as("idx_id"), col("h"))
-        .write.mode("overwrite")
-        .bucketBy(16, "band_id", "band_val").sortBy("band_id", "band_val")
-        .format("parquet").saveAsTable(t)
+      buildSimhashIndex(day1(s, dir), t)
     }
     t
   }
@@ -130,6 +125,58 @@ object Incremental extends QueryPack {
     (st, vt, bits)
   }
 
+  /** Streaming maintenance of a SimHash band-store index (VERDICT r04
+    * next item 6): each micro-batch of newly ingested documents is
+    * signed and its band rows APPENDED to the bucketed index table via
+    * foreachBatch. Every append writes bucketed files of its own under
+    * the same spec, so the table stays bucket-joinable — probes remain
+    * bucket-to-bucket with no index re-shuffle, and the daily cost is
+    * exactly the batch's signatures (never a rescan of the index). The
+    * caller drives the query (AvailableNow or continuous). */
+  def maintainSimhashIndex(streamingDocs: DataFrame, table: String,
+      ckpt: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streamingDocs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        bands(Dedup.simhashOf(batch))
+          .select(col("band_id"), col("band_val"),
+            col("doc_id").as("idx_id"), col("h"))
+          .write.mode("append")
+          .bucketBy(16, "band_id", "band_val").sortBy("band_id", "band_val")
+          .format("parquet").saveAsTable(table)
+        ()
+      }
+      .start()
+
+  /** Batch-build a band store over `docs` into `table` — the same
+    * layout simhashIndex persists, factored out so tests and the
+    * streaming maintainer share one definition. */
+  private[graft] def buildSimhashIndex(docs: DataFrame, table: String): Unit =
+    bands(Dedup.simhashOf(docs))
+      .select(col("band_id"), col("band_val"),
+        col("doc_id").as("idx_id"), col("h"))
+      .write.mode("overwrite")
+      .bucketBy(16, "band_id", "band_val").sortBy("band_id", "band_val")
+      .format("parquet").saveAsTable(table)
+
+  /** The dedup_incr_simhash probe against an arbitrary band-store
+    * table: delta signatures join the index on band equality, exact
+    * hamming ≤ 6 re-check. */
+  private[graft] def simhashProbe(s: SparkSession, dir: String,
+      idxTable: String): DataFrame = {
+    val idx = s.table(idxTable)
+    val d = bands(Dedup.simhashOf(delta(s, dir)))
+      .select(col("doc_id").as("delta_id"), col("h").as("hd"),
+        col("band_id"), col("band_val"))
+    d.join(idx, Seq("band_id", "band_val"))
+      .select(col("delta_id"), col("idx_id"),
+        bit_count(col("hd").bitwiseXOR(col("h"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 6)
+      .orderBy("delta_id", "idx_id")
+  }
+
   /** 4×15-bit LSH bands of a (doc_id, h) signature frame — same band
     * spec as dedup_simhash. */
   private def bands(sh: DataFrame): DataFrame =
@@ -164,18 +211,8 @@ object Incremental extends QueryPack {
     // delta signatures vs the persisted band store: candidates on band
     // equality, exact hamming ≤ 6 re-check — the signature bytes ride
     // the index, so the re-check needs no day-1 text either
-    "dedup_incr_simhash" -> ((s, dir) => {
-      val idx = s.table(simhashIndex(s, dir))
-      val d = bands(Dedup.simhashOf(delta(s, dir)))
-        .select(col("doc_id").as("delta_id"), col("h").as("hd"),
-          col("band_id"), col("band_val"))
-      d.join(idx, Seq("band_id", "band_val"))
-        .select(col("delta_id"), col("idx_id"),
-          bit_count(col("hd").bitwiseXOR(col("h"))).cast("long").as("hamming"))
-        .distinct()
-        .where(col("hamming") <= 6)
-        .orderBy("delta_id", "idx_id")
-    }),
+    "dedup_incr_simhash" -> ((s, dir) =>
+      simhashProbe(s, dir, simhashIndex(s, dir))),
 
     // delta embeddings vs the persisted SRP index: candidates from the
     // band store (ids only), exact cosine re-check against the vector

@@ -228,6 +228,37 @@ class StreamSpec extends AnyFunSuite {
       "no message dead-lettered after maxDeliveries")
   }
 
+  test("streaming index maintenance: post-stream band store == batch-built index, probes agree") {
+    import graft.llm.Incremental
+    val docs = Tables.documents(spark, dir)
+    val day1 = docs.where(col("doc_id") % 4 =!= 0)
+    // half the corpus is indexed up front; the rest arrives as a stream
+    val initial = day1.where(pmod(col("doc_id"), lit(2)) === 1)
+    val arriving = day1.where(pmod(col("doc_id"), lit(2)) === 0)
+    val streamed = "shidx_streamed_test"
+    val batchBuilt = "shidx_batch_test"
+    spark.sql(s"DROP TABLE IF EXISTS $streamed")
+    spark.sql(s"DROP TABLE IF EXISTS $batchBuilt")
+    Incremental.buildSimhashIndex(initial, streamed)
+    val inDir = Files.createTempDirectory("graft_shidx_in").toString
+    arriving.select("doc_id", "text").write.mode("append").json(inDir)
+    val ckpt = Files.createTempDirectory("graft_ckpt_shidx").toString
+    val q = Incremental.maintainSimhashIndex(
+      spark.readStream.schema("doc_id LONG, text STRING").json(inDir),
+      streamed, ckpt)
+    q.awaitTermination()
+    // the maintained table must equal the index batch-built over all of day 1
+    Incremental.buildSimhashIndex(day1, batchBuilt)
+    assertSameRows(spark.table(streamed), spark.table(batchBuilt))
+    // and the bucket layout survived the append: probing the maintained
+    // index gives the same matches as probing the batch-built one
+    assertSameRows(
+      Incremental.simhashProbe(spark, dir, streamed),
+      Incremental.simhashProbe(spark, dir, batchBuilt))
+    assert(Incremental.simhashProbe(spark, dir, streamed).count() > 0,
+      "probe found no candidates — fixture should contain near-dups")
+  }
+
   test("rate source produces the canonical message shape") {
     val rate = graft.streaming.MessageSource.rateStream(spark, 100)
     assert(rate.isStreaming)
