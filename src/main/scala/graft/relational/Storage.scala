@@ -149,6 +149,40 @@ object Storage extends QueryPack {
       s.read.parquet(path).orderBy("c_custkey")
     }),
 
+    // Small-file compaction (VERDICT r04 next item 7): bin-pack a
+    // fragmented table into ~target-size files, results unchanged —
+    // the first operational fix a 100 TB pipeline needs once streaming
+    // and dynamic-partition sinks accumulate thousands of tiny files.
+    // The fragmented state (64 shards) is a write-once fixture layout;
+    // the compaction itself re-runs per call: list file sizes (driver
+    // metadata only, no data read), nOut = ceil(bytes/target), then
+    // scan → coalesce(nOut) → rewrite. coalesce concatenates input
+    // partitions WITHOUT a shuffle — exactly what OPTIMIZE-style
+    // bin-packing wants, since there is no key to place rows by; at
+    // cluster scale the same job runs per partition-directory.
+    "sink_compact" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val fragPfx = s"graft_frag_orders_${key(dir)}_"
+      val frag = s"/tmp/$fragPfx${Tables.fingerprint(dir, "orders")}"
+      if (!Files.exists(Paths.get(frag, "_SUCCESS"))) {
+        Tables.dropStalePaths(fragPfx)
+        Tables.orders(s, dir).repartition(64)
+          .write.mode("overwrite").parquet(frag)
+      }
+      val target = 256L * 1024 // fixture-scaled stand-in for ~256 MB
+      val bytes = Files.list(Paths.get(frag)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size(_)).sum
+      val nOut = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+      val out = s"/tmp/graft_compact_orders_${key(dir)}"
+      s.read.parquet(frag).coalesce(nOut)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // bucketed co-located join: both sides pre-bucketed on the key, so
     // the SortMergeJoin reads bucket i against bucket i — no Exchange
     // anywhere in the plan (PlanSpec "join_bucketed"). The merge hint
@@ -188,6 +222,11 @@ object Storage extends QueryPack {
 
     // expected merged state: updates win on matched keys, inserts
     // append, the rest ride through
+    // compaction must be invisible to readers: oracle is the source table
+    "sink_compact" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "sink_upsert" ->
       """SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END

@@ -156,6 +156,27 @@ class ExtrasSpec extends AnyFunSuite {
       s"bloom probe kept all $total rows — pruning is not happening")
   }
 
+  test("sink_compact: bin-packs the fragmented table to the computed file count, rows unchanged") {
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(p: String) =
+      java.nio.file.Files.list(java.nio.file.Paths.get(p)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+    val compacted = relational.Storage.queries("sink_compact")(spark, dir)
+    val src = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    assert(compacted.count() === src.count())
+    assert(compacted.except(src).count() === 0)
+    val k = Tables.pathKey(dir)
+    val frag = parquetFiles(
+      s"/tmp/graft_frag_orders_${k}_${Tables.fingerprint(dir, "orders")}")
+    val out = parquetFiles(s"/tmp/graft_compact_orders_$k")
+    val expected = math.max(1, math.ceil(
+      frag.map(java.nio.file.Files.size(_)).sum.toDouble / (256L * 1024)).toInt)
+    assert(frag.size == 64, s"fragmented layout should have 64 shards, got ${frag.size}")
+    assert(out.size == expected, s"compacted to ${out.size} files, expected $expected")
+    assert(out.size < frag.size, "compaction must reduce file count")
+  }
+
   test("join_bloom_persisted: byte-roundtripped filter == in-process filter == plain join") {
     val persisted = relational.Extras6.queries("join_bloom_persisted")(spark, dir)
     val inProcess = relational.Extras6.queries("join_bloom_pruned")(spark, dir)
