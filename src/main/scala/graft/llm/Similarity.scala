@@ -74,8 +74,10 @@ object Similarity extends QueryPack {
     * as a plan literal or broadcasts (see assignCells). */
   private[graft] def learnedCentroids(s: SparkSession, dir: String, k: Int): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val path = s"/tmp/graft_ivf_cents_${k}_${Tables.pathKey(dir)}_${Tables.fingerprint(dir, "embeddings")}"
+    val pfx = s"graft_ivf_cents_${k}_${Tables.pathKey(dir)}_"
+    val path = s"/tmp/$pfx${Tables.fingerprint(dir, "embeddings")}"
     if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+      Tables.dropStalePaths(pfx)
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val all = Tables.embeddings(s, dir)

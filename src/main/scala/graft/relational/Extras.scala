@@ -21,9 +21,12 @@ object Extras extends QueryPack {
     * write — and a REGENERATED fixture at the same path gets a fresh
     * key instead of being verified against stale cached data. */
   private def roundtripDir(fmt: String, dir: String)(write: String => Unit): String = {
-    val fp = graft.Tables.fingerprint(dir, "nation")
-    val tmp = s"/tmp/graft_rt_${fmt}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
-    if (!Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS"))) write(tmp)
+    val pfx = s"graft_rt_${fmt}_${graft.Tables.pathKey(dir)}_"
+    val tmp = s"/tmp/$pfx${graft.Tables.fingerprint(dir, "nation")}"
+    if (!Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS"))) {
+      graft.Tables.dropStalePaths(pfx)
+      write(tmp)
+    }
     tmp
   }
 
@@ -201,12 +204,14 @@ object Extras extends QueryPack {
     // rides along as a precision check). Own write-once path keyed on
     // the ORDERS fingerprint (roundtripDir fingerprints nation).
     "source_orc_roundtrip" -> ((s, dir) => {
-      val fp = graft.Tables.fingerprint(dir, "orders")
-      val tmp = s"/tmp/graft_rt_orc_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
-      if (!Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS")))
+      val pfx = s"graft_rt_orc_${graft.Tables.pathKey(dir)}_"
+      val tmp = s"/tmp/$pfx${graft.Tables.fingerprint(dir, "orders")}"
+      if (!Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS"))) {
+        graft.Tables.dropStalePaths(pfx)
         Tables.orders(s, dir)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
           .write.mode("overwrite").orc(tmp)
+      }
       s.read.orc(tmp).orderBy("o_orderkey")
     })
   )

@@ -142,9 +142,10 @@ object Extras5 extends QueryPack {
     // Probabilistic — no SQL oracle; same ±5% bound as agg_sketch_merge.
     "agg_sketch_persisted" -> ((s, dir) => {
       import java.nio.file.{Files, Paths}
-      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/tmp/graft_hll_daily_${key}_${Tables.fingerprint(dir, "events")}"
+      val pfx = s"graft_hll_daily_${Tables.pathKey(dir)}_"
+      val path = s"/tmp/$pfx${Tables.fingerprint(dir, "events")}"
       if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+        Tables.dropStalePaths(pfx)
         Tables.events(s, dir)
           .groupBy(col("event_type"), to_date(col("ts")).as("day"))
           .agg(hll_sketch_agg(col("user_id")).as("sk"))

@@ -37,12 +37,30 @@ object Extras6 extends QueryPack {
     * row-group min/max on BOTH columns correlate with file position and
     * a 2-D range predicate skips most files — the layout trick that
     * single-column sorting cannot give. Written once per (sfDir,
-    * fingerprint); queries only read. */
+    * fingerprint); queries only read.
+    *
+    * Both dimensions are SCALED to the 16-bit z-domain from their
+    * observed min/max (one metadata-cheap aggregate in the one-time
+    * build) — ADVICE r04: the earlier pmod/floor mapping aliased
+    * user_ids ≥ 65536 into shared z-ranges and let negative values
+    * truncate through the sign bit, silently degrading (never
+    * corrupting — the oracle reads the original table) clustering at
+    * larger fixtures. Scaling is monotone per dimension, so row-group
+    * min/max skipping behaves identically at any id range. */
   private[graft] def zorderedEvents(s: SparkSession, dir: String): String = {
-    val path = s"/tmp/graft_zorder_events_${key(dir)}_${Tables.fingerprint(dir, "events")}"
+    val pfx = s"graft_zorder_events_${key(dir)}_"
+    val path = s"/tmp/$pfx${Tables.fingerprint(dir, "events")}"
     if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
-      val z = spreadBits(pmod(col("user_id"), lit(65536L))).bitwiseOR(
-        shiftleft(spreadBits(least(floor(col("value")).cast("long"), lit(65535L))), 1))
+      Tables.dropStalePaths(pfx)
+      val r = Tables.events(s, dir)
+        .agg(min(col("user_id").cast("double")), max(col("user_id").cast("double")),
+          min(col("value")), max(col("value"))).head()
+      def scale16(c: Column, lo: Double, hi: Double): Column =
+        least(greatest(
+          ((c - lit(lo)) * 65535.0 / lit(math.max(hi - lo, 1e-9))).cast("long"),
+          lit(0L)), lit(65535L))
+      val z = spreadBits(scale16(col("user_id").cast("double"), r.getDouble(0), r.getDouble(1)))
+        .bitwiseOR(shiftleft(spreadBits(scale16(col("value"), r.getDouble(2), r.getDouble(3))), 1))
       Tables.events(s, dir)
         .withColumn("zval", z)
         .repartitionByRange(16, col("zval"))

@@ -85,11 +85,16 @@ object Storage extends QueryPack {
       val path = partitionedDocs(s, dir)
       // the dim must be a real datasource: over a LocalRelation the
       // grp filter constant-folds into the relation and DPP's
-      // selective-predicate check never sees it
-      val dimPath = "/tmp/graft_dpp_dims_v1"
-      if (!Files.exists(Paths.get(dimPath, "_SUCCESS")))
-        Seq(("en", 1), ("fr", 2), ("zh", 2)).toDF("lang", "grp")
+      // selective-predicate check never sees it. Path keyed on the row
+      // content (ADVICE r04: a fixed version suffix would silently keep
+      // serving stale parquet if the rows were ever edited).
+      val dimRows = Seq(("en", 1), ("fr", 2), ("zh", 2))
+      val dimPath = s"/tmp/graft_dpp_dims_${Integer.toHexString(dimRows.hashCode)}"
+      if (!Files.exists(Paths.get(dimPath, "_SUCCESS"))) {
+        Tables.dropStalePaths("graft_dpp_dims_")
+        dimRows.toDF("lang", "grp")
           .coalesce(1).write.mode("overwrite").parquet(dimPath)
+      }
       s.read.parquet(path)
         .join(s.read.parquet(dimPath).where(col("grp") === 1), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("n_chars"))

@@ -208,9 +208,14 @@ class ExtrasSpec extends AnyFunSuite {
     est.foreach { case (k, e) =>
       val ex = exact.getOrElse(k, 0L)
       assert(e >= ex, s"CMS underestimated key $k: $e < $ex (impossible for CMS)")
-      assert(e <= ex + math.ceil(0.0001 * total).toLong + 1,
-        s"CMS overestimate for $k: $e vs exact $ex (N=$total)")
     }
+    // the eps*N overestimate bound holds per-probe only with p = 0.99
+    // (ADVICE r04: demanding it for all 20 keys makes the suite flaky
+    // under fixture regeneration) — require >= 19 of 20 within bound
+    val overs = est.count { case (k, e) =>
+      e > exact.getOrElse(k, 0L) + math.ceil(0.0001 * total).toLong + 1 }
+    assert(overs <= 1,
+      s"$overs of ${est.size} keys exceed the eps*N bound (expected <= 1 at p=0.99)")
   }
 
   test("scan_zorder: layout makes most files min/max-skippable for the 2-D range") {
