@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   *    copy but trigram/shingle sets are disjoint ACROSS copies, so
   *    dedup candidate counts scale linearly, as independent shards
   *    would, instead of quadratically as naive duplication would force.
-  *  - embeddings: ids shifted; the vector is circularly rotated by the
-  *    copy index — within-copy cosine structure is exactly preserved,
-  *    cross-copy vectors decorrelate.
+  *  - embeddings: ids shifted; the vector is circularly rotated by
+  *    copy % 64 and sign-flipped every 64-copy "era" — within-copy
+  *    cosine structure is exactly preserved (rotation and global
+  *    negation are isometries), cross-copy vectors decorrelate: two
+  *    copies would correlate only at equal rotation AND equal era
+  *    parity, i.e. 128 copies apart — beyond the supported range.
   *  - events/orders/lineitem/customer: key spaces shifted per copy
   *    (consistent across join keys); dims (nation/region/part/supplier)
   *    stay single-copy, as dims do at real scale.
@@ -28,7 +31,7 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(src, out, nStr) = args
     val n = nStr.toInt
-    require(n >= 1 && n < 64, "copies must be in [1, 64) (embedding rotation)")
+    require(n >= 1 && n <= 128, "copies must be in [1, 128] (embedding rotation + era sign)")
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     spark.sparkContext.setLogLevel("WARN")
 
@@ -48,10 +51,13 @@ object ScaleGen {
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     copies { c =>
-      val rotated = if (c == 0) col("embedding")
-        else concat(slice(col("embedding"), c + 1, 64 - c), slice(col("embedding"), 1, c))
+      val rot = c % 64
+      val rotated = if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, 64 - rot), slice(col("embedding"), 1, rot))
+      val signed = if ((c / 64) % 2 == 0) rotated
+        else transform(rotated, x => -x)
       emb.select((col("vec_id") + c * 10000000L).as("vec_id"),
-        rotated.as("embedding"), col("label"))
+        signed.as("embedding"), col("label"))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // via Tables.events: the ns-timestamp column normalizes to µs
