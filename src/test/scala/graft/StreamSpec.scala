@@ -237,8 +237,11 @@ class StreamSpec extends AnyFunSuite {
     val arriving = day1.where(pmod(col("doc_id"), lit(2)) === 0)
     val streamed = "shidx_streamed_test"
     val batchBuilt = "shidx_batch_test"
-    spark.sql(s"DROP TABLE IF EXISTS $streamed")
-    spark.sql(s"DROP TABLE IF EXISTS $batchBuilt")
+    // dropStaleTables also deletes the warehouse location — a leftover
+    // dir from a previous JVM fails CREATE even when the fresh
+    // in-memory catalog says the table doesn't exist
+    Tables.dropStaleTables(spark, streamed)
+    Tables.dropStaleTables(spark, batchBuilt)
     Incremental.buildSimhashIndex(initial, streamed)
     val inDir = Files.createTempDirectory("graft_shidx_in").toString
     arriving.select("doc_id", "text").write.mode("append").json(inDir)
