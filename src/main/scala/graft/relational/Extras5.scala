@@ -95,6 +95,151 @@ object Extras5 extends QueryPack {
           AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'""")
     }),
 
+    // Q4 (adapted to the trimmed fixture schema: no l_commitdate /
+    // l_receiptdate exist, so "late" = shipped after the order date):
+    // priority count of orders in a quarter having at least one
+    // late-shipped line — the EXISTS-decorrelation benchmark shape
+    // (Catalyst rewrites it to a left-semi join with the non-equi
+    // l_shipdate > o_orderdate condition riding the join)
+    "sql_tpch_q4" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders_v
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem_v
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    }),
+
+    // Q7: shipping volume between two nations by year — the two-role
+    // dimension join (nation joined twice under different aliases) plus
+    // a symmetric disjunctive pair filter
+    "sql_tpch_q7" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier_v JOIN lineitem_v ON s_suppkey = l_suppkey
+               JOIN orders_v ON o_orderkey = l_orderkey
+               JOIN customer_v ON c_custkey = o_custkey
+               JOIN nation_v n1 ON s_nationkey = n1.n_nationkey
+               JOIN nation_v n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') v
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")
+    }),
+
+    // Q13: customer order-count distribution — the LEFT-join-then-
+    // double-aggregate shape (customers with zero orders must survive
+    // into the c_count = 0 bucket)
+    "sql_tpch_q13" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer_v LEFT JOIN orders_v ON c_custkey = o_custkey
+              GROUP BY c_custkey) c
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")
+    }),
+
+    // Q15: top supplier by quarterly revenue — the aggregate-then-
+    // max-equality shape (the revenue "view" reused twice; the decimal-
+    // exact sums make the MAX equality safe across engines)
+    "sql_tpch_q15" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue
+          FROM lineitem_v
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier_v JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey""")
+    }),
+
+    // Q17 (adapted: fixture part has no p_container — brand + type
+    // select the part group): small-quantity revenue against a
+    // correlated per-part average — the correlated-scalar-subquery
+    // decorrelation shape. The threshold is a decimal-exact sum / count
+    // so the comparison boundary is bit-identical on both engines.
+    "sql_tpch_q17" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2)))
+                     AS DOUBLE) / 7.0, 2) AS avg_yearly
+        FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_type = 'PROMO'
+          AND l_quantity < (
+            SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,2)))
+                          AS DOUBLE) / COUNT(*))
+            FROM lineitem_v l2 WHERE l2.l_partkey = p_partkey)""")
+    }),
+
+    // Q18: large-volume customers — IN over a grouped-HAVING subquery
+    // plus a three-table join re-aggregation, top 100 by order value
+    "sql_tpch_q18" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT) AS o_date,
+               o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+             JOIN lineitem_v ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem_v
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 150)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100""")
+    }),
+
+    // Q19 (adapted: no l_shipmode/l_shipinstruct in the fixture — the
+    // brand/size/quantity disjunction is the shape under test): revenue
+    // over three OR'd (brand, size range, quantity range) branches —
+    // the disjunctive-predicate pushdown benchmark
+    "sql_tpch_q19" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""")
+    }),
+
     // URL synthesis + parse-back: host / path / query-param extraction
     // with the native parse_url expression (the oracle re-derives the
     // same parts with regexes — parse_url is Spark-side surface under
@@ -160,6 +305,93 @@ object Extras5 extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sql_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "sql_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |         l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |       JOIN orders ON o_orderkey = l_orderkey
+        |       JOIN customer ON c_custkey = o_custkey
+        |       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') v
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "sql_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) c
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "sql_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |              AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "sql_tpch_q17" ->
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2)))
+        |             AS DOUBLE) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_type = 'PROMO'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,2)))
+        |                  AS DOUBLE) / COUNT(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "sql_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date,
+        |       o_totalprice,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |     JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 150)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "sql_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |            AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
     "sql_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
