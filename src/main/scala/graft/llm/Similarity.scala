@@ -186,6 +186,31 @@ object Similarity extends QueryPack {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Pinned O(1) query batch (the sim_range_search convention). */
+  private def probeBatch(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).where(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** Shared serving tail: exact cosine re-rank of (id_q, idx_id)
+    * candidates against the bucketed vector store, fused map-side
+    * top-5 per probe. */
+  private def rerankTopK(s: SparkSession, cand: DataFrame, pv: DataFrame,
+      vt: String): DataFrame = {
+    import graft.functions.TopKByScore.topk
+    cand.join(broadcast(pv), Seq("id_q"))
+      .join(s.table(vt), Seq("idx_id"))
+      .select(col("id_q"),
+        (dot(col("vq"), col("v")) / (col("nq") * col("nrm"))).as("cos"),
+        col("idx_id"))
+      .groupBy("id_q")
+      .agg(topk(col("cos"), col("idx_id"), 5).as("top"))
+      .select(col("id_q"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("id_q"), (col("pos") + 1).as("rn"),
+        col("t.payload").as("id_b"), round(col("t.score"), 4).as("cos_sim"))
+      .orderBy("id_q", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact pairwise cosine above threshold
     "sim_cosine_pairs" -> ((s, dir) => {
@@ -274,28 +299,56 @@ object Similarity extends QueryPack {
     // (SRP buckets can miss a neighbor) — recall vs the exact sim_topk
     // twin on the same probe ids asserted in LlmSpec.
     "ann_query_topk" -> ((s, dir) => {
-      import graft.functions.TopKByScore.topk
       val (st, vt, bits) = Incremental.annIndex(s, dir)
-      val probes = Tables.embeddings(s, dir).where(col("vec_id") < 16)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probes = probeBatch(s, dir)
       val psig = srpBuckets(probes, bits)
         .select(col("vec_id").as("id_q"), col("tbl"), col("sig"))
       val cand = psig.join(s.table(st), Seq("tbl", "sig"))
         .where(col("idx_id") =!= col("id_q"))
         .select("id_q", "idx_id").distinct()
       val pv = probes.select(col("vec_id").as("id_q"), col("v").as("vq"),
-        sqrt(dot(col("v"), col("v"))).as("nq"))
-      cand.join(broadcast(pv), Seq("id_q"))
-        .join(s.table(vt), Seq("idx_id"))
-        .select(col("id_q"),
-          (dot(col("vq"), col("v")) / (col("nq") * col("nrm"))).as("cos"),
-          col("idx_id"))
-        .groupBy("id_q")
-        .agg(topk(col("cos"), col("idx_id"), 5).as("top"))
-        .select(col("id_q"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("id_q"), (col("pos") + 1).as("rn"),
-          col("t.payload").as("id_b"), round(col("t.score"), 4).as("cos_sim"))
-        .orderBy("id_q", "rn")
+        col("nrm").as("nq"))
+      rerankTopK(s, cand, pv, vt)
+    }),
+
+    // kNN serving against a persisted IVF index — the learned-quantizer
+    // twin of ann_query_topk: the index assigns each corpus vector to
+    // its SINGLE nearest cell (a bucketed (cell, idx_id) table — the
+    // standard IVF inverted-list layout); the query side multi-probes
+    // its top-P cells, fetches those cells' lists bucket-to-bucket, and
+    // exact-cosine re-ranks. Per-probe candidates ≈ P·n/K = P·√n —
+    // sublinear in corpus; index build (k-means + one assignment pass)
+    // is the one-time fingerprint-keyed job. Exempt (cell probing can
+    // miss a neighbor) — recall vs sim_topk asserted in LlmSpec.
+    "ann_query_ivf" -> ((s, dir) => {
+      val n = Tables.embeddings(s, dir).count()
+      val K = ivfCells(n)
+      val cents = learnedCentroids(s, dir, K)
+      val idxAssign = 2 // cells per indexed vector (redundant assignment)
+      val pfx = s"ann_ivfidx${idxAssign}_${Tables.pathKey(dir)}_"
+      val ct = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "embeddings"))}"
+      if (!s.catalog.tableExists(ct)) {
+        Tables.dropStaleTables(s, pfx)
+        // redundant assignment: each vector lands in its top-2 cells —
+        // a 2x index that buys multiplicative recall at cell
+        // boundaries (the textbook cure for flat/weakly-clustered
+        // spaces, where a neighbor's nearest cell often isn't yours)
+        assignCells(vecs(s, dir), cents, idxAssign, viaBroadcast = K > 4096)
+          .select(col("vec_id").as("idx_id"), col("cell"))
+          .write.mode("overwrite").bucketBy(16, "cell").sortBy("cell")
+          .format("parquet").saveAsTable(ct)
+      }
+      val (_, vt, _) = Incremental.annIndex(s, dir) // shared vector store
+      val probes = probeBatch(s, dir)
+      val P = 10 // query-side multi-probe width
+      val pcells = assignCells(probes, cents, P, viaBroadcast = false)
+        .select(col("vec_id").as("id_q"), col("cell"))
+      val cand = pcells.join(s.table(ct), Seq("cell"))
+        .where(col("idx_id") =!= col("id_q"))
+        .select("id_q", "idx_id").distinct()
+      val pv = probes.select(col("vec_id").as("id_q"), col("v").as("vq"),
+        col("nrm").as("nq"))
+      rerankTopK(s, cand, pv, vt)
     }),
 
     // approximate pairs (cos > 0.4) via SRP-LSH bucket join + exact

@@ -58,6 +58,16 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"kNN-serving recall $recall < 0.9 (exact=${exact.size}, ann=${ann.size})")
   }
 
+  test("ann_query_ivf: recall >= 0.9 vs exact sim_topk on the pinned 16-probe batch") {
+    val exact = q("sim_topk")
+      .where("id_a < 16")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = q("ann_query_ivf")
+      .select("id_q", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"IVF-serving recall $recall < 0.9 (exact=${exact.size}, ann=${ann.size})")
+  }
+
   test("IVF assignment: broadcast-join path == centroid-literal path; K=sqrt(n), sub-bits off at fixture scale") {
     import org.apache.spark.sql.functions._
     import graft.functions.DotProduct.dot
