@@ -60,6 +60,43 @@ object Text3 extends QueryPack {
       Text3.decontaminate(corpus, eval)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // Sub-document boilerplate scrub (the paragraph/line-dedup stage of
+    // a crawl pipeline, expressed on the fixture's single-line docs as
+    // fixed 8-token segments): a segment appearing in MORE than 3
+    // distinct documents is boilerplate and is removed from every doc;
+    // the doc is reassembled from its surviving segments in order.
+    // Segmentation is one map-side transform over the token array (no
+    // explode-then-window); reassembly sorts (seg_idx, seg_text)
+    // structs inside the aggregate, so collect_list's arbitrary arrival
+    // order can't leak into the output. The df count and drop-join key
+    // on the segment TEXT to stay bit-identical with the oracle — at
+    // the north-star scale the join key would be xxhash64(segment) (8
+    // bytes through the shuffle instead of the string) with text
+    // carried only for reassembly.
+    "text_boilerplate_scrub" -> ((s, dir) => {
+      val segs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(
+          transform(
+            sequence(lit(0), ceil(size(col("toks")) / 8.0).cast("int") - 1),
+            i => concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8)))))
+          .as(Seq("seg_idx", "seg_text")))
+      val dfreq = segs.groupBy("seg_text")
+        .agg(countDistinct(col("doc_id")).as("dfreq"))
+      val kept = segs.join(dfreq, Seq("seg_text")).where(col("dfreq") <= 3)
+      val clean = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg_text")))),
+            x => x.getField("seg_text"))).as("clean_text"))
+      segs.groupBy("doc_id").agg(count(lit(1)).as("n_seg"))
+        .join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_seg"),
+          (col("n_seg") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
     })
   )
 
@@ -78,6 +115,28 @@ object Text3 extends QueryPack {
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE NOT (doc_id % 97 = 0 AND doc_id < 100000)
         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_boilerplate_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+        |         unnest(string_split(text,' ')) AS tok FROM documents),
+        |segs AS (
+        |  SELECT doc_id, (pos-1)//8 AS seg_idx,
+        |         string_agg(tok, ' ' ORDER BY pos) AS seg_text
+        |  FROM t GROUP BY doc_id, (pos-1)//8),
+        |df AS (SELECT seg_text, count(DISTINCT doc_id) AS dfreq
+        |       FROM segs GROUP BY seg_text),
+        |kept AS (SELECT s.* FROM segs s JOIN df USING (seg_text)
+        |         WHERE dfreq <= 3),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |               string_agg(seg_text, ' ' ORDER BY seg_idx) AS clean_text
+        |        FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_seg FROM segs GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_seg,
+        |       t.n_seg - COALESCE(a.n_kept, 0) AS n_dropped,
+        |       COALESCE(a.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin
   )
 }
