@@ -17,6 +17,37 @@ class PlanSpec extends AnyFunSuite {
   private def physical(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("sink_compact: the compaction rewrite plans as Coalesce — no shuffle Exchange") {
+    // reproduce the key's rewrite plan shape directly (the key itself
+    // executes the write eagerly, so its returned frame is the
+    // read-back, not the rewrite)
+    val frag = Tables.orders(spark, dir).repartition(8)
+    val plan = frag.coalesce(3).queryExecution.executedPlan.toString
+    assert(plan.contains("Coalesce"), s"no Coalesce in rewrite plan:\n$plan")
+    // the coalesce itself must not introduce a shuffle on top of the
+    // (deliberate) fragmentation repartition
+    val afterRepartition = plan.substring(0, plan.indexOf("Exchange"))
+    assert(afterRepartition.contains("Coalesce"),
+      s"a shuffle Exchange sits above Coalesce — bin-packing is shuffling:\n$plan")
+  }
+
+  test("join_bloom_persisted: the revived filter probes the fact scan below the join") {
+    val plan = physical("join_bloom_persisted")
+    assert(plan.contains("bloommightcontain"), s"no bloom probe in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$plan")
+    // the probe must appear BEFORE (deeper than) the join operator line
+    val probeAt = plan.indexOf("bloommightcontain")
+    val joinAt = plan.indexOf("BroadcastHashJoin")
+    assert(probeAt > joinAt,
+      s"bloom probe not below the join (probe@$probeAt join@$joinAt):\n$plan")
+  }
+
+  test("ann_query_topk: the persisted band store is read as a bucketed scan (no index-side shuffle)") {
+    val plan = physical("ann_query_topk")
+    assert(plan.contains("Bucketed: true"),
+      s"index side not read as bucketed scan:\n$plan")
+  }
+
   test("scan_pruned: predicate and projection reach the parquet scan") {
     val plan = physical("scan_pruned")
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45"),
