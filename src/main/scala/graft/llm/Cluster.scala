@@ -193,7 +193,22 @@ object Cluster extends QueryPack {
     // alternation (adversarial-diameter-safe path) — identical result
     // by construction, checked against the same recursive-CTE oracle
     "dedup_clusters_star" -> ((s, dir) =>
-      clusterQuery(s, dir, e => componentsStar(e)._1))
+      clusterQuery(s, dir, e => componentsStar(e)._1)),
+
+    // representative selection — the step after cluster resolution in a
+    // curation pipeline ("keep one doc per cluster"): the rep is the
+    // longest doc (tie: min doc_id), one partitioned window over the
+    // labels joined with doc lengths. Singleton docs are their own rep.
+    "dedup_cluster_rep" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      clusterQuery(s, dir, components)
+        .join(Tables.documents(s, dir).select("doc_id", "n_chars"), Seq("doc_id"))
+        .withColumn("is_rep", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster_id"), col("is_rep"))
+        .orderBy("doc_id")
+    })
   )
 
   // same trigram-Jaccard pair CTE as dedup_ngram_jaccard, then a
@@ -228,14 +243,25 @@ object Cluster extends QueryPack {
         |reach(a, b) AS (
         |  SELECT a, b FROM edges
         |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-        |SELECT d.doc_id,
-        |       CAST(COALESCE(LEAST(MIN(r.b), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
-        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lbl AS (
+        |  SELECT d.doc_id,
+        |         CAST(COALESCE(LEAST(MIN(r.b), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+        |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |  GROUP BY d.doc_id)
+        |""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    "dedup_clusters" -> clustersOracle,
-    "dedup_clusters_star" -> clustersOracle
+    "dedup_clusters" ->
+      (clustersOracle + "SELECT doc_id, cluster_id FROM lbl ORDER BY doc_id"),
+    "dedup_clusters_star" ->
+      (clustersOracle + "SELECT doc_id, cluster_id FROM lbl ORDER BY doc_id"),
+    "dedup_cluster_rep" ->
+      (clustersOracle +
+        """SELECT l.doc_id, l.cluster_id,
+          |       (row_number() OVER (PARTITION BY l.cluster_id
+          |                           ORDER BY d.n_chars DESC, l.doc_id) = 1) AS is_rep
+          |FROM lbl l JOIN documents d ON d.doc_id = l.doc_id
+          |ORDER BY l.doc_id""".stripMargin)
   )
 }

@@ -199,6 +199,26 @@ object Extras6 extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Domain mixing to a TARGET distribution (uniform across langs
+    // here) — the other half of the training-mix story next to
+    // sample_stratified's fixed rates: per-stratum acceptance weights
+    // are DERIVED FROM THE DATA (rate_l = 10000·min_cnt / cnt_l,
+    // integer math so both engines agree exactly), broadcast as a tiny
+    // dim, and applied with the same deterministic per-doc hash. At
+    // 100 TB the weight table is one map-side aggregate + broadcast;
+    // the accept test stays embarrassingly parallel.
+    "sample_mixture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(min(col("cnt")).as("mn"))))
+        .select(col("lang"), expr("(10000 * mn) div cnt").as("rate"))
+      docs.join(broadcast(rates), "lang")
+        .where(pmod(col("doc_id") * 131L + 17L, lit(10000L)) < col("rate"))
+        .select(col("doc_id"), col("lang"), col("rate"))
+        .orderBy("doc_id")
+    }),
+
     // Semi-structured ingestion through VariantType: parse the props
     // JSON once into the binary variant encoding, then typed path
     // extraction — the open-schema bag the message contract (§1.2)
@@ -313,6 +333,13 @@ object Extras6 extends QueryPack {
         |WHERE (doc_id * 131 + 17) % 100 <
         |  CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30 WHEN 'es' THEN 50
         |            WHEN 'fr' THEN 70 WHEN 'zh' THEN 90 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |r AS (SELECT lang, (10000 * (SELECT min(cnt) FROM c)) // cnt AS rate FROM c)
+        |SELECT doc_id, lang, rate FROM documents JOIN r USING (lang)
+        |WHERE (doc_id * 131 + 17) % 10000 < rate
         |ORDER BY doc_id""".stripMargin,
 
     "fn_variant" ->
