@@ -144,6 +144,42 @@ object Extras5 extends QueryPack {
         ORDER BY supp_nation, cust_nation, l_year""")
     }),
 
+    // Q8: national market share — the 8-table join with a conditional
+    // numerator inside a ratio aggregate, by year (decimal-exact
+    // numerator and denominator, so the double division is
+    // bit-identical across engines)
+    "sql_tpch_q8" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      Tables.region(s, dir).createOrReplaceTempView("region_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT o_year,
+               ROUND(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume
+                                        ELSE 0 END AS DECIMAL(28,4))) AS DOUBLE)
+                     / CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE),
+                     4) AS mkt_share
+        FROM (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part_v JOIN lineitem_v ON p_partkey = l_partkey
+               JOIN supplier_v ON s_suppkey = l_suppkey
+               JOIN orders_v ON o_orderkey = l_orderkey
+               JOIN customer_v ON c_custkey = o_custkey
+               JOIN nation_v n1 ON c_nationkey = n1.n_nationkey
+               JOIN region_v ON n1.n_regionkey = r_regionkey
+               JOIN nation_v n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+            AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00') v
+        GROUP BY o_year
+        ORDER BY o_year""")
+    }),
+
     // Q13: customer order-count distribution — the LEFT-join-then-
     // double-aggregate shape (customers with zero orders must survive
     // into the c_count = 0 bucket)
@@ -333,6 +369,29 @@ object Extras5 extends QueryPack {
         |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') v
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "sql_tpch_q8" ->
+      """SELECT o_year,
+        |       ROUND(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume
+        |                                ELSE 0 END AS DECIMAL(28,4))) AS DOUBLE)
+        |             / CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE),
+        |             4) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         l_extendedprice * (1 - l_discount) AS volume,
+        |         n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |       JOIN supplier ON s_suppkey = l_suppkey
+        |       JOIN orders ON o_orderkey = l_orderkey
+        |       JOIN customer ON c_custkey = o_custkey
+        |       JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |       JOIN region ON n1.n_regionkey = r_regionkey
+        |       JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00') v
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
 
     "sql_tpch_q13" ->
       """SELECT c_count, COUNT(*) AS custdist
