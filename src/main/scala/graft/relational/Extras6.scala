@@ -199,6 +199,21 @@ object Extras6 extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // EXACT distinct counting that scales like a sketch: per-bucket
+    // roaring-style bitmaps (bitmap_bit_position within 32k-wide
+    // buckets, bitmap_construct_agg per (group, bucket)) then a sum of
+    // per-bucket cardinalities. Unlike count_distinct's single wide
+    // hash aggregate, the partial state is a fixed-width bitmap per
+    // bucket — mergeable, spill-friendly, and exact where
+    // approx_count_distinct is not. Oracle = plain COUNT(DISTINCT).
+    "agg_bitmap_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))").as("c"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n_users"))
+        .orderBy("event_type")),
+
     // Domain mixing to a TARGET distribution (uniform across langs
     // here) — the other half of the training-mix story next to
     // sample_stratified's fixed rates: per-stratum acceptance weights
@@ -334,6 +349,10 @@ object Extras6 extends QueryPack {
         |  CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30 WHEN 'es' THEN 50
         |            WHEN 'fr' THEN 70 WHEN 'zh' THEN 90 END
         |ORDER BY doc_id""".stripMargin,
+
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "sample_mixture" ->
       """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
