@@ -199,6 +199,23 @@ object Extras6 extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // XML surface: synthesize an XML fragment per row, parse it back
+    // with the native xpath_* expressions (string / long / node-list
+    // count). The oracle re-derives the same parts with regexes —
+    // xpath is the Spark-side surface under test, not shared plumbing
+    // (same convention as fn_url).
+    "fn_xml" -> ((s, dir) => {
+      val xml = concat(lit("<r><id>"), col("n_nationkey"), lit("</id><nm>"),
+        col("n_name"), lit("</nm><t><v>a</v><v>b</v></t></r>"))
+      Tables.nation(s, dir)
+        .withColumn("x", xml)
+        .select(col("n_nationkey"),
+          expr("xpath_string(x, '/r/nm')").as("nm"),
+          expr("xpath_long(x, '/r/id')").as("idv"),
+          expr("size(xpath(x, '/r/t/v/text()'))").as("nv"))
+        .orderBy("n_nationkey")
+    }),
+
     // EXACT distinct counting that scales like a sketch: per-bucket
     // roaring-style bitmaps (bitmap_bit_position within 32k-wide
     // buckets, bitmap_construct_agg per (group, bucket)) then a sum of
@@ -353,6 +370,12 @@ object Extras6 extends QueryPack {
     "agg_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "fn_xml" ->
+      """SELECT n_nationkey, n_name AS nm,
+        |       CAST(n_nationkey AS BIGINT) AS idv,
+        |       CAST(2 AS INT) AS nv
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "sample_mixture" ->
       """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
