@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   *    dedup candidate counts scale linearly, as independent shards
   *    would, instead of quadratically as naive duplication would force.
   *  - embeddings: ids shifted; the vector is circularly rotated by
-  *    copy % 64 and sign-flipped every 64-copy "era" — within-copy
-  *    cosine structure is exactly preserved (rotation and global
-  *    negation are isometries), cross-copy vectors decorrelate: two
-  *    copies would correlate only at equal rotation AND equal era
-  *    parity, i.e. 128 copies apart — beyond the supported range.
+  *    copy % 64, and every 64-copy "era" additionally negates the
+  *    even-indexed coordinates — within-copy cosine structure is
+  *    exactly preserved (rotation and a fixed ±1 diagonal are both
+  *    isometries), cross-copy vectors decorrelate: copies 64 apart
+  *    share the rotation but differ by the half-negation, giving
+  *    cos ≈ (Σodd − Σeven)/|v|² ≈ 0 on random-ish data (a FULL
+  *    negation here would make them exactly anti-correlated —
+  *    cos = −1 — which is still linear dependence and would leak
+  *    n² structure into any |cos|-sensitive key).
   *  - events/orders/lineitem/customer: key spaces shifted per copy
   *    (consistent across join keys); dims (nation/region/part/supplier)
   *    stay single-copy, as dims do at real scale.
@@ -55,7 +59,7 @@ object ScaleGen {
       val rotated = if (rot == 0) col("embedding")
         else concat(slice(col("embedding"), rot + 1, 64 - rot), slice(col("embedding"), 1, rot))
       val signed = if ((c / 64) % 2 == 0) rotated
-        else transform(rotated, x => -x)
+        else transform(rotated, (x, i) => when(i % 2 === 0, -x).otherwise(x))
       emb.select((col("vec_id") + c * 10000000L).as("vec_id"),
         signed.as("embedding"), col("label"))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")

@@ -57,21 +57,31 @@ object Tables {
     * clears the in-memory catalog's stale registration: a same-process
     * fixture regen would otherwise leave tableExists=true pointing at a
     * deleted location. */
+  /** Directory entries whose name starts with `prefix` — the stream is
+    * closed eagerly (an unclosed Files.list holds a directory fd until
+    * GC; the bench calls these listers hundreds of times per JVM). */
+  def listByPrefix(dir: java.nio.file.Path, prefix: String): List[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.list(dir)
+    try st.iterator().asScala.filter(_.getFileName.toString.startsWith(prefix)).toList
+    finally st.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.walk(p)
+    try st.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    finally st.close()
+  }
+
   def dropStaleTables(s: SparkSession, prefix: String): Unit = {
     import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
     val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")) match {
       case u if u.getScheme == "file" => Paths.get(u)
       case u => Paths.get(u.getPath)
     }
-    if (Files.isDirectory(wh)) {
-      Files.list(wh).iterator().asScala.toList
-        .filter(_.getFileName.toString.startsWith(prefix))
-        .foreach { p =>
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.delete)
-        }
-    }
+    if (Files.isDirectory(wh)) listByPrefix(wh, prefix).foreach(deleteRecursively)
     s.catalog.listTables().collect()
       .map(_.name).filter(_.startsWith(prefix))
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
@@ -80,15 +90,6 @@ object Tables {
   /** /tmp sibling of dropStaleTables for path-based (non-catalog)
     * write-once layouts: removes every /tmp entry starting with
     * `prefix` before the new fingerprint's layout is written. */
-  def dropStalePaths(prefix: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val tmp = Paths.get("/tmp")
-    Files.list(tmp).iterator().asScala.toList
-      .filter(p => p.getFileName.toString.startsWith(prefix))
-      .foreach { p =>
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-      }
-  }
+  def dropStalePaths(prefix: String): Unit =
+    listByPrefix(java.nio.file.Paths.get("/tmp"), prefix).foreach(deleteRecursively)
 }

@@ -132,11 +132,15 @@ object Incremental extends QueryPack {
     * the same spec, so the table stays bucket-joinable — probes remain
     * bucket-to-bucket with no index re-shuffle, and the daily cost is
     * exactly the batch's signatures (never a rescan of the index). The
-    * caller drives the query (AvailableNow or continuous). */
+    * caller picks the trigger (AvailableNow drain by default, or a
+    * ProcessingTime cadence for continuous maintenance). */
   def maintainSimhashIndex(streamingDocs: DataFrame, table: String,
-      ckpt: String): org.apache.spark.sql.streaming.StreamingQuery =
+      ckpt: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
     streamingDocs.writeStream
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         bands(Dedup.simhashOf(batch))

@@ -74,8 +74,11 @@ object Similarity extends QueryPack {
     * as a plan literal or broadcasts (see assignCells). */
   private[graft] def learnedCentroids(s: SparkSession, dir: String, k: Int): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val pfx = s"graft_ivf_cents_${k}_${Tables.pathKey(dir)}_"
-    val path = s"/tmp/$pfx${Tables.fingerprint(dir, "embeddings")}"
+    // prefix excludes k: when a regenerated fixture changes n (and so
+    // K = ivfCells(n)), the old K's centroid dirs must be swept too —
+    // every caller derives the same single active k per fingerprint
+    val pfx = s"graft_ivf_cents_${Tables.pathKey(dir)}_"
+    val path = s"/tmp/$pfx${k}_${Tables.fingerprint(dir, "embeddings")}"
     if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
       Tables.dropStalePaths(pfx)
       import org.apache.spark.ml.clustering.KMeans
@@ -341,7 +344,7 @@ object Similarity extends QueryPack {
       val (_, vt, _) = Incremental.annIndex(s, dir) // shared vector store
       val probes = probeBatch(s, dir)
       val P = 10 // query-side multi-probe width
-      val pcells = assignCells(probes, cents, P, viaBroadcast = false)
+      val pcells = assignCells(probes, cents, P, viaBroadcast = K > 4096)
         .select(col("vec_id").as("id_q"), col("cell"))
       val cand = pcells.join(s.table(ct), Seq("cell"))
         .where(col("idx_id") =!= col("id_q"))

@@ -175,12 +175,24 @@ object Storage extends QueryPack {
           .write.mode("overwrite").parquet(frag)
       }
       val target = 256L * 1024 // fixture-scaled stand-in for ~256 MB
-      val bytes = Files.list(Paths.get(frag)).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(Files.size(_)).sum
-      val nOut = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+      val bytes = {
+        val st = Files.list(Paths.get(frag))
+        try st.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size(_)).sum
+        finally st.close()
+      }
+      val scan = s.read.parquet(frag)
+      // coalesce can only REDUCE partition count: the scan's own file
+      // packing may already bin the small files into fewer (larger-
+      // than-target) partitions, in which case that packing IS the
+      // compaction granularity and coalesce is a no-op — so the real
+      // output count is min(ceil(bytes/target), scan partitions)
+      val nOut = math.max(1, math.min(
+        math.ceil(bytes.toDouble / target).toInt,
+        scan.rdd.getNumPartitions))
       val out = s"/tmp/graft_compact_orders_${key(dir)}"
-      s.read.parquet(frag).coalesce(nOut)
+      scan.coalesce(nOut)
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)
         .select(col("o_orderkey"), col("o_custkey"),

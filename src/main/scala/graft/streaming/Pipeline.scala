@@ -94,20 +94,38 @@ object Pipeline {
       val q = s.readStream.schema(redeliverySchema).json(inDir)
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val routed = routeAttempt(batch).localCheckpoint()
+          // idempotent verdict sink: each micro-batch owns a batch=<id>
+          // partition dir written with OVERWRITE, so a batch replayed
+          // after a mid-write failure rewrites its own output instead
+          // of appending duplicate dispositions
           routed.where(col("verdict") =!= "RESCHEDULE" ||
               col("delivery_count") >= maxDeliveries)
             .select(col("event_id"),
               when(col("verdict") === "RESCHEDULE", lit("DEAD_LETTER"))
                 .otherwise(col("verdict")).as("disposition"),
               col("delivery_count").cast("long").as("attempts"))
-            .write.mode("append").parquet(outDir)
-          routed.where(col("verdict") === "RESCHEDULE" &&
-              col("delivery_count") < maxDeliveries)
-            .drop("verdict")
-            .withColumn("delivery_count", col("delivery_count") + 1)
-            .write.mode("append").json(inDir)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          // re-enqueue guarded by a per-batch marker (json appends have
+          // no overwrite-in-place): a replayed batch skips the second
+          // enqueue. The marker lives under an underscore dir, which
+          // Spark's file listing treats as hidden — the stream source
+          // never reads it. A crash exactly between the append and the
+          // marker still duplicates (the classic at-least-once window a
+          // real broker closes with transactions); the verdict sink
+          // above is fully idempotent.
+          val markerDir = java.nio.file.Paths.get(inDir, "_reenq")
+          java.nio.file.Files.createDirectories(markerDir)
+          val marker = markerDir.resolve(s"done_$batchId")
+          if (!java.nio.file.Files.exists(marker)) {
+            routed.where(col("verdict") === "RESCHEDULE" &&
+                col("delivery_count") < maxDeliveries)
+              .drop("verdict")
+              .withColumn("delivery_count", col("delivery_count") + 1)
+              .write.mode("append").json(inDir)
+            java.nio.file.Files.createFile(marker)
+          }
           ()
         }
         .start()

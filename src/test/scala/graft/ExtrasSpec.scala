@@ -157,21 +157,27 @@ class ExtrasSpec extends AnyFunSuite {
   }
 
   test("sink_compact: bin-packs the fragmented table to the computed file count, rows unchanged") {
-    import scala.jdk.CollectionConverters._
-    def parquetFiles(p: String) =
-      java.nio.file.Files.list(java.nio.file.Paths.get(p)).iterator().asScala
+    def parquetFiles(p: String) = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      try st.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toList
+      finally st.close()
+    }
     val compacted = relational.Storage.queries("sink_compact")(spark, dir)
     val src = Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     assert(compacted.count() === src.count())
     assert(compacted.except(src).count() === 0)
     val k = Tables.pathKey(dir)
-    val frag = parquetFiles(
-      s"/tmp/graft_frag_orders_${k}_${Tables.fingerprint(dir, "orders")}")
+    val fragPath = s"/tmp/graft_frag_orders_${k}_${Tables.fingerprint(dir, "orders")}"
+    val frag = parquetFiles(fragPath)
     val out = parquetFiles(s"/tmp/graft_compact_orders_$k")
-    val expected = math.max(1, math.ceil(
-      frag.map(java.nio.file.Files.size(_)).sum.toDouble / (256L * 1024)).toInt)
+    // coalesce cannot exceed the scan's own file-packed partition count
+    val expected = math.max(1, math.min(
+      math.ceil(
+        frag.map(java.nio.file.Files.size(_)).sum.toDouble / (256L * 1024)).toInt,
+      spark.read.parquet(fragPath).rdd.getNumPartitions))
     assert(frag.size == 64, s"fragmented layout should have 64 shards, got ${frag.size}")
     assert(out.size == expected, s"compacted to ${out.size} files, expected $expected")
     assert(out.size < frag.size, "compaction must reduce file count")
@@ -190,10 +196,8 @@ class ExtrasSpec extends AnyFunSuite {
     assert(persisted.except(inProcess).count() === 0)
     assert(inProcess.except(persisted).count() === 0)
     // the filter artifact really went through a parquet boundary
-    import scala.jdk.CollectionConverters._
-    val hit = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
-      .iterator().asScala.exists(_.getFileName.toString.startsWith(
-        s"graft_bloom_cust_${Tables.pathKey(dir)}_"))
+    val hit = Tables.listByPrefix(java.nio.file.Paths.get("/tmp"),
+      s"graft_bloom_cust_${Tables.pathKey(dir)}_").nonEmpty
     assert(hit, "persisted bloom parquet artifact not found under /tmp")
   }
 

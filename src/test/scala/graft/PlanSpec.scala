@@ -26,8 +26,9 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Coalesce"), s"no Coalesce in rewrite plan:\n$plan")
     // the coalesce itself must not introduce a shuffle on top of the
     // (deliberate) fragmentation repartition
-    val afterRepartition = plan.substring(0, plan.indexOf("Exchange"))
-    assert(afterRepartition.contains("Coalesce"),
+    val exchangeAt = plan.indexOf("Exchange")
+    assert(exchangeAt >= 0, s"expected the deliberate repartition Exchange in:\n$plan")
+    assert(plan.substring(0, exchangeAt).contains("Coalesce"),
       s"a shuffle Exchange sits above Coalesce — bin-packing is shuffling:\n$plan")
   }
 

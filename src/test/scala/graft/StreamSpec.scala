@@ -215,7 +215,10 @@ class StreamSpec extends AnyFunSuite {
         lit(1).as("delivery_count"))
       .write.mode("append").json(inDir)
     Pipeline.redeliverStream(spark, inDir, outDir, ckpt)
+    // batch=<id> partition dirs (the idempotent per-batch sink) surface
+    // a discovered `batch` column — project it away for the compare
     val streamed = spark.read.parquet(outDir)
+      .select("event_id", "disposition", "attempts")
     val batch = Pipeline.redeliver(Tables.events(spark, dir))
     assertSameRows(streamed, batch)
     // every message gets exactly one final disposition
