@@ -199,6 +199,28 @@ object Extras6 extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Observation API: metrics ride the SAME pass as the job instead of
+    // a second scan — the monitoring hook every production pipeline
+    // wraps around its writes (row counts, checksums, key ranges as
+    // data-quality gates). One noop action drives the plan; the
+    // collected metrics become the result frame, oracle'd against the
+    // plain aggregates a second scan would have computed.
+    "obs_metrics" -> ((s, dir) => {
+      import org.apache.spark.sql.Observation
+      val obs = Observation()
+      Tables.lineitem(s, dir)
+        .observe(obs, count(lit(1)).as("n_rows"),
+          Stable.dsum(col("l_quantity")).as("sum_qty"),
+          max(col("l_orderkey")).as("max_orderkey"))
+        .foreach(_ => ())
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_qty").asInstanceOf[Double],
+        m("max_orderkey").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_qty", "max_orderkey")
+    }),
+
     // XML surface: synthesize an XML fragment per row, parse it back
     // with the native xpath_* expressions (string / long / node-list
     // count). The oracle re-derives the same parts with regexes —
@@ -370,6 +392,12 @@ object Extras6 extends QueryPack {
     "agg_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "obs_metrics" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |  MAX(l_orderkey) AS max_orderkey
+        |FROM lineitem""".stripMargin,
 
     "fn_xml" ->
       """SELECT n_nationkey, n_name AS nm,
