@@ -62,6 +62,30 @@ object Text3 extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Unigram language-model quality scoring — the KenLM-perplexity
+    // filter of a crawl pipeline, reduced to its oracle-able core: the
+    // corpus's own unigram distribution is the model, and each doc is
+    // scored by its mean negative log-likelihood (high avg_nll = the
+    // doc is full of tokens the corpus finds improbable — gibberish or
+    // off-distribution). Two shuffles: token-frequency aggregate, then
+    // tokens ⋈ frequencies re-grouped per doc; the scalar corpus total
+    // rides a 1-row broadcast. Per-token nll is rounded before the
+    // decimal-exact mean, so accumulation order can't leak into the
+    // hash gate (Stable.davg discipline).
+    "text_unigram_logprob" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy("tok").agg(count(lit(1)).as("ctok"))
+      val tot = toks.agg(count(lit(1)).as("ntot"))
+      toks.join(tf, "tok").crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          round(lit(0.0) - log(col("ctok").cast("double") / col("ntot")), 6).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          graft.relational.Stable.davg(col("nll")).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // Sub-document boilerplate scrub (the paragraph/line-dedup stage of
     // a crawl pipeline, expressed on the fixture's single-line docs as
     // fixed 8-token segments): a segment appearing in MORE than 3
@@ -116,6 +140,18 @@ object Text3 extends QueryPack {
         |WHERE NOT (doc_id % 97 = 0 AND doc_id < 100000)
         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_unigram_logprob" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |tf AS (SELECT tok, count(*) AS ctok FROM t GROUP BY tok),
+        |n AS (SELECT count(*) AS ntot FROM t),
+        |sc AS (SELECT doc_id,
+        |              ROUND(0.0 - ln(CAST(ctok AS DOUBLE) / ntot), 6) AS nll
+        |       FROM t JOIN tf USING (tok) CROSS JOIN n)
+        |SELECT doc_id, COUNT(*) AS n_toks,
+        |       ROUND(CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4)
+        |         AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_boilerplate_scrub" ->
       """WITH t AS (
