@@ -24,16 +24,38 @@ import org.apache.spark.sql.functions._
   *    cos ≈ (Σodd − Σeven)/|v|² ≈ 0 on random-ish data (a FULL
   *    negation here would make them exactly anti-correlated —
   *    cos = −1 — which is still linear dependence and would leak
-  *    n² structure into any |cos|-sensitive key).
+  *    n² structure into any |cos|-sensitive key). Known tail
+  *    (ADVICE r05): that cross-era cosine has std ≈ 0.18 for 64-dim
+  *    data, so at > 64 copies ~1% of same-base cross-era twins land
+  *    past |cos| = 0.4 — an O(n) population of spurious near-threshold
+  *    pairs. Any ±1 diagonal (random signs included) has the same
+  *    tail, so it is documented rather than re-engineered: read 100×
+  *    probe deltas at the 0.4 threshold with that floor in mind, and
+  *    measure recall against PLANTED pairs (below), not raw pair
+  *    counts.
+  *
+  * With a 4th arg `twins`, embeddings additionally get PLANTED
+  * near-duplicate twins for recall measurement at scale (VERDICT r05
+  * item 1 — the regime where the corpus-adaptive LSH geometry engages):
+  * every 10th vector of every copy gains a perturbed twin at
+  * vec_id + 5 000 000 (inside the copy's 1e7 id stripe, so twin pairs
+  * are within-copy and survive the isometries by construction). The
+  * perturbation is deterministic hash noise x_i + δ·u_i
+  * (u_i ~ U[-0.5, 0.5] from xxhash64(vec_id, i)) with δ cycling
+  * {0.088, 0.142, 0.21} by vec_id%3, placing twin cosines in three
+  * bands ≈ {0.98, 0.95, 0.90} (unit-norm fixture vectors:
+  * cos ≈ 1/√(1+(2.31δ)²)). graft.RecallProbe recovers the pairs as
+  * (id, id+5e6) and measures per-band recall of the approximate keys.
   *  - events/orders/lineitem/customer: key spaces shifted per copy
   *    (consistent across join keys); dims (nation/region/part/supplier)
   *    stay single-copy, as dims do at real scale.
   *
-  * Usage: tools/run.sh graft.ScaleGen <srcSfDir> <outDir> <copies>
+  * Usage: tools/run.sh graft.ScaleGen <srcSfDir> <outDir> <copies> [twins]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    val Array(src, out, nStr) = args
+    val (src, out, nStr) = (args(0), args(1), args(2))
+    val plantTwins = args.length > 3 && args(3) == "twins"
     val n = nStr.toInt
     require(n >= 1 && n <= 128, "copies must be in [1, 128] (embedding rotation + era sign)")
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -54,7 +76,7 @@ object ScaleGen {
     }.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    copies { c =>
+    val embCopies = copies { c =>
       val rot = c % 64
       val rotated = if (rot == 0) col("embedding")
         else concat(slice(col("embedding"), rot + 1, 64 - rot), slice(col("embedding"), 1, rot))
@@ -62,7 +84,20 @@ object ScaleGen {
         else transform(rotated, (x, i) => when(i % 2 === 0, -x).otherwise(x))
       emb.select((col("vec_id") + c * 10000000L).as("vec_id"),
         signed.as("embedding"), col("label"))
-    }.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    val embOut = if (!plantTwins) embCopies else {
+      val delta = element_at(
+        array(lit(0.088), lit(0.142), lit(0.21)),
+        (pmod(col("vec_id"), lit(3)) + 1).cast("int"))
+      val twins = embCopies.where(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 5000000L).as("vec_id"),
+          transform(col("embedding").cast("array<double>"), (x, i) =>
+            x + delta * (pmod(xxhash64(col("vec_id"), i), lit(100000L)) / 100000.0 - 0.5))
+            .cast("array<float>").as("embedding"),
+          col("label"))
+      embCopies.unionByName(twins)
+    }
+    embOut.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // via Tables.events: the ns-timestamp column normalizes to µs
     // TimestampType (raw read refuses TIMESTAMP(NANOS)); the copy is

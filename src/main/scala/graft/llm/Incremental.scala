@@ -86,23 +86,23 @@ object Incremental extends QueryPack {
     * raw table count (metadata-only) with the same corpus-adaptive rule
     * as the batch LSH keys (the index fingerprint pins the fixture, so
     * build and probe always agree). */
-  private[llm] def embedIndex(s: SparkSession, dir: String): (String, String, Int) =
+  private[llm] def embedIndex(s: SparkSession, dir: String): (String, String, Int, Int) =
     srpIndexOf(s, dir, "dedup_embidx", Some(col("vec_id") % 4 =!= 0))
 
   /** Full-corpus variant of the two-artifact SRP index, for ANN kNN
     * serving (ann_query_topk): same band store + vector store, no day-1
     * predicate. Shares the fingerprint-keyed write-once discipline. */
-  private[llm] def annIndex(s: SparkSession, dir: String): (String, String, Int) =
+  private[llm] def annIndex(s: SparkSession, dir: String): (String, String, Int, Int) =
     srpIndexOf(s, dir, "ann_embidx", None)
 
   private def srpIndexOf(s: SparkSession, dir: String, tag: String,
-                         pred: Option[org.apache.spark.sql.Column]): (String, String, Int) = {
-    // bits sized from the RAW table count — parquet-footer metadata
+                         pred: Option[org.apache.spark.sql.Column]): (String, String, Int, Int) = {
+    // geometry sized from the RAW table count — parquet-footer metadata
     // only, no day-1 scan on the (hot) probe path. The ~0.75 factor to
     // the true day-1 size shifts log2(n²) by under one bit; the sizing
     // is a heuristic and build/probe apply the same rule, which is the
     // property that matters.
-    val bits = Similarity.adaptiveBits(Tables.embeddings(s, dir).count())
+    val (tables, bits) = Similarity.srpGeometry(Tables.embeddings(s, dir).count())
     val fp = key(Tables.fingerprint(dir, "embeddings"))
     val (st, vt) = (s"${tag}_sig_${key(dir)}_$fp", s"${tag}_vec_${key(dir)}_$fp")
     if (!s.catalog.tableExists(st)) {
@@ -116,13 +116,13 @@ object Incremental extends QueryPack {
         .write.mode("overwrite")
         .bucketBy(16, "idx_id").sortBy("idx_id")
         .format("parquet").saveAsTable(vt)
-      Similarity.srpBuckets(base, bits)
+      Similarity.srpBuckets(base, tables, bits)
         .select(col("tbl"), col("sig"), col("vec_id").as("idx_id"))
         .write.mode("overwrite")
         .bucketBy(16, "tbl", "sig").sortBy("tbl", "sig")
         .format("parquet").saveAsTable(st)
     }
-    (st, vt, bits)
+    (st, vt, tables, bits)
   }
 
   /** Streaming maintenance of a SimHash band-store index (VERDICT r04
@@ -226,10 +226,10 @@ object Incremental extends QueryPack {
     // zero false positives (the exact re-check guarantees the latter).
     "dedup_incr_embed" -> ((s, dir) => {
       import graft.functions.DotProduct.dot
-      val (st, vt, bits) = embedIndex(s, dir)
+      val (st, vt, tables, bits) = embedIndex(s, dir)
       val delta = Tables.embeddings(s, dir).where(col("vec_id") % 4 === 0)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val dsig = Similarity.srpBuckets(delta, bits)
+      val dsig = Similarity.srpBuckets(delta, tables, bits)
         .select(col("vec_id").as("delta_id"), col("tbl"), col("sig"))
       val cand = dsig.join(s.table(st), Seq("tbl", "sig"))
         .select("delta_id", "idx_id").distinct()

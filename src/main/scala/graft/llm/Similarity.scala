@@ -45,20 +45,13 @@ object Similarity extends QueryPack {
     * 42, emitted by the fused SrpSignature expression (one codegen loop
     * instead of L×B dot-product sub-expressions; VERDICT r01 item 2).
     *
-    * Bits per table are CORPUS-ADAPTIVE: with uniform occupancy the
-    * bucket join produces ≈ L·n²/2^(B+1) candidate pairs, so a fixed B
-    * is quadratic in disguise — measured directly on the 10× ScaleGen
-    * probe, where B=3 (8 buckets/table) took sim_lsh_ann from ~2.5 s to
-    * 134 s. Sizing 2^B ∝ n caps candidates-per-vector at a constant:
-    * B = max(3, ⌈log2(L·n²/4e7)⌉) keeps ≈≤20 M candidate pairs at any
-    * n (B=3 through n≈2 k — the fixtures and the sf0.001 recall tests
-    * are unchanged — 7 bits at 20 k, 14 at 200 k). The recall trade is
-    * the textbook one: P(candidate) = 1-(1-p^B)^L with p = 1-θ/π, so
-    * at production near-dup thresholds (cos ≥ 0.9, p ≈ 0.9) recall
-    * stays ≥0.95 through B=13, while low-similarity targets (cos 0.4)
-    * degrade — at that radius ~n²/8 of ALL pairs qualify and no LSH
-    * family can prune without losing them (BASELINE.md round-1 note).
-    */
+    * Geometry is CORPUS-ADAPTIVE in BOTH dimensions — see srpGeometry:
+    * with uniform occupancy the bucket join produces ≈ L·n²/2^(B+1)
+    * candidate pairs, so a fixed B is quadratic in disguise (measured
+    * directly on the 10× ScaleGen probe, where B=3 took sim_lsh_ann
+    * from ~2.5 s to 134 s), and a fixed L lets recall decay as B grows.
+    * L and B below are the floor values the fixtures see (B=3 through
+    * n ≈ 2 k — the sf0.001 recall tests are unchanged). */
   private[llm] val L = 12
   private[llm] val B = 3
 
@@ -161,27 +154,47 @@ object Similarity extends QueryPack {
     }
   }
 
-  private[llm] def adaptiveBits(n: Long): Int =
-    // capped at 30: SrpSignature packs the signature in an Int (bits<31);
-    // past ~8e7 vectors the right lever is more tables (L), not more bits
-    math.min(30,
-      math.max(B, math.ceil(math.log(L.toDouble * n * n / 4e7) / math.log(2)).toInt))
+  /** Corpus-adaptive SRP geometry (tables, bits). Bits keep the
+    * candidate budget: B = ⌈log2(L·n²/4e7)⌉ caps expected bucket-join
+    * pairs ≈ 2e7 at any n (capped at 30 — SrpSignature packs the
+    * signature in an Int). Tables hold RECALL: growing B alone prunes
+    * true pairs too — the textbook P(candidate) = 1-(1-p^B)^L at the
+    * production near-dup threshold (cos 0.9, p = 1-acos(0.9)/π ≈ 0.856)
+    * falls to ~0.77 by B = 14 (n ≈ 200 k) with L = 12. So L doubles
+    * (12 → 24 → 48) until that recall clears 0.93, with B re-derived
+    * from the same budget each step — candidates stay ≈ budget because
+    * doubling L adds one bit. Fixture and 10×-probe scales are
+    * unchanged (L = 12 through n ≈ 6e4); n ≈ 2e5 lands on (48, 16),
+    * predicted recall 0.985 at cos 0.9 / 0.9997 at cos 0.95 — measured
+    * empirically on planted twins by graft.RecallProbe (BASELINE.md).
+    * Low-similarity targets (cos 0.4, p = 0.63) still degrade at large
+    * n: no LSH family can keep that radius while pruning (the trade
+    * documented above, now with measured numbers). */
+  private[graft] def srpGeometry(n: Long): (Int, Int) = {
+    val p = 1 - math.acos(0.9) / math.Pi
+    def bitsFor(l: Int): Int = math.min(30, math.max(B,
+      math.ceil(math.log(l.toDouble * n * n / 4e7) / math.log(2)).toInt))
+    var l = L
+    while (l < 48 && 1 - math.pow(1 - math.pow(p, bitsFor(l)), l) < 0.93) l *= 2
+    (l, bitsFor(l))
+  }
 
   /** (vec_id, tbl, sig) bucket assignments — ids only, no vector
-    * payload, so the bucket self-join shuffles ~12 ints per vector
-    * instead of 12 copies of the 64-double embedding. */
-  private[llm] def srpBuckets(e: DataFrame, bits: Int): DataFrame = {
+    * payload, so the bucket self-join shuffles ~L ints per vector
+    * instead of L copies of the 64-double embedding. */
+  private[llm] def srpBuckets(e: DataFrame, tables: Int, bits: Int): DataFrame = {
     import graft.functions.SrpSignature.srpSignature
     e.select(col("vec_id"),
-      posexplode(srpSignature(col("v"), L, bits, 64, 42L)).as(Seq("tbl", "sig")))
+      posexplode(srpSignature(col("v"), tables, bits, 64, 42L)).as(Seq("tbl", "sig")))
   }
 
   /** Distinct candidate id pairs (id_a < id_b) that share ≥1 SRP bucket.
-    * `nRows` sizes B — callers count the RAW embeddings table (a parquet
-    * metadata-only count), not the repartitioned/normed plan, so the
-    * sizing action costs no shuffle or norm work. */
+    * `nRows` sizes the geometry — callers count the RAW embeddings table
+    * (a parquet metadata-only count), not the repartitioned/normed plan,
+    * so the sizing action costs no shuffle or norm work. */
   private[llm] def srpCandidates(e: DataFrame, nRows: Long): DataFrame = {
-    val sigs = srpBuckets(e, adaptiveBits(nRows))
+    val (tables, bits) = srpGeometry(nRows)
+    val sigs = srpBuckets(e, tables, bits)
     sigs.select(col("vec_id").as("id_a"), col("tbl"), col("sig"))
       .join(sigs.select(col("vec_id").as("id_b"), col("tbl"), col("sig")),
         Seq("tbl", "sig"))
@@ -273,7 +286,7 @@ object Similarity extends QueryPack {
       val assigned = assignCells(e, learnedCentroids(s, dir, K), P,
         viaBroadcast = K > 4096)
       val probe = (if (bits2 == 0) assigned
-                   else assigned.join(srpBuckets(e, bits2), Seq("vec_id")))
+                   else assigned.join(srpBuckets(e, L, bits2), Seq("vec_id")))
         .localCheckpoint()
       val keys = if (bits2 == 0) Seq("cell") else Seq("cell", "tbl", "sig")
       val cands = probe.select(col("vec_id").as("id_a") +: keys.map(col): _*)
@@ -301,11 +314,25 @@ object Similarity extends QueryPack {
     // build is the one-time fingerprint-keyed job. Probabilistic
     // (SRP buckets can miss a neighbor) — recall vs the exact sim_topk
     // twin on the same probe ids asserted in LlmSpec.
+    //
+    // MULTI-PROBE (Lv et al., VLDB'07): the query side also probes
+    // every bucket within Hamming distance ≤ 2 of its signature —
+    // 1 + B + B(B-1)/2 buckets per table, QUERY SIDE ONLY (the index
+    // stores one row per vector per table, unchanged). This is the
+    // serving-shape lever the pair keys can't afford: per-query
+    // candidates stay ≈ probes·L·masks·occupancy (occupancy is held
+    // ~constant by the adaptive geometry), while kNN recall at
+    // mid-similarity radii — where single-bucket probing collapses as
+    // B grows (measured 0.25 at cos 0.4–0.55, 10× corpus) — recovers
+    // to ≈0.9+ (RecallProbe, BASELINE.md).
     "ann_query_topk" -> ((s, dir) => {
-      val (st, vt, bits) = Incremental.annIndex(s, dir)
+      val (st, vt, tables, bits) = Incremental.annIndex(s, dir)
       val probes = probeBatch(s, dir)
-      val psig = srpBuckets(probes, bits)
-        .select(col("vec_id").as("id_q"), col("tbl"), col("sig"))
+      val masks: Seq[Int] = 0 +: (0 until bits).map(1 << _) ++:
+        (for { i <- 0 until bits; j <- (i + 1) until bits } yield (1 << i) | (1 << j))
+      val psig = srpBuckets(probes, tables, bits)
+        .select(col("vec_id").as("id_q"), col("tbl"),
+          explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
       val cand = psig.join(s.table(st), Seq("tbl", "sig"))
         .where(col("idx_id") =!= col("id_q"))
         .select("id_q", "idx_id").distinct()
@@ -341,9 +368,13 @@ object Similarity extends QueryPack {
           .write.mode("overwrite").bucketBy(16, "cell").sortBy("cell")
           .format("parquet").saveAsTable(ct)
       }
-      val (_, vt, _) = Incremental.annIndex(s, dir) // shared vector store
+      val (_, vt, _, _) = Incremental.annIndex(s, dir) // shared vector store
       val probes = probeBatch(s, dir)
-      val P = 10 // query-side multi-probe width
+      // query-side multi-probe width, growing ∝ √K: per-probe candidate
+      // count is P·(n/K)·idxAssign ≈ 2·n^(3/4) — still sublinear — while
+      // holding mid-similarity kNN recall as the cell count grows
+      // (10 through the fixtures; 13 at the 10× probe, 22 at 100×)
+      val P = math.max(10, math.ceil(math.sqrt(K.toDouble)).toInt)
       val pcells = assignCells(probes, cents, P, viaBroadcast = K > 4096)
         .select(col("vec_id").as("id_q"), col("cell"))
       val cand = pcells.join(s.table(ct), Seq("cell"))

@@ -15,6 +15,17 @@ class LlmSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, dir)
 
+  test("dedup_ngram_jaccard minhash prefilter reproduces the postings path exactly") {
+    val pre = q("dedup_ngram_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val post = graft.llm.Dedup.ngramJaccardPairsPostings(
+        Tables.documents(spark, dir), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(post.nonEmpty, "fixture should contain near-dup pairs")
+    assert(pre == post,
+      s"prefiltered pairs != postings pairs (pre=${pre.size}, post=${post.size})")
+  }
+
   test("dedup_near (MinHash LSH) recalls the planted near-duplicates") {
     val exact = q("dedup_ngram_jaccard")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
