@@ -31,6 +31,45 @@ object Curate extends QueryPack {
       exact.join(drops, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"), col("quality"))
         .orderBy("doc_id")
+    }),
+
+    // v2 (VERDICT r05 item 3): CLUSTER-SAFE curation. v1 drops the
+    // higher doc of every near-dup PAIR, which is not transitive-safe —
+    // in a chain A~B~C (A!~C) it keeps only A even though B/C may be
+    // the better representatives, and with different pair orderings it
+    // can drop every member of a cluster except an arbitrary endpoint.
+    // v2 resolves the pair graph into connected components
+    // (Cluster.components — the same solver dedup_clusters verifies)
+    // and keeps ONE representative per near-dup cluster: the longest
+    // doc, ties to min doc_id (the dedup_cluster_rep convention). Same
+    // shuffle-bounded staging — quality is map-only, exact dedup one
+    // hash shuffle, pair mining df-pruned postings over the shrunken
+    // survivor set, and the component solver runs on (id, id) label
+    // pairs that are tiny next to the corpus.
+    "pipeline_curate_v2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, dir)
+        .withColumn("quality", Text.qualityScore(col("text")))
+        .where(col("quality") >= 0.75)
+      val exact = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+        .where(col("rn") === 1).drop("rn")
+      val pairs = Dedup.ngramJaccardPairs(exact.select("doc_id", "text"), 0.5)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val labels = Cluster.components(edges)
+      val clustered = exact
+        .join(labels.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
+          col("lang"), col("source"), col("quality"), col("n_chars"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      clustered
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("doc_id"), col("cluster_id"), col("lang"), col("source"),
+          col("quality"))
+        .orderBy("doc_id")
     })
   )
 
@@ -63,6 +102,51 @@ object Curate extends QueryPack {
          |SELECT ex.doc_id, lang, source, quality
          |FROM ex LEFT JOIN drops ON ex.doc_id = drops.doc_id
          |WHERE drops.doc_id IS NULL
-         |ORDER BY ex.doc_id""".stripMargin
+         |ORDER BY ex.doc_id""".stripMargin,
+
+    // the recursive-CTE twin of the Spark component solver, with the
+    // quality/exact-dedup head (extends Cluster's transitive-closure
+    // oracle — VERDICT r05 item 3)
+    "pipeline_curate_v2" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id, lang, source, text, n_chars, ${Text.qualityScoreD} AS quality
+         |  FROM documents),
+         |f AS (SELECT * FROM q WHERE quality >= 0.75),
+         |ex AS (SELECT * FROM f
+         |       QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1),
+         |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |             generate_subscripts(string_split(text, ' '), 1) AS pos
+         |      FROM ex),
+         |tg AS (SELECT DISTINCT doc_id,
+         |         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS ng
+         |       FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |       QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+         |pruned AS (SELECT tg.doc_id, tg.ng FROM tg
+         |           JOIN (SELECT ng, count(*) AS dfreq FROM tg GROUP BY ng) d USING (ng)
+         |           WHERE dfreq <= 20),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |          FROM pruned a JOIN pruned b ON a.ng = b.ng AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jp AS (SELECT id_a, id_b FROM pairs
+         |       JOIN sizes sa ON sa.doc_id = id_a
+         |       JOIN sizes sb ON sb.doc_id = id_b
+         |       WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lbl AS (
+         |  SELECT ex.doc_id,
+         |         CAST(COALESCE(LEAST(MIN(r.b), ex.doc_id), ex.doc_id) AS BIGINT) AS cluster_id
+         |  FROM ex LEFT JOIN reach r ON r.a = ex.doc_id
+         |  GROUP BY ex.doc_id)
+         |SELECT l.doc_id, l.cluster_id, e.lang, e.source, e.quality
+         |FROM lbl l JOIN ex e ON e.doc_id = l.doc_id
+         |QUALIFY row_number() OVER (PARTITION BY l.cluster_id
+         |                           ORDER BY e.n_chars DESC, l.doc_id) = 1
+         |ORDER BY l.doc_id""".stripMargin
   )
 }
