@@ -97,6 +97,25 @@ object Filters extends QueryPack {
           "ACCEPT")
           .when(Selector.compileEvents("event_type = 'error'"), "RESCHEDULE")
           .otherwise("REJECT").as("verdict")))
+          ,
+
+    // JMS §3.8 header identifiers as first-class selector metadata
+    // (VERDICT r05 item 4): JMSTimestamp (epoch millis), JMSPriority
+    // (0-9), JMSXDeliveryCount (the redelivery convention — here the
+    // deterministic stand-in delivery_count = event_id mod 3 + 1, so
+    // the predicate is closed-form oracle-able), JMSType,
+    // JMSDeliveryMode, JMSMessageID, JMSCorrelationID (absent → NULL).
+    // All compile to plain pushable Catalyst expressions like every
+    // other selector.
+    "filter_headers" -> ((s, dir) =>
+      evOut(Tables.events(s, dir)
+        .withColumn("delivery_count", pmod(col("event_id"), lit(3)) + 1)
+        .where(Selector.compileEvents(
+          "JMSTimestamp >= 1705000000000 AND JMSPriority BETWEEN 3 AND 8 " +
+            "AND JMSXDeliveryCount < 3 AND JMSType <> 'error' " +
+            "AND JMSDeliveryMode = 'PERSISTENT' AND JMSCorrelationID IS NULL " +
+            "AND JMSMessageID LIKE 'ID:%'")),
+        (pmod(col("event_id"), lit(3)) + 1).as("delivery_count")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -152,6 +171,14 @@ object Filters extends QueryPack {
          |  CASE WHEN event_type IN ('purchase','signup') AND value > 50 THEN 'ACCEPT'
          |       WHEN event_type = 'error' THEN 'RESCHEDULE'
          |       ELSE 'REJECT' END AS verdict
-         |FROM events ORDER BY event_id""".stripMargin
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "filter_headers" ->
+      s"""$evSel, event_id % 3 + 1 AS delivery_count FROM events
+         |WHERE epoch_ms(ts) >= 1705000000000
+         |  AND (CAST(props->>'$$.k' AS BIGINT) % 10) BETWEEN 3 AND 8
+         |  AND event_id % 3 + 1 < 3
+         |  AND event_type <> 'error'
+         |ORDER BY event_id""".stripMargin
   )
 }

@@ -13,7 +13,9 @@ import org.scalacheck.rng.Seed
 class SelectorSpec extends AnyFunSuite {
 
   private val genIdent: Gen[Expr] =
-    Gen.oneOf("value", "event_type", "user_id", "props.k", "flag").map(Ident.apply)
+    Gen.oneOf("value", "event_type", "user_id", "props.k", "flag",
+      "JMSTimestamp", "JMSPriority", "JMSXDeliveryCount", "JMSType",
+      "JMSMessageID", "JMSDeliveryMode", "JMSCorrelationID").map(Ident.apply)
 
   private val genLeaf: Gen[Expr] = Gen.oneOf(
     genIdent,
@@ -83,6 +85,29 @@ class SelectorSpec extends AnyFunSuite {
     assert(Parser.parse("x IS NOT NULL") === IsNull(Ident("x"), negated = true))
     assert(Parser.parse("props.k >= 50") ===
       Cmp(">=", Ident("props.k"), LongL(50)))
+  }
+
+  test("JMS header identifiers compile through the events resolver") {
+    // resolution-level check (no Spark session): every §3.8 header name
+    // must compile to a Column instead of falling through to the
+    // props-bag lookup — the r05 gap was a selector naming
+    // JMSXDeliveryCount silently reading the (absent) props key
+    for (sel <- Seq(
+      "JMSTimestamp >= 1705000000000",
+      "JMSPriority BETWEEN 3 AND 8",
+      "JMSXDeliveryCount < 3",
+      "JMSType <> 'error'",
+      "JMSMessageID LIKE 'ID:%'",
+      "JMSDeliveryMode = 'PERSISTENT'",
+      "JMSCorrelationID IS NULL"))
+      assert(Selector.compileEvents(sel) != null, sel)
+    // headers resolve to metadata expressions, not props lookups:
+    // JMSPriority must reference props.k (its declared derivation)
+    // while JMSXDeliveryCount must reference delivery_count
+    assert(Selector.compileEvents("JMSXDeliveryCount < 3")
+      .toString.contains("delivery_count"))
+    assert(!Selector.compileEvents("JMSTimestamp > 0")
+      .toString.contains("props"))
   }
 
   test("syntax errors throw ParseException") {
