@@ -89,6 +89,20 @@ object Multimodal extends QueryPack {
             .as("frame_hash"))
         .orderBy("doc_id", "frame_no")),
 
+    // exact dedup across the non-text modalities (VERDICT r05 item 6):
+    // content identity for opaque media is sha256 over (kind, bytes) —
+    // kind is part of the key so an image and an audio clip with
+    // byte-identical payloads are NOT merged — min doc_id kept per
+    // group. One hash shuffle, the dedup_exact shape applied at the
+    // media boundary; at 100 TB the payload bytes are hashed where they
+    // sit and only the 32-byte digest shuffles.
+    "multimodal_dedup" -> ((s, dir) =>
+      packed(s, dir)
+        .groupBy(sha2(concat(encode(col("media.kind"), "utf-8"),
+          col("media.bytes")), 256).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("h")),
+
     // partition-wise feature extraction through the typed boundary;
     // the byte-histogram fake is portable enough to oracle-check in SQL
     "multimodal_features" -> ((s, dir) => {
@@ -134,6 +148,15 @@ object Multimodal extends QueryPack {
         |    AS frame_len,
         |  md5(substring(text, CAST(frame_no * 64 + 1 AS BIGINT), 64)) AS frame_hash
         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+
+    "multimodal_dedup" ->
+      """SELECT sha256(
+        |         (CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'text' END) || text) AS h,
+        |       MIN(doc_id) AS keep_id,
+        |       COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1 ORDER BY h""".stripMargin,
 
     "multimodal_features" ->
       s"""SELECT doc_id,
