@@ -13,6 +13,27 @@ object DebugNg {
       val t0 = System.nanoTime; val r = f
       println(f"STAGE $label%-24s ${(System.nanoTime - t0) / 1e9}%8.2f s"); r
     }
+    if (args.length > 1 && args(1) == "ivfmaint") {
+      // IVF maintenance probe: time a pinned 200-vector delta append
+      // against the persisted quantizer at any corpus scale (flat =
+      // cost ∝ delta · K · dim, not corpus)
+      import graft.llm.{Incremental, Similarity}
+      val emb = Tables.embeddings(spark, dir)
+      val n = emb.count()
+      val k = Similarity.ivfCells(n)
+      val cents = time("kmeans-centroids")(
+        Similarity.learnedCentroids(spark, dir, k).localCheckpoint())
+      val t = "ivfmaint_probe"
+      Tables.dropStaleTables(spark, t)
+      time(s"index-build-n$n-k$k")(
+        Incremental.buildIvfIndex(emb, t, cents, k, append = false))
+      val delta = emb.where(col("vec_id") < 200)
+      time("maint-append-200")(
+        Incremental.buildIvfIndex(delta, t, cents, k, append = true))
+      time("retrain-check")(
+        println("  retrainDue=" + Incremental.ivfRetrainDue(spark, t, k)))
+      spark.stop(); return
+    }
     val docs = Tables.documents(spark, dir)
     if (args.length > 1 && args(1) == "ab") {
       // same-JVM A/B of the full keys, alternating, immune to host drift

@@ -362,11 +362,12 @@ object Similarity extends QueryPack {
         // redundant assignment: each vector lands in its top-2 cells —
         // a 2x index that buys multiplicative recall at cell
         // boundaries (the textbook cure for flat/weakly-clustered
-        // spaces, where a neighbor's nearest cell often isn't yours)
-        assignCells(vecs(s, dir), cents, idxAssign, viaBroadcast = K > 4096)
-          .select(col("vec_id").as("idx_id"), col("cell"))
-          .write.mode("overwrite").bucketBy(16, "cell").sortBy("cell")
-          .format("parquet").saveAsTable(ct)
+        // spaces, where a neighbor's nearest cell often isn't yours).
+        // Shared definition with the streaming maintainer
+        // (Incremental.maintainIvfIndex) — delta vectors append under
+        // the same bucketed spec; re-train policy = ivfRetrainDue.
+        Incremental.buildIvfIndex(Tables.embeddings(s, dir), ct, cents, K,
+          append = false)
       }
       val (_, vt, _, _) = Incremental.annIndex(s, dir) // shared vector store
       val probes = probeBatch(s, dir)

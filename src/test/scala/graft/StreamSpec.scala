@@ -265,6 +265,42 @@ class StreamSpec extends AnyFunSuite {
       "probe found no candidates — fixture should contain near-dups")
   }
 
+  test("streaming IVF maintenance: maintained inverted lists == batch-built; retrain trigger") {
+    import graft.llm.{Incremental, Similarity}
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val k = Similarity.ivfCells(n)
+    val cents = Similarity.learnedCentroids(spark, dir, k)
+    // half the corpus is indexed up front; the rest arrives as a stream
+    val initial = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    val arriving = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val streamed = "ivfidx_streamed_test"
+    val batchBuilt = "ivfidx_batch_test"
+    Tables.dropStaleTables(spark, streamed)
+    Tables.dropStaleTables(spark, batchBuilt)
+    Incremental.buildIvfIndex(initial, streamed, cents, k, append = false)
+    val inDir = Files.createTempDirectory("graft_ivfidx_in").toString
+    arriving.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .write.mode("append").json(inDir)
+    val ckpt = Files.createTempDirectory("graft_ckpt_ivfidx").toString
+    val q = Incremental.maintainIvfIndex(
+      spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>").json(inDir),
+      streamed, cents, k, ckpt)
+    q.awaitTermination()
+    // delta assignment against the frozen quantizer must reproduce the
+    // index batch-built over the full corpus with the same centroids
+    Incremental.buildIvfIndex(emb, batchBuilt, cents, k, append = false)
+    assertSameRows(spark.table(streamed), spark.table(batchBuilt))
+    // healthy at the matching K — appends alone must not trip re-train
+    assert(!Incremental.ivfRetrainDue(spark, streamed, k),
+      "retrain tripped on a balanced, correctly-sized index")
+    // and a quantizer the corpus outgrew by > 2x is flagged
+    val staleK = math.max(1, (math.sqrt(n.toDouble) / 4).toInt)
+    assert(Incremental.ivfRetrainDue(spark, streamed, staleK),
+      s"retrain not flagged for stale K=$staleK at n=$n")
+  }
+
   test("rate source produces the canonical message shape") {
     val rate = graft.streaming.MessageSource.rateStream(spark, 100)
     assert(rate.isStreaming)
