@@ -133,6 +133,46 @@ object Pipeline {
     }
   }
 
+  /** Dead-letter TTL age-out (VERDICT r05 item 7). Dead-lettering is
+    * not terminal storage either: a DLQ retains entries for a bounded
+    * TTL (here 5 days of EVENT time) and then evicts them — the
+    * broker's `ttlDurationDefaultInSeconds` convention. */
+  val dlqTtl = "5 days"
+  private val dlqTtlSec = 5L * 24 * 3600
+
+  /** The DLQ content: dead-lettered messages with their event time. */
+  def deadLetters(events: DataFrame): DataFrame =
+    redeliver(events)
+      .where(col("disposition") === "DEAD_LETTER")
+      .join(events.select(col("event_id"), col("ts")), Seq("event_id"))
+      .select(col("event_id"), col("attempts"), col("ts"))
+
+  /** Streaming age-out: the watermark over the DLQ's own event time IS
+    * the TTL clock — an append-mode hourly window aggregate emits a
+    * window exactly once the watermark (max event time − TTL) passes
+    * its end, so the emitted rows are the eviction records ("these
+    * dead letters aged out", with the per-hour count). State is one
+    * open window per hour of TTL — bounded by the TTL, not the queue.
+    * In batch mode the watermark is a no-op and this computes every
+    * window; dlqAgeOutBatch adds the final-watermark cutoff to form
+    * the closed-form twin StreamSpec compares against. */
+  def dlqAgeOut(dlq: DataFrame): DataFrame =
+    dlq.withColumn("ts_sec", date_trunc("second", col("ts")))
+      .withWatermark("ts_sec", dlqTtl)
+      .groupBy(window(col("ts_sec"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_expired"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("n_expired"))
+
+  /** Batch twin: windows whose end has fallen at or before the final
+    * watermark, max(event time) − TTL. */
+  def dlqAgeOutBatch(dlq: DataFrame): DataFrame = {
+    val mx = dlq.agg(unix_timestamp(
+      date_trunc("second", max(col("ts")))).as("mxs"))
+    dlqAgeOut(dlq).crossJoin(broadcast(mx))
+      .where(col("ws") + 3600 <= col("mxs") - dlqTtlSec)
+      .select("ws", "n_expired")
+  }
+
   /** Flagship: route → keep ACCEPTed → enrich with the customer dim
     * (broadcast: the dim is bounded) → per-5-min-window per-type counts
     * and value sums. Works on batch and streaming `events`. */

@@ -75,6 +75,16 @@ object Streams extends QueryPack {
     "stream_redelivery" -> ((s, dir) =>
       Pipeline.redeliver(Tables.events(s, dir)).orderBy("event_id")),
 
+    // DLQ TTL age-out (VERDICT r05 item 7): dead letters retained for a
+    // 5-day event-time TTL, then evicted — per-hour eviction records
+    // (window start + count). Judged via the batch twin's final-
+    // watermark closed form; the streaming form (the watermark IS the
+    // TTL clock, append-mode windows emit on expiry) is verified
+    // stream==batch in StreamSpec.
+    "stream_dlq_ageout" -> ((s, dir) =>
+      Pipeline.dlqAgeOutBatch(
+        Pipeline.deadLetters(Tables.events(s, dir))).orderBy("ws")),
+
     // batch analog of the 10-minute watermark rule: an event is "late"
     // (dropped) if its event time is more than 10 minutes behind the
     // max event time already seen in arrival order (event_id). The
@@ -199,6 +209,17 @@ object Streams extends QueryPack {
         |            WHEN event_type = 'error' THEN 3
         |            ELSE 1 END AS BIGINT) AS attempts
         |FROM e ORDER BY event_id""".stripMargin,
+
+    "stream_dlq_ageout" ->
+      s"""WITH dl AS (
+         |  SELECT event_id, $epochSec AS t FROM events
+         |  WHERE event_type = 'error' AND event_id % 4 = 3),
+         |w AS (SELECT (t // 3600) * 3600 AS ws, COUNT(*) AS n_expired
+         |      FROM dl GROUP BY 1),
+         |mx AS (SELECT MAX(t) AS m FROM dl)
+         |SELECT ws, n_expired FROM w, mx
+         |WHERE ws + 3600 <= m - 432000
+         |ORDER BY ws""".stripMargin,
 
     "stream_watermark" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type, $epochSec AS t FROM events)

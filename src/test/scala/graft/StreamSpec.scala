@@ -265,6 +265,32 @@ class StreamSpec extends AnyFunSuite {
       "probe found no candidates — fixture should contain near-dups")
   }
 
+  test("DLQ TTL age-out: streamed eviction records == batch closed form") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dlq = graft.streaming.Pipeline.deadLetters(Tables.events(spark, dir))
+      .localCheckpoint()
+    val inDir = Files.createTempDirectory("graft_dlq_in").toString
+    dlq.write.mode("append").json(inDir)
+    val ckpt = Files.createTempDirectory("graft_ckpt_dlq").toString
+    val q = graft.streaming.Pipeline.dlqAgeOut(
+        spark.readStream.schema("event_id LONG, attempts LONG, ts TIMESTAMP")
+          .json(inDir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dlq_ageout_probe")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("dlq_ageout_probe")
+    val batch = graft.streaming.Pipeline.dlqAgeOutBatch(dlq)
+    assertSameRows(streamed, batch)
+    // the TTL must be exercised both ways: some windows aged out, some
+    // still inside the retention horizon
+    val allWindows = graft.streaming.Pipeline.dlqAgeOut(dlq).count()
+    assert(streamed.count() > 0, "no dead-letter window aged out")
+    assert(streamed.count() < allWindows,
+      "every window aged out — TTL horizon not exercised")
+  }
+
   test("streaming IVF maintenance: maintained inverted lists == batch-built; retrain trigger") {
     import graft.llm.{Incremental, Similarity}
     val emb = Tables.embeddings(spark, dir)
