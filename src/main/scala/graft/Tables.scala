@@ -37,8 +37,17 @@ object Tables {
 
   /** Filesystem/table-identifier-safe key for a scale-factor dir — the
     * shared sanitizer for every write-once layout path and managed
-    * table name (was re-declared per pack before round 4). */
-  def pathKey(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+    * table name (was re-declared per pack before round 4).
+    *
+    * NON-EXTENSIBLE (ADVICE r05): sanitization alone collapses every
+    * non-alphanumeric to '_', so a sibling dir could extend another's
+    * key across the separator (`.../sf1` → `sf1_` prefixing
+    * `sf1_0_<fp>` from `.../sf1.0`) and prefix-based stale sweeps
+    * would delete the sibling's live artifacts. A fixed-width hash of
+    * the RAW string is appended so no key can be a proper prefix of
+    * another's. */
+  def pathKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "x" + f"${dir.hashCode}%08x"
 
   /** Cheap content fingerprint (size + mtime) of a fixture file, for
     * write-once layout caches: a regenerated fixture at the SAME path

@@ -13,6 +13,15 @@ import java.nio.file.Files
   */
 class ExtrasSpec extends AnyFunSuite {
 
+  /** Multiset (sort-and-compare) equality — except() is SET-based and
+    * blind to per-row multiplicities (ADVICE r05). */
+  private def assertSameMultiset(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Unit = {
+    val ra = a.collect().map(_.toString).sorted.toSeq
+    val rb = b.collect().map(_.toString).sorted.toSeq
+    assert(ra == rb, s"multisets differ: ${ra.size} vs ${rb.size} rows")
+  }
+
   private val dir = "/root/testdata/sf0.001"
 
   // the per-run temp warehouse must be set AFTER tuned(), which sets a
@@ -45,8 +54,7 @@ class ExtrasSpec extends AnyFunSuite {
         .groupBy("user_id").agg(max("running_n").as("n"))
       val batchCounts = Tables.events(spark, dir)
         .groupBy("user_id").agg(count(lit(1)).as("n"))
-      assert(finalCounts.except(batchCounts).count() === 0)
-      assert(batchCounts.except(finalCounts).count() === 0)
+      assertSameMultiset(finalCounts, batchCounts)
     } finally q.stop()
   }
 
@@ -124,8 +132,7 @@ class ExtrasSpec extends AnyFunSuite {
     val plain = Tables.events(spark, dir)
       .join(Tables.customer(spark, dir), col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("c_custkey"), col("c_name"))
-    assert(salted.count() === plain.count())
-    assert(salted.except(plain).count() === 0)
+    assertSameMultiset(salted, plain)
   }
 
   test("BloomMightContain: no false negatives, FP rate within configured bound") {
@@ -167,8 +174,7 @@ class ExtrasSpec extends AnyFunSuite {
     val compacted = relational.Storage.queries("sink_compact")(spark, dir)
     val src = Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    assert(compacted.count() === src.count())
-    assert(compacted.except(src).count() === 0)
+    assertSameMultiset(compacted, src)
     val k = Tables.pathKey(dir)
     val fragPath = s"/tmp/graft_frag_orders_${k}_${Tables.fingerprint(dir, "orders")}"
     val frag = parquetFiles(fragPath)
@@ -190,11 +196,8 @@ class ExtrasSpec extends AnyFunSuite {
       .join(Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING"),
         col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice"))
-    assert(persisted.count() === plain.count())
-    assert(persisted.except(plain).count() === 0)
-    assert(plain.except(persisted).count() === 0)
-    assert(persisted.except(inProcess).count() === 0)
-    assert(inProcess.except(persisted).count() === 0)
+    assertSameMultiset(persisted, plain)
+    assertSameMultiset(persisted, inProcess)
     // the filter artifact really went through a parquet boundary
     val hit = Tables.listByPrefix(java.nio.file.Paths.get("/tmp"),
       s"graft_bloom_cust_${Tables.pathKey(dir)}_").nonEmpty
