@@ -13,6 +13,59 @@ object DebugNg {
       val t0 = System.nanoTime; val r = f
       println(f"STAGE $label%-24s ${(System.nanoTime - t0) / 1e9}%8.2f s"); r
     }
+    if (args.length > 1 && args(1) == "ivfassign") {
+      // A/B the two assignCells shapes at the current corpus scale
+      import graft.llm.Similarity
+      import graft.functions.DotProduct.dot
+      val emb = Tables.embeddings(spark, dir)
+      val n = emb.count()
+      val k = Similarity.ivfCells(n)
+      val cents = Similarity.learnedCentroids(spark, dir, k).localCheckpoint()
+      val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v")))).localCheckpoint()
+      for (i <- 1 to 3) {
+        time(s"literal-k$k-$i")(println("  rows=" +
+          Similarity.assignCells(e, cents, 2, viaBroadcast = false).count()))
+        time(s"broadcast-k$k-$i")(println("  rows=" +
+          Similarity.assignCells(e, cents, 2, viaBroadcast = true).count()))
+      }
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "ivfkey") {
+      // same-JVM A/B of the FULL sim_ivf_ann body under both assignment
+      // shapes (the key itself hardwires assignViaBroadcast)
+      import graft.llm.Similarity
+      import graft.functions.DotProduct.dot
+      val emb = Tables.embeddings(spark, dir)
+      val n = emb.count()
+      val k = Similarity.ivfCells(n)
+      val bits2 = Similarity.ivfSubBits(n, k, 5)
+      val cents = Similarity.learnedCentroids(spark, dir, k).localCheckpoint()
+      def body(viaBroadcast: Boolean): Long = {
+        val e = emb.repartition(col("vec_id"))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        val assigned = Similarity.assignCells(e, cents, 5, viaBroadcast)
+        val probe = (if (bits2 == 0) assigned
+          else assigned.join(Similarity.srpBuckets(e, Similarity.L, bits2), Seq("vec_id")))
+          .localCheckpoint()
+        val keys = if (bits2 == 0) Seq("cell") else Seq("cell", "tbl", "sig")
+        val cands = probe.select(col("vec_id").as("id_a") +: keys.map(col): _*)
+          .join(probe.select(col("vec_id").as("id_b") +: keys.map(col): _*), keys)
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+        cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+          .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .where(col("cos") > 0.4).count()
+      }
+      for (i <- 1 to 3) {
+        time(s"ivfkey-literal-$i")(println("  rows=" + body(false)))
+        time(s"ivfkey-broadcast-$i")(println("  rows=" + body(true)))
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "ivfmaint") {
       // IVF maintenance probe: time a pinned 200-vector delta append
       // against the persisted quantizer at any corpus scale (flat =

@@ -197,7 +197,7 @@ object Incremental extends QueryPack {
     val e = vecs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    Similarity.assignCells(e, cents, 2, viaBroadcast = k > 4096)
+    Similarity.assignCells(e, cents, 2, Similarity.assignViaBroadcast(k))
       .select(col("vec_id").as("idx_id"), col("cell"))
       .write.mode(if (append) "append" else "overwrite")
       .bucketBy(16, "cell").sortBy("cell")

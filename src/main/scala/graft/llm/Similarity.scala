@@ -52,7 +52,7 @@ object Similarity extends QueryPack {
     * from ~2.5 s to 134 s), and a fixed L lets recall decay as B grows.
     * L and B below are the floor values the fixtures see (B=3 through
     * n ≈ 2 k — the sf0.001 recall tests are unchanged). */
-  private[llm] val L = 12
+  private[graft] val L = 12
   private[llm] val B = 3
 
   /** Learned IVF centroids: seeded MLlib k-means (k-means|| init) over
@@ -116,14 +116,25 @@ object Similarity extends QueryPack {
       math.ceil(math.log(L.toDouble * pairs / 4e7) / math.log(2)).toInt))
   }
 
+  /** Crossover between the two assignCells shapes, measured (round 6,
+    * same-JVM A/B, min-of-3): at K = 448 the literal path's per-row
+    * array_sort over K structs costs 4.8 s warm vs 1.4 s for the
+    * broadcast + TopKByScore shape (59 s vs 2.4 s cold — the K-struct
+    * comparator never reaches codegen); at K = 142 they tie. The
+    * literal shape only pays off at small K where plan-constant
+    * scoring beats the n×K row explosion. */
+  private[graft] def assignViaBroadcast(k: Int): Boolean = k > 128
+
   /** Top-P cell assignment per vector against pre-normalized centroids
     * (cos(v, ĉ) = dot(v, ĉ)/|v|; ties broken by cell id ascending).
     * Two physical shapes, bit-identical results:
-    *  - literal (K ≤ 4096): the centroid matrix rides as one codegen
-    *    constant and a single transform lambda scores all K cells per
-    *    row — no join, no shuffle, no n×K materialization.
-    *  - broadcast (K > 4096): a K×dim literal would bloat the plan and
-    *    the driver (VERDICT r04 item 1), so the centroid frame
+    *  - literal (small K — see assignViaBroadcast): the centroid matrix
+    *    rides as one codegen constant and a single transform lambda
+    *    scores all K cells per row — no join, no shuffle, no n×K
+    *    materialization.
+    *  - broadcast: a K×dim literal bloats the plan and the driver
+    *    (VERDICT r04 item 1) and its array_sort comparator dominates at
+    *    mid-K (measured — assignViaBroadcast), so the centroid frame
     *    broadcasts through a nested-loop join and the fused TopKByScore
     *    aggregate reduces the n×K scores to P rows per vector on the
     *    map side before any shuffle. */
@@ -182,7 +193,7 @@ object Similarity extends QueryPack {
   /** (vec_id, tbl, sig) bucket assignments — ids only, no vector
     * payload, so the bucket self-join shuffles ~L ints per vector
     * instead of L copies of the 64-double embedding. */
-  private[llm] def srpBuckets(e: DataFrame, tables: Int, bits: Int): DataFrame = {
+  private[graft] def srpBuckets(e: DataFrame, tables: Int, bits: Int): DataFrame = {
     import graft.functions.SrpSignature.srpSignature
     e.select(col("vec_id"),
       posexplode(srpSignature(col("v"), tables, bits, 64, 42L)).as(Seq("tbl", "sig")))
@@ -284,7 +295,7 @@ object Similarity extends QueryPack {
       val bits2 = ivfSubBits(n, K, P)
       val e = vecs(s, dir)
       val assigned = assignCells(e, learnedCentroids(s, dir, K), P,
-        viaBroadcast = K > 4096)
+        viaBroadcast = assignViaBroadcast(K))
       val probe = (if (bits2 == 0) assigned
                    else assigned.join(srpBuckets(e, L, bits2), Seq("vec_id")))
         .localCheckpoint()
@@ -376,7 +387,7 @@ object Similarity extends QueryPack {
       // holding mid-similarity kNN recall as the cell count grows
       // (10 through the fixtures; 13 at the 10× probe, 22 at 100×)
       val P = math.max(10, math.ceil(math.sqrt(K.toDouble)).toInt)
-      val pcells = assignCells(probes, cents, P, viaBroadcast = K > 4096)
+      val pcells = assignCells(probes, cents, P, viaBroadcast = assignViaBroadcast(K))
         .select(col("vec_id").as("id_q"), col("cell"))
       val cand = pcells.join(s.table(ct), Seq("cell"))
         .where(col("idx_id") =!= col("id_q"))
