@@ -219,6 +219,26 @@ object Similarity extends QueryPack {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
+  /** Shared serving head: multi-probe (Hamming ≤ 2) candidate
+    * (id_q, idx_id) pairs for the pinned probe batch against the
+    * persisted SRP band store — only the probe side shuffles; see
+    * ann_query_topk for the multi-probe rationale. Returns
+    * (candidates, probe frame, vector-store table). */
+  private def servingCandidates(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, String) = {
+    val (st, vt, tables, bits) = Incremental.annIndex(s, dir)
+    val probes = probeBatch(s, dir)
+    val masks: Seq[Int] = 0 +: (0 until bits).map(1 << _) ++:
+      (for { i <- 0 until bits; j <- (i + 1) until bits } yield (1 << i) | (1 << j))
+    val psig = srpBuckets(probes, tables, bits)
+      .select(col("vec_id").as("id_q"), col("tbl"),
+        explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
+    val cand = psig.join(s.table(st), Seq("tbl", "sig"))
+      .where(col("idx_id") =!= col("id_q"))
+      .select("id_q", "idx_id").distinct()
+    (cand, probes, vt)
+  }
+
   /** Shared serving tail: exact cosine re-rank of (id_q, idx_id)
     * candidates against the bucketed vector store, fused map-side
     * top-5 per probe. */
@@ -337,19 +357,32 @@ object Similarity extends QueryPack {
     // B grows (measured 0.25 at cos 0.4–0.55, 10× corpus) — recovers
     // to ≈0.9+ (RecallProbe, BASELINE.md).
     "ann_query_topk" -> ((s, dir) => {
-      val (st, vt, tables, bits) = Incremental.annIndex(s, dir)
-      val probes = probeBatch(s, dir)
-      val masks: Seq[Int] = 0 +: (0 until bits).map(1 << _) ++:
-        (for { i <- 0 until bits; j <- (i + 1) until bits } yield (1 << i) | (1 << j))
-      val psig = srpBuckets(probes, tables, bits)
-        .select(col("vec_id").as("id_q"), col("tbl"),
-          explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
-      val cand = psig.join(s.table(st), Seq("tbl", "sig"))
-        .where(col("idx_id") =!= col("id_q"))
-        .select("id_q", "idx_id").distinct()
+      val (cand, probes, vt) = servingCandidates(s, dir)
       val pv = probes.select(col("vec_id").as("id_q"), col("v").as("vq"),
         col("nrm").as("nq"))
       rerankTopK(s, cand, pv, vt)
+    }),
+
+    // radius-search SERVING — the range twin of ann_query_topk over the
+    // same persisted SRP index and multi-probe candidate head: every
+    // indexed vector within cosine ≥ 0.3 of each pinned probe (the
+    // sim_range_search radius + round(cos, 6) threshold convention),
+    // candidates from the band store, exact cosine re-check against the
+    // bucketed vector store. The exact re-check means the output can
+    // only MISS (never fabricate) matches, so LlmSpec asserts both
+    // recall ≥ 0.9 vs the exact sim_range_search twin and that the
+    // result is a strict subset of it. Exempt — no SQL oracle.
+    "ann_query_range" -> ((s, dir) => {
+      val (cand, probes, vt) = servingCandidates(s, dir)
+      val pv = probes.select(col("vec_id").as("id_q"), col("v").as("vq"),
+        col("nrm").as("nq"))
+      cand.join(broadcast(pv), Seq("id_q"))
+        .join(s.table(vt), Seq("idx_id"))
+        .withColumn("cos", dot(col("vq"), col("v")) / (col("nq") * col("nrm")))
+        .where(round(col("cos"), 6) >= 0.3)
+        .select(col("id_q"), col("idx_id").as("id_m"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy("id_q", "id_m")
     }),
 
     // kNN serving against a persisted IVF index — the learned-quantizer

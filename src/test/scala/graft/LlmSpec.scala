@@ -69,6 +69,19 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"kNN-serving recall $recall < 0.9 (exact=${exact.size}, ann=${ann.size})")
   }
 
+  test("ann_query_range: recall >= 0.9 vs exact sim_range_search; no fabricated matches") {
+    val exact = q("sim_range_search")
+      .select("id_q", "id_m").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact radius twin must find matches")
+    val ann = q("ann_query_range")
+      .select("id_q", "id_m").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"range-serving recall $recall < 0.9 (exact=${exact.size}, ann=${ann.size})")
+    // the exact cosine re-check shares the twin's threshold convention,
+    // so the served set can only miss, never fabricate
+    assert(ann.subsetOf(exact), s"fabricated matches: ${(ann -- exact).take(5)}")
+  }
+
   test("ann_query_ivf: recall >= 0.9 vs exact sim_topk on the pinned 16-probe batch") {
     val exact = q("sim_topk")
       .where("id_a < 16")
