@@ -13,6 +13,19 @@ object DebugNg {
       val t0 = System.nanoTime; val r = f
       println(f"STAGE $label%-24s ${(System.nanoTime - t0) / 1e9}%8.2f s"); r
     }
+    if (args.length > 1 && args(1) == "keys") {
+      // generic drift-immune instrument: alternate the named SparkEntry
+      // keys for 3 rounds in one JVM; compare per-key minima
+      // noop-format write, NOT count() — count() lets the optimizer
+      // prune cardinality-preserving joins (the round-4 Profile lesson;
+      // re-learned here when dedup_embed_lsh "ran" in 0.8 s)
+      val keys = args.drop(2)
+      for (i <- 1 to 3; k <- keys)
+        time(f"$k%-24s r$i")(
+          SparkEntry.queries(k)(spark, dir)
+            .write.format("noop").mode("overwrite").save())
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "ivfassign") {
       // A/B the two assignCells shapes at the current corpus scale
       import graft.llm.Similarity
