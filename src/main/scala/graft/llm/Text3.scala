@@ -121,6 +121,44 @@ object Text3 extends QueryPack {
           (col("n_seg") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))
         .orderBy("doc_id")
+    }),
+
+    // exact repeated-SPAN detection (the "exact substring dedup" signal
+    // from the dedup literature): per doc, how many of its 10-token
+    // rolling windows occur in ≥ 2 DISTINCT docs, and the longest
+    // consecutive run of such windows — the span structure a span-level
+    // scrubber would cut. Rolling windows are built map-side off the
+    // token array; corpus document-frequency is one groupBy; runs are
+    // gaps-and-islands over window start positions (pos − row_number).
+    // Docs shorter than 10 tokens have no windows and no output row.
+    // Scale note: the window strings shuffle literally here (the
+    // definitional, oracle-matched form); a 100 TB run would group by
+    // the 128-bit window hash exactly as ngramJaccardPairs does.
+    "text_dup_spans" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wins = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(
+          filter(
+            transform(col("toks"), (_, i) =>
+              concat_ws(" ", slice(col("toks"), i + lit(1), lit(10)))),
+            (_, i) => i <= size(col("toks")) - 10)).as(Seq("pos", "ws")))
+      val dup = wins.select("ws", "doc_id").distinct()
+        .groupBy("ws").agg(count(lit(1)).as("dfreq"))
+        .where(col("dfreq") >= 2).select("ws")
+      val flagged = wins.join(dup, Seq("ws"), "left_semi")
+      val runs = flagged
+        .withColumn("grp", col("pos") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+        .groupBy("doc_id").agg(sum(col("run")).as("n_dup_windows"),
+          max(col("run")).as("max_dup_run"))
+      wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+        .join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+        .orderBy("doc_id")
     })
   )
 
@@ -173,6 +211,33 @@ object Text3 extends QueryPack {
         |       t.n_seg - COALESCE(a.n_kept, 0) AS n_dropped,
         |       COALESCE(a.clean_text, '') AS clean_text
         |FROM tot t LEFT JOIN agg a USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "text_dup_spans" -> {
+      val leads = (1 to 9).map(k => s"lead(tok,$k) OVER win").mkString(" || ' ' || ")
+      s"""WITH t AS (
+         |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS p,
+         |         unnest(string_split(text,' ')) AS tok FROM documents),
+         |w AS (
+         |  SELECT doc_id, p, tok || ' ' || $leads AS ws
+         |  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+         |  QUALIFY lead(tok,9) OVER win IS NOT NULL),
+         |d AS (SELECT ws FROM w GROUP BY ws HAVING count(DISTINCT doc_id) >= 2),
+         |f AS (SELECT w.doc_id, w.p FROM w JOIN d USING (ws)),
+         |runs AS (SELECT doc_id,
+         |               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |         FROM f),
+         |r2 AS (SELECT doc_id, grp, count(*) AS run FROM runs GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_dup_windows,
+         |               CAST(MAX(run) AS BIGINT) AS max_dup_run
+         |        FROM r2 GROUP BY doc_id),
+         |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+         |       FROM w GROUP BY doc_id)
+         |SELECT nw.doc_id, nw.n_windows,
+         |       COALESCE(a.n_dup_windows, 0) AS n_dup_windows,
+         |       COALESCE(a.max_dup_run, 0) AS max_dup_run
+         |FROM nw LEFT JOIN agg a USING (doc_id)
+         |ORDER BY nw.doc_id""".stripMargin
+    }
   )
 }
