@@ -127,6 +127,28 @@ object RecallProbe {
       col("vec_id").as("id_b"), col("cos")),
       flagged.select(lit(0L).as("id_a"), col("vec_id").as("id_b")))
 
+    // ---- document-side keys: the copy suffix rewrites token VALUES but
+    // suffixes every token of a copy identically, so within-copy trigram
+    // Jaccard is preserved exactly — base exact pairs (the oracle-green
+    // dedup_ngram_jaccard at 1×) expand to planted ground truth the same
+    // way the embedding pairs do. MinHash/SimHash signatures are
+    // recomputed per copy (hash values differ), so measured recall
+    // genuinely exercises each copy's signatures, not one memoized
+    // outcome.
+    if (args.length > 3 && args(3) == "docs" || args.length > 4 && args(4) == "docs") {
+      val baseDocPairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, baseDir)
+        .select(col("id_a"), col("id_b"), col("jacc").cast("double").as("cos"))
+      val docTruth = baseDocPairs.crossJoin(spark.range(copies).toDF("c"))
+        .select((col("id_a") + col("c") * 10000000L).as("id_a"),
+          (col("id_b") + col("c") * 10000000L).as("id_b"), col("cos"))
+        .localCheckpoint()
+      println(s"doc truth pairs (jacc>=0.5, banded by jacc): ${docTruth.count()}")
+      pairRecall("dedup_near", docTruth,
+        SparkEntry.queries("dedup_near")(spark, scaleDir))
+      pairRecall("dedup_simhash", docTruth,
+        SparkEntry.queries("dedup_simhash")(spark, scaleDir))
+    }
+
     // ---- serving keys: brute-force exact top-5 for the pinned probes
     val probes = e.where(col("vec_id") < 16)
       .select(col("vec_id").as("id_q"), col("v").as("vq"), col("nrm").as("nq"))
