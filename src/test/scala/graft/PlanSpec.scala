@@ -68,6 +68,23 @@ class PlanSpec extends AnyFunSuite {
       s"selector predicates not pushed:\n$plan")
   }
 
+  test("JMS header selectors stay pushable where the column allows") {
+    import graft.selector.Selector
+    // JMSType maps straight to a stored column — its predicate must
+    // reach the scan; JMSTimestamp/JMSPriority are derived expressions
+    // (unix_millis / json-extract) that legitimately evaluate above it,
+    // and the constant JMSDeliveryMode clause must constant-fold away
+    // rather than survive as a runtime filter
+    val plan = Tables.events(spark, dir)
+      .where(Selector.compileEvents(
+        "JMSType = 'purchase' AND JMSDeliveryMode = 'PERSISTENT'"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(event_type,purchase)"),
+      s"JMSType predicate not pushed:\n$plan")
+    assert(!plan.toLowerCase.contains("persistent"),
+      s"constant JMSDeliveryMode clause survived constant folding:\n$plan")
+  }
+
   test("join_broadcast / join_star3: dims are broadcast, fact side never shuffles for the join") {
     assert(physical("join_broadcast").contains("BroadcastHashJoin"))
     val star = physical("join_star3")
