@@ -22,6 +22,7 @@ object SparkEntry {
     relational.Extras4,
     relational.Extras5,
     relational.Extras6,
+    relational.Extras7,
     relational.Storage,
     relational.Subqueries,
     llm.Cluster,

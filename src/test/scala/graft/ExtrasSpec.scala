@@ -253,4 +253,37 @@ class ExtrasSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual(user_id,100)"),
       s"range predicates not pushed to parquet:\n$plan")
   }
+
+  test("sql_recursive: depth/root obey the digit-truncation law for every node") {
+    val rows = SparkEntry.queries("sql_recursive")(spark, dir).collect()
+    val nCust = Tables.customer(spark, dir).count()
+    assert(rows.length.toLong == nCust, "recursion must visit every customer exactly once")
+    rows.foreach { r =>
+      val k = r.getAs[Number]("custkey").longValue()
+      val root = r.getAs[Number]("root").longValue()
+      val depth = r.getAs[Number]("depth").intValue()
+      val expectedDepth = if (k < 10) 0 else k.toString.length - 1
+      assert(depth == expectedDepth, s"custkey $k: depth $depth != $expectedDepth")
+      val expectedRoot = (0 until depth).foldLeft(k)((x, _) => x / 10)
+      assert(root == expectedRoot, s"custkey $k: root $root != $expectedRoot")
+    }
+  }
+
+  test("ts_interpolate: gaps are filled within per-type observed bounds; grid matches gapfill") {
+    val interp = SparkEntry.queries("ts_interpolate")(spark, dir).collect()
+    val gap = SparkEntry.queries("ts_gapfill")(spark, dir).collect()
+    assert(interp.length == gap.length, "interpolate and gapfill must share the calendar grid")
+    assert(interp.forall(!_.isNullAt(3)), "every grid cell must carry a value after interpolation")
+    val obsByType = interp.filter(_.getInt(2) == 1)
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> (rs.map(_.getDouble(3)).min, rs.map(_.getDouble(3)).max) }
+    interp.filter(_.getInt(2) == 0).foreach { r =>
+      val (lo, hi) = obsByType(r.getString(0))
+      val v = r.getDouble(3)
+      assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+        s"interpolated ${r.getString(0)}@${r.getLong(1)} = $v outside observed [$lo, $hi]")
+    }
+    // observed-cell count agrees with gapfill's non-empty cells
+    assert(interp.count(_.getInt(2) == 1) == gap.count(_.getLong(2) > 0))
+  }
 }

@@ -85,6 +85,23 @@ class PlanSpec extends AnyFunSuite {
       s"constant JMSDeliveryMode clause survived constant folding:\n$plan")
   }
 
+  test("win_funnel: per-stage event_type filters reach the parquet scan") {
+    val plan = physical("win_funnel")
+    Seq("view", "click", "purchase").foreach { t =>
+      assert(plan.contains(s"EqualTo(event_type,$t)"),
+        s"stage filter $t not pushed to scan:\n$plan")
+    }
+  }
+
+  test("sql_recursive executes as a UnionLoop; ts_gapfill grid join is broadcast") {
+    assert(physical("sql_recursive").contains("UnionLoop"),
+      "recursive CTE did not plan as UnionLoop")
+    // the calendar x types grid is metadata-sized — its cross join must
+    // be a broadcast nested loop, never a shuffle
+    assert(physical("ts_gapfill").contains("BroadcastNestedLoopJoin"),
+      "calendar grid cross join not broadcast")
+  }
+
   test("join_broadcast / join_star3: dims are broadcast, fact side never shuffles for the join") {
     assert(physical("join_broadcast").contains("BroadcastHashJoin"))
     val star = physical("join_star3")
