@@ -34,6 +34,7 @@ object SparkEntry {
     llm.Similarity,
     llm.Text,
     llm.Multimodal,
+    llm.Quantize,
     llm.Curate,
     streaming.Streams
   )

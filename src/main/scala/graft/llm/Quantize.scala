@@ -1,0 +1,179 @@
+package graft.llm
+
+import graft.{QueryPack, Tables}
+import graft.functions.DotProduct.dot
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Product quantization (PQ) over the embedding column — the memory
+  * face of the 100 TB ANN story, complementing Similarity's candidate
+  * pruning: 64 float32 dims (256 B) compress to M = 8 sub-space codes
+  * (8 B, 32×), and top-k serving scans the CODES with per-query lookup
+  * tables (ADC — asymmetric distance computation), touching the full
+  * vectors only for a bounded re-rank head. IVF prunes WHICH vectors a
+  * query scores; PQ shrinks WHAT each scoring touches — at cluster
+  * scale the two compose (IVF-PQ), but each is measurable alone and
+  * this module keeps PQ pure so its recall/compression trade is
+  * isolated.
+  *
+  * Codebooks: per sub-space k-means (256 centroids × 8 dims), seeded,
+  * trained on a bounded sample (≤ 50 k rows) — same one-time
+  * fingerprint-keyed index-artifact discipline as
+  * Similarity.learnedCentroids. The full codebook is 8×256×8 doubles
+  * (~128 KB): it rides as a PLAN LITERAL into every encode/probe
+  * expression (unconditionally — unlike IVF's K = √n centroid table,
+  * which outgrows the literal shape at K > 128, the PQ book is
+  * fixed-size by construction, so the literal path is always the
+  * codegen-friendly one; sub-space distances go through the native
+  * DotProduct via ||s−c||² = |c|² − 2·dot(s,c) + const).
+  *
+  * Both keys are probabilistic (k-means codebooks have no SQL twin) —
+  * exempt under the SparkEntry escape hatch; LlmSpec gates
+  * reconstruction quality, encode determinism, and serving recall vs
+  * the exact sim_topk twin.
+  */
+object Quantize extends QueryPack {
+
+  private[llm] val M = 8        // sub-spaces
+  private[llm] val SubDim = 8   // dims per sub-space (M × SubDim = 64)
+  private[llm] val Ksub = 256   // codes per sub-space → 8 bits, 8 B/vector (the standard PQ operating point: 4-bit codes measured mean recon cos 0.678 / serving recall 0.66 on the fixture — too coarse)
+
+  /** Train-or-load the per-sub-space codebooks. Returned as driver-side
+    * nested Seq (m → code → centroid), hard-capped at 8×256×8 doubles —
+    * a plan-literal-sized artifact by construction. */
+  private[llm] def codebook(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
+    // prefix excludes Ksub (learnedCentroids convention): a geometry
+    // change sweeps the old operating point's artifacts too
+    val pfx = s"graft_pq_book_${Tables.pathKey(dir)}_"
+    val path = s"/tmp/$pfx${Ksub}_${Tables.fingerprint(dir, "embeddings")}"
+    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+      Tables.dropStalePaths(pfx)
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val all = Tables.embeddings(s, dir)
+        .select(col("embedding").cast("array<double>").as("v"))
+      val n = all.count()
+      val data = (if (n > 50000) all.sample(50000.0 / n, 42L) else all)
+        .localCheckpoint() // 8 fits share one materialization of the sample
+      import s.implicits._
+      val rows = (0 until M).flatMap { m =>
+        val sub = data.select(array_to_vector(
+          slice(col("v"), m * SubDim + 1, SubDim)).as("features"))
+        val model = new KMeans().setK(Ksub).setSeed(42L + m).setMaxIter(20).fit(sub)
+        model.clusterCenters.zipWithIndex.map { case (c, i) => (m, i, c.toArray.toSeq) }
+      }
+      rows.toDF("m", "code", "cv").coalesce(1).write.mode("overwrite").parquet(path)
+      data.unpersist()
+    }
+    val loaded = s.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    (0 until M).map(m => (0 until Ksub).map(c =>
+      loaded.find(t => t._1 == m && t._2 == c).get._3.toSeq))
+  }
+
+  /** Encode v (array<double>[64]) to its M nearest-centroid codes via
+    * the fused native PqEncode expression — the composed-builtin form
+    * (256 literal dot sub-expressions per sub-space) overflowed janino's
+    * 64 KB method limit and fell back to interpreted eval at 5.7 ms/row
+    * (the round-1 SrpSignature lesson, re-measured here). */
+  private[llm] def encode(v: Column, book: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.PqCodec.pqEncode(v, book)
+
+  /** Reconstruction of a codes array back to the 64-dim centroid
+    * concatenation (plan-literal book lookup per sub-space). */
+  private[llm] def reconstruct(codes: Column, book: Seq[Seq[Seq[Double]]]): Column =
+    concat((0 until M).map { m =>
+      element_at(typedlit(book(m)), element_at(codes, m + 1) + 1)
+    }: _*)
+
+  /** One-time codes-table artifact: (vec_id, codes array<int>[M], nrm)
+    * — the 8 B/vector compressed corpus the ADC scan reads. */
+  private[llm] def codesTable(s: SparkSession, dir: String,
+      book: Seq[Seq[Seq[Double]]]): String = {
+    val pfx = s"graft_pq_codes_${Tables.pathKey(dir)}_"
+    val path = s"/tmp/$pfx${Ksub}_${Tables.fingerprint(dir, "embeddings")}"
+    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+      Tables.dropStalePaths(pfx)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), encode(col("v"), book).as("codes"),
+          sqrt(dot(col("v"), col("v"))).as("nrm"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PQ encode + reconstruction quality per vector: the codes (csv so
+    // no array reaches the output contract) and cos(v, reconstruction)
+    // — the per-vector compression-fidelity number a corpus owner
+    // monitors. Exempt (k-means codebook) — LlmSpec gates mean
+    // reconstruction cosine and encode determinism.
+    "embed_pq" -> ((s, dir) => {
+      val book = codebook(s, dir)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("codes", encode(col("v"), book))
+        .withColumn("r", reconstruct(col("codes"), book))
+        .select(col("vec_id"),
+          concat_ws(",", col("codes")).as("codes"),
+          round(dot(col("v"), col("r")) /
+            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("r"), col("r")))), 4)
+            .as("recon_cos"))
+        .orderBy("vec_id")
+    }),
+
+    // kNN serving by ADC over the compressed codes: each pinned probe
+    // (vec_id < 16, the serving-batch convention) carries an M×Ksub
+    // lookup table dt[m][c] = dot(q_m, book[m][c]) (~16 KB per query,
+    // broadcast with the probe row); the corpus-side scan reads ONLY
+    // the codes artifact — approx dot(q, v) ≈ Σ_m dt[m][codes_m] is M
+    // array lookups per (probe, vector), 8 B of corpus bytes instead
+    // of 256 — then fused map-side top-1024 per probe (TopKByScore — ~200x the
+    // k=5 contract, the deep-re-rank end of the standard PQ recipe;
+    // 16 probes x 1024 exact dots is noise next to the ADC scan at any
+    // corpus size, and the head is a CONSTANT, not corpus-growing), and
+    // an exact cosine re-rank of that bounded head down to the top-5
+    // contract. The scan is corpus-linear like brute force but 32×
+    // narrower; at cluster scale the same codes artifact partitions
+    // under the IVF cells for the IVF-PQ composition. Exempt — recall
+    // vs exact sim_topk asserted in LlmSpec.
+    "ann_query_pq" -> ((s, dir) => {
+      import graft.functions.TopKByScore.topk
+      val book = codebook(s, dir)
+      val codes = s.read.parquet(codesTable(s, dir, book))
+      val probes = Tables.embeddings(s, dir).where(col("vec_id") < 16)
+        .select(col("vec_id").as("id_q"), col("embedding").cast("array<double>").as("vq"))
+        .withColumn("nq", sqrt(dot(col("vq"), col("vq"))))
+        .withColumn("dt", graft.functions.PqCodec.pqDistTable(col("vq"), book))
+      val adc = codes.crossJoin(broadcast(probes.select("id_q", "dt")))
+        .where(col("vec_id") =!= col("id_q"))
+        .select(col("id_q"),
+          (graft.functions.PqCodec.pqAdc(col("codes"), col("dt")) / col("nrm")).as("adc"),
+          col("vec_id"))
+        .groupBy("id_q")
+        .agg(topk(col("adc"), col("vec_id"), 1024).as("head"))
+        .select(col("id_q"), explode(col("head")).as("t"))
+        .select(col("id_q"), col("t.payload").as("idx_id"))
+      val pv = probes.select(col("id_q"), col("vq"), col("nq"))
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("idx_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      adc.join(broadcast(pv), Seq("id_q"))
+        .join(vecs, Seq("idx_id"))
+        .select(col("id_q"),
+          (dot(col("vq"), col("v")) / (col("nq") * col("nrm"))).as("cos"),
+          col("idx_id"))
+        .groupBy("id_q")
+        .agg(topk(col("cos"), col("idx_id"), 5).as("top"))
+        .select(col("id_q"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("id_q"), (col("pos") + 1).as("rn"),
+          col("t.payload").as("id_b"), round(col("t.score"), 4).as("cos_sim"))
+        .orderBy("id_q", "rn")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map.empty // both keys exempt (k-means)
+}

@@ -266,4 +266,30 @@ class LlmSpec extends AnyFunSuite {
     assert(viaSelector.except(byHand).count() === 0)
     assert(byHand.except(viaSelector).count() === 0)
   }
+
+  test("embed_pq: encoding is deterministic and reconstruction preserves direction") {
+    import org.apache.spark.sql.functions._
+    val pq = q("embed_pq")
+    val stats = pq.agg(avg(col("recon_cos")), min(col("recon_cos"))).collect()(0)
+    val (mean, mn) = (stats.getDouble(0), stats.getDouble(1))
+    info(f"PQ reconstruction: mean cos $mean%.4f, min $mn%.4f")
+    assert(mean >= 0.90, f"mean reconstruction cosine $mean%.4f < 0.90 — codebook not learning (measured 0.95 at the 8-bit operating point)")
+    assert(mn >= 0.0, f"min reconstruction cosine $mn%.4f negative — a sub-space flipped")
+    val c1 = pq.select("vec_id", "codes").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val c2 = q("embed_pq").select("vec_id", "codes").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(c1 == c2, "re-encoding produced different codes — training not seeded/deterministic")
+    assert(c1.values.forall(_.split(",").length == 8), "every vector must carry M=8 codes")
+  }
+
+  test("ann_query_pq: ADC-over-codes serving recalls >= 0.9 of exact sim_topk") {
+    val exact = q("sim_topk")
+      .where("id_a < 16")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 16 * 5, "exact twin must have 5 neighbors per probe")
+    val ann = q("ann_query_pq")
+      .select("id_q", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    info(f"PQ serving recall: $recall%.4f")
+    assert(recall >= 0.9, s"PQ recall $recall < 0.9 (exact=${exact.size}, ann=${ann.size})")
+  }
 }
