@@ -79,6 +79,27 @@ object DebugNg {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "pqmaint") {
+      // PQ codes maintenance probe: time a pinned 200-vector delta
+      // encode-and-append against the frozen codebook at any corpus
+      // scale (flat = cost ∝ delta · M · Ksub · SubDim, not corpus)
+      import graft.llm.Quantize
+      val emb = Tables.embeddings(spark, dir)
+      val n = emb.count()
+      val book = time("codebook")(Quantize.codebook(spark, dir))
+      val path = s"/tmp/pqmaint_probe_${Tables.pathKey(dir)}"
+      time(s"codes-build-n$n")(
+        Quantize.buildPqCodes(emb, path, book, append = false))
+      val delta = emb.where(col("vec_id") < 200)
+      time("maint-append-200")(
+        Quantize.buildPqCodes(delta, path, book, append = true))
+      val baseline = time("fidelity-baseline")(
+        Quantize.bookFidelity(spark, dir, book))
+      println(f"  baseline=$baseline%.4f")
+      time("retrain-check")(
+        println("  retrainDue=" + Quantize.pqRetrainDue(spark, emb, book, baseline)))
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "ivfmaint") {
       // IVF maintenance probe: time a pinned 200-vector delta append
       // against the persisted quantizer at any corpus scale (flat =

@@ -327,6 +327,44 @@ class StreamSpec extends AnyFunSuite {
       s"retrain not flagged for stale K=$staleK at n=$n")
   }
 
+  test("streaming PQ codes maintenance: maintained codes == batch-encoded; drift trigger") {
+    import graft.llm.Quantize
+    val emb = Tables.embeddings(spark, dir)
+    val book = Quantize.codebook(spark, dir)
+    // half the corpus is encoded up front; the rest arrives as a stream
+    val initial = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    val arriving = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val streamed = Files.createTempDirectory("graft_pq_streamed").toString + "/codes"
+    val batchBuilt = Files.createTempDirectory("graft_pq_batch").toString + "/codes"
+    Quantize.buildPqCodes(initial, streamed, book, append = false)
+    val inDir = Files.createTempDirectory("graft_pqidx_in").toString
+    arriving.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .write.mode("append").json(inDir)
+    val ckpt = Files.createTempDirectory("graft_ckpt_pqidx").toString
+    val q = Quantize.maintainPqCodes(
+      spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>").json(inDir),
+      streamed, book, ckpt)
+    q.awaitTermination()
+    // delta encode against the frozen book must reproduce the artifact
+    // batch-encoded over the full corpus with the same book
+    Quantize.buildPqCodes(emb, batchBuilt, book, append = false)
+    assertSameRows(spark.read.parquet(streamed), spark.read.parquet(batchBuilt))
+    // healthy book on its own corpus — appends alone must not trip
+    // re-train (fidelity == the deploy-time baseline by construction)
+    val baseline = Quantize.bookFidelity(spark, dir, book)
+    assert(!Quantize.pqRetrainDue(spark, emb, book, baseline),
+      "retrain tripped on a book matching its training distribution")
+    // a corpus that drifted away from the frozen book is flagged: a
+    // mean shift moves the cloud off the trained centroids entirely —
+    // the classic distribution drift a frozen quantizer cannot cover
+    val driftedCorpus = emb.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => x + lit(2.0)).as("embedding"))
+    assert(Quantize.pqRetrainDue(spark, driftedCorpus, book, baseline),
+      "retrain not flagged for a corpus that drifted off the book")
+  }
+
   test("rate source produces the canonical message shape") {
     val rate = graft.streaming.MessageSource.rateStream(spark, 100)
     assert(rate.isStreaming)
