@@ -23,6 +23,7 @@ object SparkEntry {
     relational.Extras5,
     relational.Extras6,
     relational.Extras7,
+    relational.Extras8,
     relational.Storage,
     relational.Subqueries,
     llm.Cluster,

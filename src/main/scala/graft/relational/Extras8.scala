@@ -1,0 +1,184 @@
+package graft.relational
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 pipeline widening (second batch): the corpus-governance
+  * shapes between "filtered documents" and "training mixture" plus the
+  * changelog/graph operators a message-analytics surface still lacked.
+  *
+  *  - temperature sampling (`sample_temperature`) — the multilingual
+  *    mixture-rebalancing standard (mT5/XLM-R): per-stratum sampling
+  *    weight ∝ p^α (α = 0.3) so low-resource languages are upsampled
+  *    relative to their natural share, realized as a deterministic
+  *    md5-uniform acceptance test per doc. All stratum math happens on
+  *    a lang-grain aggregate (5 rows) broadcast back to the corpus —
+  *    one map-side-combinable groupBy is the only corpus-sized shuffle.
+  *  - changelog application (`sink_cdc_apply`) — fold a CDC stream
+  *    (upserts + deletes, ordered by event time then id) into final
+  *    per-key state: the lakehouse MERGE twin of scd2_merge, with
+  *    delete semantics. One window over the key partition.
+  *  - PageRank (`graph_pagerank`) — fixed-iteration (5, d = 0.85)
+  *    PageRank over the symmetrized customer↔supplier trade graph
+  *    derived from orders⋈lineitem; the host-quality weighting shape a
+  *    crawl-curation pipeline runs over its link graph. Iterations are
+  *    bounded and declarative (join + decimal-stable aggregate per
+  *    round; the edge table with degrees is checkpointed once); sums
+  *    accumulate in DECIMAL(28,15) on both engines so the ranks are
+  *    cross-engine EXACT, not approximately equal — the same
+  *    Stable.dsum discipline as the TPC-H aggregates.
+  */
+object Extras8 extends QueryPack {
+
+  /** Deterministic uniform in [0,1): first 8 md5 hex digits of the id
+    * over 2^32 (the Extras3 hash-bucket construction, continuous form). */
+  private def mdUniform(id: org.apache.spark.sql.Column) =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** DuckDB twin: digit-expand the first 8 md5 hex chars. */
+  private def mdUniformSql(id: String): String =
+    "(" + (0 until 8).map(d =>
+      s"(instr('0123456789abcdef', substring(md5(CAST($id AS VARCHAR)), ${d + 1}, 1)) - 1) * ${1L << (4 * (7 - d))}")
+      .mkString(" + ") + ") / 4294967296.0"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Temperature-scaled mixture sampling: stratum weight w ∝ p^0.3,
+    // acceptance rate = min(1, 0.8·(w/Σw)/p) — `en` (p≈0.44) is
+    // downsampled to ~0.47 while `fr` (p≈0.13) saturates the cap, so
+    // both the capped and scaled branches are exercised on the fixture.
+    // pw is rounded to 12 decimals and the rate to 6 BEFORE the
+    // acceptance compare on both engines, so libm pow ulp differences
+    // can never flip a keep decision.
+    "sample_temperature" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val st = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val tot = st.agg(sum(col("n")).as("nn"))
+      val pw = st.crossJoin(broadcast(tot))
+        .withColumn("p", col("n").cast("double") / col("nn"))
+        .withColumn("pw", round(pow(col("p"), 0.3), 12))
+      val z = pw.agg(Stable.dsum(col("pw"), 12).as("z"))
+      val rates = pw.crossJoin(broadcast(z))
+        .select(col("lang"),
+          round(least(lit(1.0), lit(0.8) * (col("pw") / col("z")) / col("p")), 6)
+            .as("rate"))
+      docs.join(broadcast(rates), Seq("lang"))
+        .where(mdUniform(col("doc_id")) < col("rate"))
+        .select(col("doc_id"), col("lang"), col("rate"))
+        .orderBy("doc_id")
+    }),
+
+    // CDC changelog application: events are a change stream over
+    // user-grain state (op = D on 'error', else upsert), ordered by
+    // (event-time second, event_id) — the unique id breaks same-second
+    // ties deterministically. Final state = last op per key, deleted
+    // keys absent. Second-truncated on both sides (ns-parquet rule).
+    "sink_cdc_apply" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("t"), col("value"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+      val w = Window.partitionBy("user_id").orderBy(col("t").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w))
+        .withColumn("n_changes", count(lit(1)).over(Window.partitionBy("user_id")))
+        .where(col("rn") === 1 && col("op") === "U")
+        .select(col("user_id"), round(col("value"), 2).as("last_value"),
+          col("t").as("last_t"), col("n_changes"))
+        .orderBy("user_id")
+    }),
+
+    // Fixed-iteration PageRank over the symmetrized customer↔supplier
+    // graph (suppliers offset by 1e6 into a shared id space; symmetry
+    // means no dangling nodes, so no leaked-mass redistribution term).
+    // rank' = 0.15/N + 0.85·Σ_in rank/deg, 5 rounds. The edge+degree
+    // table is built and checkpointed once; each round is one shuffle
+    // on dst. Emitted as pr = rank·N (relative to uniform), so the
+    // numbers are O(1) and the 6-decimal rounding is meaningful.
+    "graph_pagerank" -> ((s, dir) => {
+      val ol = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + lit(1000000L)).as("p"))
+        .distinct()
+      val edges0 = ol.select(col("c").as("src"), col("p").as("dst"))
+        .union(ol.select(col("p").as("src"), col("c").as("dst")))
+      val deg = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
+      // the explicit src repartition makes every iteration's edge-side
+      // subtree IDENTICAL, so the planner materializes the exchange
+      // once and the other four rounds read it back (ReusedExchange —
+      // the dedup_simhash pattern; a localCheckpoint here was measured
+      // to LOSE the partitioning through LogicalRDD and re-shuffle the
+      // edge side every round). The rank side arrives partitioned by
+      // node from the previous round's dst aggregation, so each round
+      // costs exactly one corpus-scale shuffle: the contribution agg.
+      val edges = edges0.join(deg, Seq("src")).repartition(col("src"))
+      // N rides as a broadcast one-row frame instead of a driver-side
+      // count(): the whole computation stays one job, so the planner
+      // sees every iteration and reuses the materialized edge exchange
+      val nn = broadcast(deg.agg(count(lit(1)).as("nn"))) // one row per node
+      var rank = deg.crossJoin(nn)
+        .select(col("src").as("node"), (lit(1.0) / col("nn")).as("rank"))
+      for (_ <- 1 to 5) {
+        rank = edges.join(rank, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(Stable.dsum(col("rank") / col("deg"), 15).as("m"))
+          .crossJoin(nn)
+          .select(col("dst").as("node"),
+            (lit(0.15) / col("nn") + lit(0.85) * col("m")).as("rank"))
+      }
+      rank.crossJoin(nn)
+        .select(col("node"), round(col("rank") * col("nn"), 6).as("pr"))
+        .orderBy("node")
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+
+    "sample_temperature" ->
+      s"""WITH st AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |tot AS (SELECT SUM(n) AS nn FROM st),
+         |pw AS (SELECT lang, CAST(n AS DOUBLE) / nn AS p,
+         |         ROUND(pow(CAST(n AS DOUBLE) / nn, 0.3), 12) AS pw
+         |       FROM st CROSS JOIN tot),
+         |z AS (SELECT CAST(SUM(CAST(pw AS DECIMAL(28,12))) AS DOUBLE) AS z FROM pw),
+         |rates AS (SELECT lang, ROUND(LEAST(1.0, 0.8 * (pw / z) / p), 6) AS rate
+         |          FROM pw CROSS JOIN z)
+         |SELECT d.doc_id, d.lang, rate
+         |FROM documents d JOIN rates USING (lang)
+         |WHERE ${mdUniformSql("d.doc_id")} < rate
+         |ORDER BY doc_id""".stripMargin,
+
+    "sink_cdc_apply" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS t, value,
+        |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op FROM events),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_changes FROM e)
+        |SELECT user_id, ROUND(value, 2) AS last_value, t AS last_t,
+        |       CAST(n_changes AS BIGINT) AS n_changes
+        |FROM r WHERE rn = 1 AND op = 'U'
+        |ORDER BY user_id""".stripMargin,
+
+    "graph_pagerank" -> {
+      def it(k: Int): String =
+        s"""it$k AS (SELECT e.dst AS node,
+           |  0.15 / (SELECT n FROM nn)
+           |  + 0.85 * CAST(SUM(CAST(r.rank / e.deg AS DECIMAL(28,15))) AS DOUBLE) AS rank
+           |  FROM edges e JOIN it${k - 1} r ON e.src = r.node GROUP BY e.dst)""".stripMargin
+      s"""WITH ol AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+         |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges0 AS (SELECT c AS src, p AS dst FROM ol
+         |           UNION ALL SELECT p AS src, c AS dst FROM ol),
+         |deg AS (SELECT src, count(*) AS deg FROM edges0 GROUP BY 1),
+         |edges AS (SELECT e.src, e.dst, d.deg FROM edges0 e JOIN deg d USING (src)),
+         |nn AS (SELECT count(DISTINCT src) AS n FROM edges),
+         |it0 AS (SELECT DISTINCT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM edges),
+         |${(1 to 5).map(it).mkString(",\n")}
+         |SELECT node, ROUND(rank * (SELECT n FROM nn), 6) AS pr
+         |FROM it5 ORDER BY node""".stripMargin
+    }
+  )
+}

@@ -179,4 +179,18 @@ class PlanSpec extends AnyFunSuite {
     val plan = physical("topk_global")
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not streamed:\n$plan")
   }
+
+  test("graph_pagerank: the edge-side exchange is materialized once and reused per round") {
+    // every iteration's edge-side subtree is identical (deliberate src
+    // repartition), so the runtime must reuse one materialized exchange
+    // across the 5 rounds instead of re-shuffling the corpus-scale edge
+    // table each time; the rank side arrives partitioned by node from
+    // the previous round's aggregation
+    val df = SparkEntry.queries("graph_pagerank")(spark, dir)
+    df.collect() // AQE finalizes reuse at runtime
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("StageReuse")
+        || plan.contains("ReusedQueryStage"),
+      s"no exchange reuse in the executed pagerank plan:\n$plan")
+  }
 }
