@@ -89,6 +89,32 @@ object Extras8 extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // Complex-event-processing pattern match (the MATCH_RECOGNIZE /
+    // Flink-CEP shape Spark lacks): per (user, day), the ordered
+    // event-type sequence is folded to an initials string (event types
+    // have distinct initials) and a regex detects funnel occurrences
+    // view→click*→purchase. Day-grain keys bound the per-group
+    // sequence (a user's events per day, never the corpus), and the
+    // only shuffle is the group-by — the CEP automaton itself is one
+    // codegen'd regex over a bounded string. Non-overlapping greedy
+    // matching is identical in Java regex and DuckDB RE2 for this
+    // pattern class.
+    "win_cep" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+        to_date(col("ts")).as("d"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("t"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("i"))
+      e.groupBy("user_id", "d").agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("t"), col("event_id"), col("i")))),
+            x => x.getField("i")), "").as("seq"))
+        .select(col("user_id"), col("d"),
+          length(col("seq")).cast("long").as("n_events"),
+          regexp_count(col("seq"), lit("vc*p")).cast("long").as("n_funnels"),
+          regexp_extract(col("seq"), "vc*p", 0).as("first_match"))
+        .orderBy("user_id", "d")
+    }),
+
     // Fixed-iteration PageRank over the symmetrized customer↔supplier
     // graph (suppliers offset by 1e6 into a shared id space; symmetry
     // means no dangling nodes, so no leaked-mass redistribution term).
@@ -161,6 +187,17 @@ object Extras8 extends QueryPack {
         |       CAST(n_changes AS BIGINT) AS n_changes
         |FROM r WHERE rn = 1 AND op = 'U'
         |ORDER BY user_id""".stripMargin,
+
+    "win_cep" ->
+      """WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |  CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS t,
+        |  event_id, substring(event_type, 1, 1) AS i FROM events),
+        |seqs AS (SELECT user_id, d, string_agg(i, '' ORDER BY t, event_id) AS seq
+        |         FROM e GROUP BY 1, 2)
+        |SELECT user_id, d, CAST(length(seq) AS BIGINT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnels,
+        |  coalesce(regexp_extract(seq, 'vc*p'), '') AS first_match
+        |FROM seqs ORDER BY user_id, d""".stripMargin,
 
     "graph_pagerank" -> {
       def it(k: Int): String =

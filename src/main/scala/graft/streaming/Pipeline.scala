@@ -283,6 +283,53 @@ object Pipeline {
       .agg(count(lit(1)).as("n"))
       .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("n"))
 
+  /** The canonical change record of the CDC view: op = D on 'error'
+    * (delete), else upsert; ordered by (event-time second, event_id). */
+  final case class CdcChange(user_id: Long, op: String, last_value: Double,
+      last_t: Long, event_id: Long)
+
+  /** Map events to change records (map-only — legal on a stream). */
+  def cdcChanges(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_id"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("last_t"),
+      round(col("value"), 2).as("last_value"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+
+  /** CDC latest-change view, batch form: the newest change record per
+    * key INCLUDING delete tombstones — what a CDC connector emits
+    * downstream (`sink_cdc_apply` is the applied-state twin, deletes
+    * absent). One window over the key partition. */
+  def cdcLatestBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("last_t").desc, col("event_id").desc)
+    cdcChanges(events).withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("op"), col("last_value"), col("last_t"))
+  }
+
+  /** Streaming form: keyed state holds the newest change per key
+    * (max by (last_t, event_id) — arrival order across micro-batches
+    * doesn't matter), emitting the updated latest record each batch
+    * (Update mode). State is ONE record per key — bounded by key
+    * cardinality, not stream length. StreamSpec asserts the drained
+    * stream's final emission per key == cdcLatestBatch. */
+  def cdcLatestStream(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val enc = Encoders.product[CdcChange]
+    changes.as[CdcChange]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[CdcChange], state: GroupState[CdcChange]) => {
+          val newest = (state.getOption.iterator ++ it)
+            .maxBy(c => (c.last_t, c.event_id))
+          state.update(newest)
+          Iterator(newest)
+        })(enc, enc)
+      .toDF()
+  }
+
   /** Custom keyed state (SURVEY §2.10 / guide): running per-user event
     * count maintained in the state store via flatMapGroupsWithState,
     * emitting the updated count on every arrival. Input: (user_id,

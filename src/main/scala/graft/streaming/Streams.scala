@@ -85,6 +85,16 @@ object Streams extends QueryPack {
       Pipeline.dlqAgeOutBatch(
         Pipeline.deadLetters(Tables.events(s, dir))).orderBy("ws")),
 
+    // CDC latest-change view: newest change record per key INCLUDING
+    // delete tombstones — the downstream-connector face of the
+    // changelog (sink_cdc_apply is the applied-state twin). Judged via
+    // the batch twin; the keyed-state streaming form
+    // (flatMapGroupsWithState, one record of state per key) is
+    // verified stream==batch across multiple micro-batches in
+    // StreamSpec.
+    "stream_cdc_apply" -> ((s, dir) =>
+      Pipeline.cdcLatestBatch(Tables.events(s, dir)).orderBy("user_id")),
+
     // batch analog of the 10-minute watermark rule: an event is "late"
     // (dropped) if its event time is more than 10 minutes behind the
     // max event time already seen in arrival order (event_id). The
@@ -125,6 +135,16 @@ object Streams extends QueryPack {
   private val epochSec = "CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "stream_cdc_apply" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS last_t,
+        |  ROUND(value, 2) AS last_value,
+        |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op FROM events),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY user_id ORDER BY last_t DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, op, last_value, last_t
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "stream_tumbling" ->
       s"""SELECT ($epochSec // 300) * 300 AS ws, event_type, COUNT(*) AS n,
          |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value

@@ -327,6 +327,38 @@ class StreamSpec extends AnyFunSuite {
       s"retrain not flagged for stale K=$staleK at n=$n")
   }
 
+  test("stream_cdc_apply: keyed-state latest-change == batch twin across micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.Pipeline
+    val ev = Tables.events(spark, dir)
+    // several json files + maxFilesPerTrigger=1 forces MULTIPLE
+    // micro-batches, so the per-key state genuinely carries across
+    // batches (a single-batch drain would pass even with no state)
+    val inDir = Files.createTempDirectory("graft_cdc_in").toString
+    ev.select("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(4).write.mode("append").json(inDir)
+    val ckpt = Files.createTempDirectory("graft_ckpt_cdc").toString
+    val q = Pipeline.cdcLatestStream(Pipeline.cdcChanges(
+        spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", "1").json(inDir)))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cdc_latest_probe")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val emitted = spark.table("cdc_latest_probe")
+    assert(emitted.select("user_id").distinct().count() < emitted.count(),
+      "every key emitted once — stream did not run multiple micro-batches")
+    // final emission per key (the state after the drain) == batch fold
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("last_t").desc, col("event_id").desc)
+    val finalState = emitted.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "op", "last_value", "last_t")
+    assertSameRows(finalState, Pipeline.cdcLatestBatch(ev))
+  }
+
   test("streaming PQ codes maintenance: maintained codes == batch-encoded; drift trigger") {
     import graft.llm.Quantize
     val emb = Tables.embeddings(spark, dir)
