@@ -79,6 +79,17 @@ object DebugNg {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "dupspans") {
+      // same-JVM A/B: hashed 128-bit window keys vs literal strings
+      val d = Tables.documents(spark, dir)
+      for (i <- 1 to 3) {
+        time(s"hashed-$i")(graft.llm.Text3.dupSpans(d, hashed = true)
+          .write.format("noop").mode("overwrite").save())
+        time(s"string-$i")(graft.llm.Text3.dupSpans(d, hashed = false)
+          .write.format("noop").mode("overwrite").save())
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "pqmaint") {
       // PQ codes maintenance probe: time a pinned 200-vector delta
       // encode-and-append against the frozen codebook at any corpus

@@ -131,36 +131,49 @@ object Text3 extends QueryPack {
     // token array; corpus document-frequency is one groupBy; runs are
     // gaps-and-islands over window start positions (pos − row_number).
     // Docs shorter than 10 tokens have no windows and no output row.
-    // Scale note: the window strings shuffle literally here (the
-    // definitional, oracle-matched form); a 100 TB run would group by
-    // the 128-bit window hash exactly as ngramJaccardPairs does.
-    "text_dup_spans" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wins = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), posexplode(
-          filter(
-            transform(col("toks"), (_, i) =>
-              concat_ws(" ", slice(col("toks"), i + lit(1), lit(10)))),
-            (_, i) => i <= size(col("toks")) - 10)).as(Seq("pos", "ws")))
-      val dup = wins.select("ws", "doc_id").distinct()
-        .groupBy("ws").agg(count(lit(1)).as("dfreq"))
-        .where(col("dfreq") >= 2).select("ws")
-      val flagged = wins.join(dup, Seq("ws"), "left_semi")
-      val runs = flagged
-        .withColumn("grp", col("pos") - row_number().over(
-          Window.partitionBy("doc_id").orderBy("pos")))
-        .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
-        .groupBy("doc_id").agg(sum(col("run")).as("n_dup_windows"),
-          max(col("run")).as("max_dup_run"))
-      wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
-        .join(runs, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_windows"),
-          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-          coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
-        .orderBy("doc_id")
-    })
+    // Scale posture: windows group by their 128-bit xxhash64 pair, so
+    // the corpus-wide shuffles move 16 B keys, never the ~60 B window
+    // strings (the ngramJaccardPairs lesson, A/B-measured again here —
+    // BASELINE.md; results identical barring a 2^-128 collision, and
+    // the string-keyed twin below exists for the A/B instrument).
+    "text_dup_spans" -> ((s, dir) =>
+      dupSpans(Tables.documents(s, dir), hashed = true))
   )
+
+  /** Shared body for text_dup_spans: `hashed` selects the 128-bit
+    * hashed window keys (the shipped form) or the literal-string keys
+    * (the definitional twin, kept for the same-JVM A/B instrument). */
+  private[graft] def dupSpans(docs: DataFrame, hashed: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(
+        filter(
+          transform(col("toks"), (_, i) =>
+            concat_ws(" ", slice(col("toks"), i + lit(1), lit(10)))),
+          (_, i) => i <= size(col("toks")) - 10)).as(Seq("pos", "ws")))
+    val wins =
+      if (hashed) raw.select(col("doc_id"), col("pos"),
+        xxhash64(lit(0), col("ws")).as("k1"), xxhash64(lit(1), col("ws")).as("k2"))
+      else raw.select(col("doc_id"), col("pos"), col("ws").as("k1"), lit(0L).as("k2"))
+    val keys = Seq("k1", "k2")
+    val dup = wins.select((col("doc_id") +: keys.map(col)): _*).distinct()
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("dfreq"))
+      .where(col("dfreq") >= 2).select(keys.map(col): _*)
+    val flagged = wins.join(dup, keys, "left_semi")
+    val runs = flagged
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(sum(col("run")).as("n_dup_windows"),
+        max(col("run")).as("max_dup_run"))
+    wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+      .orderBy("doc_id")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "text_decontaminate" ->
