@@ -89,6 +89,48 @@ object Extras8 extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // DDSketch-style mergeable quantile sketch (Masson et al.,
+    // VLDB '19 — relative-error quantiles from log-bucket counts): the
+    // PERCENTILE member of the persisted-sketch family (HLL distinct,
+    // CMS frequency, bitmap exact-distinct). A daily-style job writes
+    // per-(event_type, month) bucket histograms ONCE (bucket =
+    // ceil(ln v / ln γ), γ = 1.02 → ≤ 1% relative error); rollups
+    // MERGE bucket counts — a sum per bucket — and never rescan raw
+    // events. Unlike HLL the sketch is fully deterministic, so the
+    // merged p50/p95/p99 are DuckDB-oracle-able end to end (the ln
+    // ratio rounds to 9 decimals before ceil on both engines, so libm
+    // ulps can't flip a bucket; ExtrasSpec additionally asserts the
+    // ≤ 1.5% relative-error bound vs exact percentiles).
+    "agg_ddsketch_persisted" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      val pfx = s"graft_dds_seg_${Tables.pathKey(dir)}_"
+      val path = s"/tmp/$pfx${Tables.fingerprint(dir, "events")}"
+      if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+        Tables.dropStalePaths(pfx)
+        Tables.events(s, dir).where(col("value") > 0)
+          .groupBy(col("event_type"), date_trunc("month", col("ts")).as("mon"),
+            ceil(round(log(col("value")) / log(lit(1.02)), 9)).cast("long").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(path)
+      }
+      val merged = s.read.parquet(path)
+        .groupBy("event_type", "b").agg(sum(col("cnt")).as("cnt"))
+      val cum = merged
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy("event_type").orderBy("b")))
+        .withColumn("tot", sum(col("cnt")).over(Window.partitionBy("event_type")))
+      def qb(p: Double) = min(when(col("cum") >= lit(p) * col("tot"), col("b")))
+      def est(b: org.apache.spark.sql.Column) =
+        round(lit(2.0) * pow(lit(1.02), b.cast("double")) / lit(2.02), 4)
+      cum.groupBy("event_type")
+        .agg(qb(0.5).as("b50"), qb(0.95).as("b95"), qb(0.99).as("b99"),
+          max(col("tot")).as("n"))
+        .select(col("event_type"), col("n"),
+          est(col("b50")).as("p50"), est(col("b95")).as("p95"),
+          est(col("b99")).as("p99"))
+        .orderBy("event_type")
+    }),
+
     // Complex-event-processing pattern match (the MATCH_RECOGNIZE /
     // Flink-CEP shape Spark lacks): per (user, day), the ordered
     // event-type sequence is folded to an initials string (event types
@@ -187,6 +229,21 @@ object Extras8 extends QueryPack {
         |       CAST(n_changes AS BIGINT) AS n_changes
         |FROM r WHERE rn = 1 AND op = 'U'
         |ORDER BY user_id""".stripMargin,
+
+    "agg_ddsketch_persisted" ->
+      """WITH seg AS (SELECT event_type, date_trunc('month', ts) AS mon,
+        |  CAST(ceil(round(ln(value) / ln(1.02), 9)) AS BIGINT) AS b,
+        |  count(*) AS cnt FROM events WHERE value > 0 GROUP BY 1, 2, 3),
+        |merged AS (SELECT event_type, b, CAST(SUM(cnt) AS BIGINT) AS cnt
+        |           FROM seg GROUP BY 1, 2),
+        |cum AS (SELECT event_type, b, cnt,
+        |  SUM(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+        |  SUM(cnt) OVER (PARTITION BY event_type) AS tot FROM merged)
+        |SELECT event_type, CAST(max(tot) AS BIGINT) AS n,
+        |  ROUND(2.0 * pow(1.02, CAST(min(CASE WHEN cum >= 0.5 * tot THEN b END) AS DOUBLE)) / 2.02, 4) AS p50,
+        |  ROUND(2.0 * pow(1.02, CAST(min(CASE WHEN cum >= 0.95 * tot THEN b END) AS DOUBLE)) / 2.02, 4) AS p95,
+        |  ROUND(2.0 * pow(1.02, CAST(min(CASE WHEN cum >= 0.99 * tot THEN b END) AS DOUBLE)) / 2.02, 4) AS p99
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "win_cep" ->
       """WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,

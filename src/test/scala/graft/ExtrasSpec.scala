@@ -286,4 +286,29 @@ class ExtrasSpec extends AnyFunSuite {
     // observed-cell count agrees with gapfill's non-empty cells
     assert(interp.count(_.getInt(2) == 1) == gap.count(_.getLong(2) > 0))
   }
+
+  test("agg_ddsketch_persisted: merged estimates hold the 1.5% relative-error bound") {
+    // DDSketch's guarantee is RANK-based: the estimate is within
+    // (γ−1)/(γ+1) ≈ 0.99% of the value at rank ⌈p·n⌉ — compare
+    // against percentile_disc, not the interpolated percentile (on a
+    // 199-row stratum the two differ by several % all by themselves)
+    val sk = SparkEntry.queries("agg_ddsketch_persisted")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    Tables.events(spark, dir).where(col("value") > 0)
+      .createOrReplaceTempView("dd_ev")
+    val exact = spark.sql(
+      """SELECT event_type,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+        |  percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+        |  percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+        |FROM dd_ev GROUP BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(sk.keySet == exact.keySet)
+    for ((t, (e50, e95, e99)) <- exact) {
+      val (s50, s95, s99) = sk(t)
+      for (((est, tru), p) <- Seq((s50, e50) -> "p50", (s95, e95) -> "p95", (s99, e99) -> "p99"))
+        assert(math.abs(est - tru) / tru <= 0.015,
+          s"$t $p: sketch $est vs exact $tru — relative error ${math.abs(est - tru) / tru}")
+    }
+  }
 }
