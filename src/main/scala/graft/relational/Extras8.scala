@@ -89,6 +89,37 @@ object Extras8 extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // Per-group OLS regression + correlation in closed form (the
+    // classic OLAP regr_slope/regr_intercept/corr surface): value
+    // trend per event type over hours since the fixture epoch. All
+    // five moments accumulate via Stable decimal sums, so the derived
+    // doubles are cross-engine EXACT before the final rounding —
+    // built-in regr_* aggregates accumulate in raw double and are
+    // order-dependent, which is exactly what the oracle hash compare
+    // rejects. One map-side-combinable groupBy; x is centered on the
+    // fixture epoch so x² stays far inside the decimal grid.
+    "agg_regression" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        ((unix_timestamp(date_trunc("second", col("ts"))) - lit(1704067200L))
+          .cast("double") / lit(3600.0)).as("x"),
+        col("value").as("y"))
+      val m = e.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        Stable.dsum(col("x"), 6).as("sx"),
+        Stable.dsum(col("y"), 6).as("sy"),
+        Stable.dsum(col("x") * col("x"), 6).as("sxx"),
+        Stable.dsum(col("y") * col("y"), 6).as("syy"),
+        Stable.dsum(col("x") * col("y"), 6).as("sxy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("event_type"), col("n").cast("long").as("n"),
+          round(cov / vx, 6).as("slope"),
+          round((col("sy") - (cov / vx) * col("sx")) / col("n"), 6).as("intercept"),
+          round(cov / sqrt(vx * vy), 6).as("corr"))
+        .orderBy("event_type")
+    }),
+
     // DDSketch-style mergeable quantile sketch (Masson et al.,
     // VLDB '19 — relative-error quantiles from log-bucket counts): the
     // PERCENTILE member of the persisted-sketch family (HLL distinct,
@@ -229,6 +260,25 @@ object Extras8 extends QueryPack {
         |       CAST(n_changes AS BIGINT) AS n_changes
         |FROM r WHERE rn = 1 AND op = 'U'
         |ORDER BY user_id""".stripMargin,
+
+    "agg_regression" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(floor(epoch(date_trunc('second', ts))) - 1704067200 AS DOUBLE) / 3600.0 AS x,
+        |  value AS y FROM events),
+        |m AS (SELECT event_type,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+        |  ROUND((n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "agg_ddsketch_persisted" ->
       """WITH seg AS (SELECT event_type, date_trunc('month', ts) AS mon,

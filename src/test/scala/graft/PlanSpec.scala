@@ -180,6 +180,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not streamed:\n$plan")
   }
 
+  test("sample_temperature: stratum rates reach the corpus via broadcast, not shuffle") {
+    // the 5-row rate table must broadcast back onto documents — a
+    // corpus-side hashpartitioning on lang would shuffle the whole
+    // table to serve 5 rows of stratum metadata
+    // (the lang exchanges further down feed the stratum groupBy and
+    // carry post-combine partials — 5 rows per map partition — which
+    // is the correct shape, not a corpus shuffle)
+    val plan = physical("sample_temperature")
+    assert(plan.contains("BroadcastHashJoin [lang"),
+      s"rates join not broadcast on lang:\n$plan")
+    val corpusSide = plan.split("BroadcastHashJoin")(0)
+    assert(!corpusSide.contains("Exchange hashpartitioning"),
+      s"corpus side shuffled above the rates join:\n$plan")
+  }
+
   test("graph_pagerank: the edge-side exchange is materialized once and reused per round") {
     // every iteration's edge-side subtree is identical (deliberate src
     // repartition), so the runtime must reuse one materialized exchange
