@@ -89,6 +89,40 @@ object Extras8 extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // Bitmap-index retention (the classic cohort intersect): users
+    // active on day d AND day d+1, computed entirely in codegen bitmap
+    // expressions over per-(day, bucket) user bitmaps — Spark ships no
+    // scalar bitmap AND, so the intersect is |A∩B| = |A|+|B|−|A∪B|
+    // with the union from bitmap_or_agg over the stacked pair. Every
+    // shuffle after the first groupBy moves bucket-grain bitmap rows
+    // (≤ |users|/32768 buckets × days), never events; the exact answer
+    // matches a DISTINCT self-join oracle. Days without a successor
+    // day in the data emit no row (inner next-day join).
+    "agg_bitmap_retention" -> ((s, dir) => {
+      val day = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy(col("day"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      val act = day.groupBy("day").agg(sum(expr("bitmap_count(bm)")).as("active"))
+      val a = day.select(col("day").as("d"), col("bkt"), col("bm").as("bma"))
+      val b = day.select(date_sub(col("day"), 1).as("d"), col("bkt"), col("bm").as("bmb"))
+      val pairs = a.join(b, Seq("d", "bkt"))
+      val orc = pairs
+        .select(col("d"), col("bkt"), explode(array(col("bma"), col("bmb"))).as("bm"))
+        .groupBy("d", "bkt").agg(expr("bitmap_count(bitmap_or_agg(bm))").as("cor"))
+      val retained = pairs
+        .select(col("d"), col("bkt"),
+          expr("bitmap_count(bma)").as("ca"), expr("bitmap_count(bmb)").as("cb"))
+        .join(orc, Seq("d", "bkt"))
+        .groupBy("d").agg(sum(col("ca") + col("cb") - col("cor")).as("retained"))
+      act.select(col("day").as("d"), col("active"))
+        .join(act.select(date_sub(col("day"), 1).as("d")).distinct(), Seq("d"))
+        .join(retained, Seq("d"), "left")
+        .select(col("d"), col("active"),
+          coalesce(col("retained"), lit(0L)).as("retained"))
+        .orderBy("d")
+    }),
+
     // Per-group OLS regression + correlation in closed form (the
     // classic OLAP regr_slope/regr_intercept/corr surface): value
     // trend per event type over hours since the fixture epoch. All
@@ -260,6 +294,20 @@ object Extras8 extends QueryPack {
         |       CAST(n_changes AS BIGINT) AS n_changes
         |FROM r WHERE rn = 1 AND op = 'U'
         |ORDER BY user_id""".stripMargin,
+
+    "agg_bitmap_retention" ->
+      """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |            FROM events),
+        |act AS (SELECT day, CAST(count(*) AS BIGINT) AS active FROM du GROUP BY 1),
+        |ret AS (SELECT a.day, CAST(count(*) AS BIGINT) AS retained
+        |        FROM du a JOIN du b
+        |          ON b.day = a.day + 1 AND b.user_id = a.user_id
+        |        GROUP BY 1)
+        |SELECT act.day AS d, active, coalesce(retained, CAST(0 AS BIGINT)) AS retained
+        |FROM act
+        |JOIN (SELECT DISTINCT day - 1 AS day FROM act) nx USING (day)
+        |LEFT JOIN ret USING (day)
+        |ORDER BY d""".stripMargin,
 
     "agg_regression" ->
       """WITH e AS (SELECT event_type,
