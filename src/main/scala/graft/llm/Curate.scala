@@ -70,6 +70,61 @@ object Curate extends QueryPack {
         .select(col("doc_id"), col("cluster_id"), col("lang"), col("source"),
           col("quality"))
         .orderBy("doc_id")
+    }),
+
+    // The COMPLETE pre-training corpus job, end to end: quality gate →
+    // exact dedup → cluster-safe near-dup resolution (the curate_v2
+    // chain) → temperature-scaled language rebalancing (the
+    // sample_temperature rule, rates derived from the SURVIVOR
+    // distribution) → 2048-token sequence packing → per-shard
+    // manifest. This is the single query a corpus owner runs to turn a
+    // raw crawl into training shards; every stage is one of the
+    // individually-verified keys, composed, and each stage shrinks or
+    // bounds the data for the next (map-only filter, one hash shuffle,
+    // df-pruned postings, label pairs, 5-row broadcast rates, one
+    // hot-shard window). Output grain = (lang, source, seq_id) shard
+    // summaries — manifest-sized, not corpus-sized.
+    "pipeline_pretrain_corpus" -> ((s, dir) => {
+      import graft.relational.{Extras8, Stable}
+      val scored = Tables.documents(s, dir)
+        .withColumn("quality", Text.qualityScore(col("text")))
+        .where(col("quality") >= 0.75)
+      val exact = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+        .where(col("rn") === 1).drop("rn")
+      val pairs = Dedup.ngramJaccardPairs(exact.select("doc_id", "text"), 0.5)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val labels = Cluster.components(edges)
+      val rep = exact
+        .join(labels.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val st = rep.groupBy("lang").agg(count(lit(1)).as("n"))
+      val tot = st.agg(sum(col("n")).as("nn"))
+      val pw = st.crossJoin(broadcast(tot))
+        .withColumn("p", col("n").cast("double") / col("nn"))
+        .withColumn("pw", round(pow(col("p"), 0.3), 12))
+      val z = pw.agg(Stable.dsum(col("pw"), 12).as("z"))
+      val rates = pw.crossJoin(broadcast(z))
+        .select(col("lang"),
+          round(least(lit(1.0), lit(0.8) * (col("pw") / col("z")) / col("p")), 6)
+            .as("rate"))
+      val samp = rep.join(broadcast(rates), Seq("lang"))
+        .where(Extras8.mdUniform(col("doc_id")) < col("rate"))
+      val wseq = Window.partitionBy("lang", "source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      samp.withColumn("cum_before", coalesce(sum(col("n_tok")).over(wseq), lit(0L)))
+        .withColumn("seq_id", expr("cum_before div 2048"))
+        .groupBy("lang", "source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "source", "seq_id")
     })
   )
 
@@ -147,6 +202,74 @@ object Curate extends QueryPack {
          |FROM lbl l JOIN ex e ON e.doc_id = l.doc_id
          |QUALIFY row_number() OVER (PARTITION BY l.cluster_id
          |                           ORDER BY e.n_chars DESC, l.doc_id) = 1
-         |ORDER BY l.doc_id""".stripMargin
+         |ORDER BY l.doc_id""".stripMargin,
+
+    // curate_v2's chain, extended with survivor-distribution temperature
+    // rates (sample_temperature's rule), the md5-uniform accept, the
+    // pack_sequences window, and the shard-manifest rollup
+    "pipeline_pretrain_corpus" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id, lang, source, text, n_chars, ${Text.qualityScoreD} AS quality
+         |  FROM documents),
+         |f AS (SELECT * FROM q WHERE quality >= 0.75),
+         |ex AS (SELECT * FROM f
+         |       QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1),
+         |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |             generate_subscripts(string_split(text, ' '), 1) AS pos
+         |      FROM ex),
+         |tg AS (SELECT DISTINCT doc_id,
+         |         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS ng
+         |       FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |       QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+         |pruned AS (SELECT tg.doc_id, tg.ng FROM tg
+         |           JOIN (SELECT ng, count(*) AS dfreq FROM tg GROUP BY ng) d USING (ng)
+         |           WHERE dfreq <= 20),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |          FROM pruned a JOIN pruned b ON a.ng = b.ng AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jp AS (SELECT id_a, id_b FROM pairs
+         |       JOIN sizes sa ON sa.doc_id = id_a
+         |       JOIN sizes sb ON sb.doc_id = id_b
+         |       WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lbl AS (
+         |  SELECT ex.doc_id,
+         |         CAST(COALESCE(LEAST(MIN(r.b), ex.doc_id), ex.doc_id) AS BIGINT) AS cluster_id
+         |  FROM ex LEFT JOIN reach r ON r.a = ex.doc_id
+         |  GROUP BY ex.doc_id),
+         |surv AS (
+         |  SELECT l.doc_id, e.lang, e.source,
+         |         CAST(len(string_split(e.text, ' ')) AS BIGINT) AS n_tok
+         |  FROM lbl l JOIN ex e ON e.doc_id = l.doc_id
+         |  QUALIFY row_number() OVER (PARTITION BY l.cluster_id
+         |                             ORDER BY e.n_chars DESC, l.doc_id) = 1),
+         |st AS (SELECT lang, count(*) AS n FROM surv GROUP BY 1),
+         |tot AS (SELECT SUM(n) AS nn FROM st),
+         |pwt AS (SELECT lang, CAST(n AS DOUBLE) / nn AS p,
+         |          ROUND(pow(CAST(n AS DOUBLE) / nn, 0.3), 12) AS pw
+         |        FROM st CROSS JOIN tot),
+         |z AS (SELECT CAST(SUM(CAST(pw AS DECIMAL(28,12))) AS DOUBLE) AS z FROM pwt),
+         |rates AS (SELECT lang, ROUND(LEAST(1.0, 0.8 * (pw / z) / p), 6) AS rate
+         |          FROM pwt CROSS JOIN z),
+         |samp AS (SELECT surv.doc_id, surv.lang, surv.source, surv.n_tok
+         |         FROM surv JOIN rates USING (lang)
+         |         WHERE ${graft.relational.Extras8.mdUniformSql("surv.doc_id")} < rate),
+         |c AS (SELECT doc_id, lang, source, n_tok,
+         |        CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |          AS cum_before
+         |      FROM samp)
+         |SELECT lang, source, cum_before // 2048 AS seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin
   )
 }

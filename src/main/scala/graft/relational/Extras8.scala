@@ -34,12 +34,12 @@ object Extras8 extends QueryPack {
 
   /** Deterministic uniform in [0,1): first 8 md5 hex digits of the id
     * over 2^32 (the Extras3 hash-bucket construction, continuous form). */
-  private def mdUniform(id: org.apache.spark.sql.Column) =
+  private[graft] def mdUniform(id: org.apache.spark.sql.Column) =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long").cast("double") / lit(4294967296.0)
 
   /** DuckDB twin: digit-expand the first 8 md5 hex chars. */
-  private def mdUniformSql(id: String): String =
+  private[graft] def mdUniformSql(id: String): String =
     "(" + (0 until 8).map(d =>
       s"(instr('0123456789abcdef', substring(md5(CAST($id AS VARCHAR)), ${d + 1}, 1)) - 1) * ${1L << (4 * (7 - d))}")
       .mkString(" + ") + ") / 4294967296.0"
