@@ -67,6 +67,21 @@ object Incremental extends QueryPack {
     t
   }
 
+  /** Day-1 exact-content index: DISTINCT sha256 of day-1 text, bucketed
+    * on the hash — the metadata a daily exact-dedup probe joins against
+    * (bytes ∝ distinct day-1 docs, never their text). */
+  private[llm] def shaIndex(s: SparkSession, dir: String): String = {
+    val t = s"dedup_shaidx_${key(dir)}_${key(Tables.fingerprint(dir, "documents"))}"
+    if (!s.catalog.tableExists(t)) {
+      Tables.dropStaleTables(s, s"dedup_shaidx_${key(dir)}_")
+      day1(s, dir).select(sha2(col("text"), 256).as("h")).distinct()
+        .write.mode("overwrite")
+        .bucketBy(16, "h").sortBy("h")
+        .format("parquet").saveAsTable(t)
+    }
+    t
+  }
+
   /** Day-1 SimHash band store: 4 rows per doc, bucketed on the band. */
   private[llm] def simhashIndex(s: SparkSession, dir: String): String = {
     val t = s"dedup_shidx_${key(dir)}_${key(Tables.fingerprint(dir, "documents"))}"
@@ -255,6 +270,45 @@ object Incremental extends QueryPack {
       .select(col("doc_id"), col("h"), col("b.band_id"), col("b.band_val"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The DAILY incremental curation job, end to end — the delta twin
+    // of pipeline_curate: quality-gate today's crawl (map-only), drop
+    // exact duplicates of the persisted day-1 corpus (probe of the
+    // bucketed sha index — index metadata, never day-1 text), dedup
+    // exactly WITHIN the delta (one hash shuffle over delta rows), and
+    // drop near-duplicates of day 1 via the persisted trigram postings
+    // (the dedup_incr_jaccard probe, fan-out bounded by the df ≤ 20
+    // pruning baked into the index). Daily cost ∝ delta; day 1 is
+    // never re-tokenized or re-hashed.
+    "pipeline_curate_incr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d0 = delta(s, dir)
+        .withColumn("quality", Text.qualityScore(col("text")))
+        .where(col("quality") >= 0.75)
+        .withColumn("h", sha2(col("text"), 256))
+      // exact vs day-1 corpus: bucketed index anti-join on the hash
+      val exCorpus = d0.join(s.table(shaIndex(s, dir)), Seq("h"), "left_anti")
+      // exact within the delta: keep min doc_id per content hash
+      val exDelta = exCorpus
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("h").orderBy(col("doc_id"))))
+        .where(col("rn") === 1)
+      // near-dup vs day 1: the persisted-postings jaccard probe
+      val idx = s.table(jaccardIndex(s, dir))
+      val dtg = Dedup.trigrams(exDelta.select("doc_id", "text"))
+      val na = dtg.groupBy(col("doc_id").as("delta_id")).agg(count(lit(1)).as("na"))
+      val drops = dtg.select(col("doc_id").as("delta_id"), col("ng"))
+        .join(idx, Seq("ng"))
+        .groupBy(col("delta_id"), col("idx_id"), col("nb"))
+        .agg(count(lit(1)).as("shared"))
+        .join(na, Seq("delta_id"))
+        .where(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")) >= 0.5)
+        .select("delta_id").distinct()
+      exDelta.join(drops, exDelta("doc_id") === drops("delta_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
     // delta docs vs the persisted trigram postings: shared counts via
     // one equi-join on ng (fan-out bounded by the df ≤ 20 pruning baked
     // into the index), jaccard estimate, threshold 0.5
@@ -307,6 +361,43 @@ object Incremental extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_curate_incr" ->
+      s"""WITH q AS (SELECT doc_id, lang, source, text, ${Text.qualityScoreD} AS quality
+         |           FROM documents WHERE doc_id % 4 = 0),
+         |f AS (SELECT * FROM q WHERE quality >= 0.75),
+         |d1h AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 4 <> 0),
+         |exc AS (SELECT f.* FROM f LEFT JOIN d1h ON sha256(f.text) = d1h.h
+         |        WHERE d1h.h IS NULL),
+         |exd AS (SELECT * FROM exc
+         |        QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1),
+         |t1 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |              generate_subscripts(string_split(text, ' '), 1) AS pos
+         |       FROM documents WHERE doc_id % 4 <> 0),
+         |tg1 AS (SELECT DISTINCT doc_id,
+         |          tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS ng
+         |        FROM t1 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |        QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+         |pruned AS (SELECT tg1.doc_id, tg1.ng FROM tg1
+         |           JOIN (SELECT ng, count(*) AS dfreq FROM tg1 GROUP BY ng) dd USING (ng)
+         |           WHERE dfreq <= 20),
+         |nb AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+         |t2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |              generate_subscripts(string_split(text, ' '), 1) AS pos FROM exd),
+         |tg2 AS (SELECT DISTINCT doc_id,
+         |          tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS ng
+         |        FROM t2 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |        QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+         |na AS (SELECT doc_id, count(*) AS n FROM tg2 GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS delta_id, b.doc_id AS idx_id, count(*) AS shared
+         |           FROM tg2 a JOIN pruned b ON a.ng = b.ng GROUP BY 1, 2),
+         |drops AS (SELECT DISTINCT delta_id FROM shared
+         |          JOIN na ON na.doc_id = delta_id
+         |          JOIN nb ON nb.doc_id = idx_id
+         |          WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5)
+         |SELECT doc_id, lang, source, quality FROM exd
+         |WHERE doc_id NOT IN (SELECT delta_id FROM drops)
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_incr_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
