@@ -195,17 +195,16 @@ class PlanSpec extends AnyFunSuite {
       s"corpus side shuffled above the rates join:\n$plan")
   }
 
-  test("graph_pagerank: the edge-side exchange is materialized once and reused per round") {
-    // every iteration's edge-side subtree is identical (deliberate src
-    // repartition), so the runtime must reuse one materialized exchange
-    // across the 5 rounds instead of re-shuffling the corpus-scale edge
-    // table each time; the rank side arrives partitioned by node from
-    // the previous round's aggregation
-    val df = SparkEntry.queries("graph_pagerank")(spark, dir)
-    df.collect() // AQE finalizes reuse at runtime
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange") || plan.contains("StageReuse")
-        || plan.contains("ReusedQueryStage"),
-      s"no exchange reuse in the executed pagerank plan:\n$plan")
+  test("graph_pagerank: the persisted edge artifact joins with zero edge-side exchange") {
+    // the link graph is a src-bucketed table; all 5 iteration joins
+    // (and the degree distinct) must consume the bucket partitioning —
+    // any hashpartitioning(src…) exchange means the corpus-scale edge
+    // side reshuffles per round. Only the node-grain rank side and the
+    // dst contribution agg may exchange.
+    val plan = physical("graph_pagerank")
+    assert(!plan.contains("hashpartitioning(src"),
+      s"edge side reshuffled despite the bucketed artifact:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(dst"),
+      s"expected the per-round contribution exchanges on dst:\n$plan")
   }
 }
