@@ -359,6 +359,39 @@ class StreamSpec extends AnyFunSuite {
     assertSameRows(finalState, Pipeline.cdcLatestBatch(ev))
   }
 
+  test("streaming sha-index maintenance: maintained hash set == batch; probes agree") {
+    import graft.llm.Incremental
+    val docs = Tables.documents(spark, dir)
+    val day1 = docs.where(col("doc_id") % 4 =!= 0)
+    val initial = day1.where(pmod(col("doc_id"), lit(2)) === 1)
+    val arriving = day1.where(pmod(col("doc_id"), lit(2)) === 0)
+    val streamed = "shaidx_streamed_test"
+    val batchBuilt = "shaidx_batch_test"
+    Tables.dropStaleTables(spark, streamed)
+    Tables.dropStaleTables(spark, batchBuilt)
+    initial.select(sha2(col("text"), 256).as("h")).distinct()
+      .write.bucketBy(16, "h").sortBy("h").format("parquet").saveAsTable(streamed)
+    val inDir = Files.createTempDirectory("graft_shaidx_in").toString
+    arriving.select("doc_id", "text").write.mode("append").json(inDir)
+    val ckpt = Files.createTempDirectory("graft_ckpt_shaidx").toString
+    val q = Incremental.maintainShaIndex(
+      spark.readStream.schema("doc_id LONG, text STRING").json(inDir),
+      streamed, ckpt)
+    q.awaitTermination()
+    day1.select(sha2(col("text"), 256).as("h")).distinct()
+      .write.bucketBy(16, "h").sortBy("h").format("parquet").saveAsTable(batchBuilt)
+    // per-batch distinct can repeat a hash ACROSS appends — membership
+    // (what the anti-join probe consumes) must match the batch build
+    assertSameRows(spark.table(streamed).distinct(), spark.table(batchBuilt))
+    // and the exact-dedup probe agrees: delta docs surviving the
+    // anti-join are identical against either index
+    val delta = docs.where(col("doc_id") % 4 === 0)
+      .withColumn("h", sha2(col("text"), 256))
+    assertSameRows(
+      delta.join(spark.table(streamed), Seq("h"), "left_anti").select("doc_id"),
+      delta.join(spark.table(batchBuilt), Seq("h"), "left_anti").select("doc_id"))
+  }
+
   test("streaming PQ codes maintenance: maintained codes == batch-encoded; drift trigger") {
     import graft.llm.Quantize
     val emb = Tables.embeddings(spark, dir)
