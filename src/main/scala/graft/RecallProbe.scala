@@ -39,7 +39,8 @@ object RecallProbe {
       .when(c >= 0.90, "[0.90,0.95)")
       .when(c >= 0.70, "[0.70,0.90)")
       .when(c >= 0.55, "[0.55,0.70)")
-      .otherwise("[0.40,0.55)")
+      .when(c >= 0.40, "[0.40,0.55)")
+      .otherwise("[0.30,0.40)") // only the range-serving truth reaches here
 
   /** recall of `approx` (id_a, id_b) against `truth` (id_a, id_b, cos),
     * reported per cosine band. */
@@ -167,6 +168,19 @@ object RecallProbe {
         .select(col("id_q").as("id_a"), col("id_b"))
       pairRecall(key, servingTruth, approx)
     }
+
+    // ---- radius serving: exact ground truth = every corpus vector
+    // within the key's cos ≥ 0.3 radius of a pinned probe (16·n dots)
+    val rangeTruth = e.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("id_q"))
+      .withColumn("cos", dot(col("vq"), col("v")) / (col("nq") * col("nrm")))
+      .where(round(col("cos"), 6) >= 0.3)
+      .select(col("id_q").as("id_a"), col("vec_id").as("id_b"), col("cos"))
+      .localCheckpoint()
+    println(s"range truth pairs (cos >= 0.3): ${rangeTruth.count()}")
+    pairRecall("ann_query_range", rangeTruth,
+      SparkEntry.queries("ann_query_range")(spark, scaleDir)
+        .select(col("id_q").as("id_a"), col("id_m").as("id_b")))
 
     spark.stop()
   }
