@@ -100,15 +100,15 @@ object DebugNg {
       val book = time("codebook")(Quantize.codebook(spark, dir))
       val path = s"/tmp/pqmaint_probe_${Tables.pathKey(dir)}"
       time(s"codes-build-n$n")(
-        Quantize.buildPqCodes(emb, path, book, append = false))
+        Quantize.buildPqCodes(emb, path, book, "batch_init"))
       val delta = emb.where(col("vec_id") < 200)
       time("maint-append-200")(
-        Quantize.buildPqCodes(delta, path, book, append = true))
+        Quantize.buildPqCodes(delta, path, book, "batch_delta"))
       val baseline = time("fidelity-baseline")(
         Quantize.bookFidelity(spark, dir, book))
       println(f"  baseline=$baseline%.4f")
       time("retrain-check")(
-        println("  retrainDue=" + Quantize.pqRetrainDue(spark, emb, book, baseline)))
+        println("  retrainDue=" + Quantize.pqRetrainDue(emb, book, baseline)))
       spark.stop(); return
     }
     if (args.length > 1 && args(1) == "ivfmaint") {

@@ -14,6 +14,33 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curate extends QueryPack {
 
+  /** The cluster-safe curation chain (quality gate → exact dedup →
+    * near-dup components → one representative per cluster) — ONE
+    * definition shared by pipeline_curate_v2 and the
+    * pipeline_pretrain_corpus head, so the 0.75 gate, the τ = 0.5
+    * pair threshold, and the representative convention can never
+    * fork. Returns the representative docs with cluster_id, quality,
+    * n_chars, and text still attached; callers project. */
+  private def curatedReps(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .withColumn("quality", Text.qualityScore(col("text")))
+      .where(col("quality") >= 0.75)
+    val exact = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+      .where(col("rn") === 1).drop("rn")
+    val pairs = Dedup.ngramJaccardPairs(exact.select("doc_id", "text"), 0.5)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val labels = Cluster.components(edges)
+    exact
+      .join(labels.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))))
+      .where(col("rn") === 1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> ((s, dir) => {
       // 1. quality gate
@@ -46,31 +73,11 @@ object Curate extends QueryPack {
     // hash shuffle, pair mining df-pruned postings over the shrunken
     // survivor set, and the component solver runs on (id, id) label
     // pairs that are tiny next to the corpus.
-    "pipeline_curate_v2" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val scored = Tables.documents(s, dir)
-        .withColumn("quality", Text.qualityScore(col("text")))
-        .where(col("quality") >= 0.75)
-      val exact = scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
-        .where(col("rn") === 1).drop("rn")
-      val pairs = Dedup.ngramJaccardPairs(exact.select("doc_id", "text"), 0.5)
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      val labels = Cluster.components(edges)
-      val clustered = exact
-        .join(labels.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
-          col("lang"), col("source"), col("quality"), col("n_chars"))
-      val w = Window.partitionBy("cluster_id")
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      clustered
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    "pipeline_curate_v2" -> ((s, dir) =>
+      curatedReps(s, dir)
         .select(col("doc_id"), col("cluster_id"), col("lang"), col("source"),
           col("quality"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // The COMPLETE pre-training corpus job, end to end: quality gate →
     // exact dedup → cluster-safe near-dup resolution (the curate_v2
@@ -85,37 +92,11 @@ object Curate extends QueryPack {
     // hot-shard window). Output grain = (lang, source, seq_id) shard
     // summaries — manifest-sized, not corpus-sized.
     "pipeline_pretrain_corpus" -> ((s, dir) => {
-      import graft.relational.{Extras8, Stable}
-      val scored = Tables.documents(s, dir)
-        .withColumn("quality", Text.qualityScore(col("text")))
-        .where(col("quality") >= 0.75)
-      val exact = scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
-        .where(col("rn") === 1).drop("rn")
-      val pairs = Dedup.ngramJaccardPairs(exact.select("doc_id", "text"), 0.5)
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      val labels = Cluster.components(edges)
-      val rep = exact
-        .join(labels.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))))
-        .where(col("rn") === 1)
+      import graft.relational.Extras8
+      val rep = curatedReps(s, dir)
         .select(col("doc_id"), col("lang"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
-      val st = rep.groupBy("lang").agg(count(lit(1)).as("n"))
-      val tot = st.agg(sum(col("n")).as("nn"))
-      val pw = st.crossJoin(broadcast(tot))
-        .withColumn("p", col("n").cast("double") / col("nn"))
-        .withColumn("pw", round(pow(col("p"), 0.3), 12))
-      val z = pw.agg(Stable.dsum(col("pw"), 12).as("z"))
-      val rates = pw.crossJoin(broadcast(z))
-        .select(col("lang"),
-          round(least(lit(1.0), lit(0.8) * (col("pw") / col("z")) / col("p")), 6)
-            .as("rate"))
-      val samp = rep.join(broadcast(rates), Seq("lang"))
+      val samp = rep.join(broadcast(Extras8.temperatureRates(rep)), Seq("lang"))
         .where(Extras8.mdUniform(col("doc_id")) < col("rate"))
       val wseq = Window.partitionBy("lang", "source").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -88,29 +88,39 @@ object Quantize extends QueryPack {
     }: _*)
 
   /** One-time codes-table artifact: (vec_id, codes array<int>[M], nrm)
-    * — the 8 B/vector compressed corpus the ADC scan reads. */
+    * — the 8 B/vector compressed corpus the ADC scan reads. Laid out as
+    * per-job subdirectories (`batch_init` for the bulk build, one
+    * `batch_<id>` per streaming micro-batch) so maintenance appends are
+    * idempotent overwrites; read it with readCodes below. */
   private[llm] def codesTable(s: SparkSession, dir: String,
       book: Seq[Seq[Seq[Double]]]): String = {
     val pfx = s"graft_pq_codes_${Tables.pathKey(dir)}_"
     val path = s"/tmp/$pfx${Ksub}_${Tables.fingerprint(dir, "embeddings")}"
-    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+    if (!Files.exists(Paths.get(path, "batch_init", "_SUCCESS"))) {
       Tables.dropStalePaths(pfx)
-      buildPqCodes(Tables.embeddings(s, dir), path, book, append = false)
+      buildPqCodes(Tables.embeddings(s, dir), path, book, "batch_init")
     }
     path
   }
 
+  /** Read the whole codes artifact (bulk build + maintained batches). */
+  private[graft] def readCodes(s: SparkSession, path: String): DataFrame =
+    s.read.option("recursiveFileLookup", "true").parquet(path)
+
   /** Encode `vecs` (vec_id, embedding) with a FROZEN codebook and write
-    * the (vec_id, codes, nrm) rows to the codes artifact. One definition
+    * the (vec_id, codes, nrm) rows to the `part` subdirectory of the
+    * codes artifact — an OVERWRITE, so re-running the same part (the
+    * at-least-once foreachBatch replay) lands the same bytes instead of
+    * appending duplicates into a top-k-scanned artifact. One definition
     * shared by the one-time codesTable job, the streaming maintainer,
     * and the tests. */
   private[graft] def buildPqCodes(vecs: DataFrame, path: String,
-      book: Seq[Seq[Seq[Double]]], append: Boolean): Unit =
+      book: Seq[Seq[Seq[Double]]], part: String): Unit =
     vecs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), encode(col("v"), book).as("codes"),
         sqrt(dot(col("v"), col("v"))).as("nrm"))
-      .write.mode(if (append) "append" else "overwrite").parquet(path)
+      .write.mode("overwrite").parquet(s"$path/$part")
 
   /** Streaming maintenance of the PQ codes artifact (the Incremental
     * .maintainIvfIndex pattern, applied to PQ): each micro-batch of
@@ -121,7 +131,12 @@ object Quantize extends QueryPack {
     * Encoding is deterministic given the book, so the maintained
     * artifact is bit-identical to a batch re-encode of the union; daily
     * cost = delta · M · Ksub · SubDim encode flops, never a corpus
-    * re-scan. Re-train policy: pqRetrainDue below. */
+    * re-scan. Each micro-batch OVERWRITES its own batch_<id>
+    * subdirectory, so an at-least-once foreachBatch replay after a
+    * crash rewrites the same rows instead of duplicating them — the
+    * codes artifact feeds a top-k scan, which (unlike the membership
+    * indexes) is not duplicate-tolerant. Re-train policy: pqRetrainDue
+    * below. */
   def maintainPqCodes(streamingVecs: DataFrame, path: String,
       book: Seq[Seq[Seq[Double]]], ckpt: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -130,8 +145,8 @@ object Quantize extends QueryPack {
     streamingVecs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        buildPqCodes(batch, path, book, append = true)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        buildPqCodes(batch, path, book, s"batch_$id")
         ()
       }
       .start()
@@ -181,7 +196,7 @@ object Quantize extends QueryPack {
     * book's deploy-time baseline (bookFidelity) → re-train. Relative,
     * not absolute — see bookFidelity for why. Bounded samples on both
     * sides, never a corpus scan. */
-  def pqRetrainDue(s: SparkSession, vecs: DataFrame,
+  def pqRetrainDue(vecs: DataFrame,
       book: Seq[Seq[Seq[Double]]], baseline: Double,
       margin: Double = 0.05): Boolean =
     meanReconCos(vecs, book) < baseline - margin
@@ -225,7 +240,7 @@ object Quantize extends QueryPack {
     "ann_query_pq" -> ((s, dir) => {
       import graft.functions.TopKByScore.topk
       val book = codebook(s, dir)
-      val codes = s.read.parquet(codesTable(s, dir, book))
+      val codes = readCodes(s, codesTable(s, dir, book))
       val probes = Tables.embeddings(s, dir).where(col("vec_id") < 16)
         .select(col("vec_id").as("id_q"), col("embedding").cast("array<double>").as("vq"))
         .withColumn("nq", sqrt(dot(col("vq"), col("vq"))))
@@ -272,7 +287,7 @@ object Quantize extends QueryPack {
     "ann_query_ivfpq" -> ((s, dir) => {
       import graft.functions.TopKByScore.topk
       val book = codebook(s, dir)
-      val codes = s.read.parquet(codesTable(s, dir, book))
+      val codes = readCodes(s, codesTable(s, dir, book))
       val n = Tables.embeddings(s, dir).count()
       val K = Similarity.ivfCells(n)
       val cents = Similarity.learnedCentroids(s, dir, K)

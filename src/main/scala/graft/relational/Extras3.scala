@@ -14,15 +14,23 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Extras3 extends QueryPack {
 
-  /** Portable md5-derived bucket 0..9 of a long id (Spark side). */
-  private def hashBucketS(id: org.apache.spark.sql.Column) =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 10
+  /** Portable first-8-hex-digit md5 value of an id — THE shared
+    * cross-engine hash core (bucket and uniform forms derive from it;
+    * keep Spark and SQL twins in lockstep). */
+  private[graft] def md5Val(id: org.apache.spark.sql.Column) =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
 
-  /** DuckDB twin: first-8-hex-digit value of md5(id), digit-expanded. */
-  private def hashBucketD(id: String): String =
+  /** DuckDB twin of md5Val: the 8 hex digits, digit-expanded. */
+  private[graft] def md5ValD(id: String): String =
     (0 until 8).map(d =>
       s"(instr('0123456789abcdef', substring(md5(CAST($id AS VARCHAR)), ${d + 1}, 1)) - 1) * ${1L << (4 * (7 - d))}")
-      .mkString("(", " + ", ") % 10")
+      .mkString("(", " + ", ")")
+
+  /** Portable md5-derived bucket 0..9 of a long id (Spark side). */
+  private def hashBucketS(id: org.apache.spark.sql.Column) = md5Val(id) % 10
+
+  /** DuckDB twin: first-8-hex-digit value of md5(id), digit-expanded. */
+  private def hashBucketD(id: String): String = md5ValD(id) + " % 10"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // event-time RANGE frame: per-user trailing-10-minute counts/sums —

@@ -32,17 +32,33 @@ import org.apache.spark.sql.functions._
   */
 object Extras8 extends QueryPack {
 
-  /** Deterministic uniform in [0,1): first 8 md5 hex digits of the id
-    * over 2^32 (the Extras3 hash-bucket construction, continuous form). */
+  /** Deterministic uniform in [0,1): Extras3's shared md5 hash core
+    * (md5Val) over 2^32 — the continuous form of the hash bucket. */
   private[graft] def mdUniform(id: org.apache.spark.sql.Column) =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
+    Extras3.md5Val(id).cast("double") / lit(4294967296.0)
 
-  /** DuckDB twin: digit-expand the first 8 md5 hex chars. */
+  /** DuckDB twin, from the same shared core. */
   private[graft] def mdUniformSql(id: String): String =
-    "(" + (0 until 8).map(d =>
-      s"(instr('0123456789abcdef', substring(md5(CAST($id AS VARCHAR)), ${d + 1}, 1)) - 1) * ${1L << (4 * (7 - d))}")
-      .mkString(" + ") + ") / 4294967296.0"
+    Extras3.md5ValD(id) + " / 4294967296.0"
+
+  /** Temperature-scaled acceptance rates per stratum (α = 0.3,
+    * target fraction 0.8): rate = round(min(1, 0.8·(w/Σw)/p), 6) with
+    * w = round(p^α, 12) — the one definition both the standalone
+    * sample_temperature key and the pipeline_pretrain_corpus stage
+    * call, so the α/cap/rounding contract can never fork. Input is any
+    * item-grain frame with a `lang` column; output (lang, rate). */
+  private[graft] def temperatureRates(items: DataFrame): DataFrame = {
+    val st = items.groupBy("lang").agg(count(lit(1)).as("n"))
+    val tot = st.agg(sum(col("n")).as("nn"))
+    val pw = st.crossJoin(broadcast(tot))
+      .withColumn("p", col("n").cast("double") / col("nn"))
+      .withColumn("pw", round(pow(col("p"), 0.3), 12))
+    val z = pw.agg(Stable.dsum(col("pw"), 12).as("z"))
+    pw.crossJoin(broadcast(z))
+      .select(col("lang"),
+        round(least(lit(1.0), lit(0.8) * (col("pw") / col("z")) / col("p")), 6)
+          .as("rate"))
+  }
 
   /** One-time persisted symmetrized trade-graph edge table
     * (src, dst, deg), bucketed on src — the link-graph artifact the
@@ -81,37 +97,26 @@ object Extras8 extends QueryPack {
     // can never flip a keep decision.
     "sample_temperature" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
-      val st = docs.groupBy("lang").agg(count(lit(1)).as("n"))
-      val tot = st.agg(sum(col("n")).as("nn"))
-      val pw = st.crossJoin(broadcast(tot))
-        .withColumn("p", col("n").cast("double") / col("nn"))
-        .withColumn("pw", round(pow(col("p"), 0.3), 12))
-      val z = pw.agg(Stable.dsum(col("pw"), 12).as("z"))
-      val rates = pw.crossJoin(broadcast(z))
-        .select(col("lang"),
-          round(least(lit(1.0), lit(0.8) * (col("pw") / col("z")) / col("p")), 6)
-            .as("rate"))
-      docs.join(broadcast(rates), Seq("lang"))
+      docs.join(broadcast(temperatureRates(docs)), Seq("lang"))
         .where(mdUniform(col("doc_id")) < col("rate"))
         .select(col("doc_id"), col("lang"), col("rate"))
         .orderBy("doc_id")
     }),
 
-    // CDC changelog application: events are a change stream over
-    // user-grain state (op = D on 'error', else upsert), ordered by
-    // (event-time second, event_id) — the unique id breaks same-second
-    // ties deterministically. Final state = last op per key, deleted
-    // keys absent. Second-truncated on both sides (ns-parquet rule).
+    // CDC changelog application: final state = last op per key,
+    // deleted keys absent. Built on the SAME change-record definition
+    // the streaming latest-change view uses (Pipeline.cdcChanges: op =
+    // D on 'error' else upsert, ordered by (event-time second,
+    // event_id) — the unique id breaks same-second ties), so the
+    // applied-state and connector views can never de-synchronize.
     "sink_cdc_apply" -> ((s, dir) => {
-      val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
-        unix_timestamp(date_trunc("second", col("ts"))).as("t"), col("value"),
-        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
-      val w = Window.partitionBy("user_id").orderBy(col("t").desc, col("event_id").desc)
+      val e = graft.streaming.Pipeline.cdcChanges(Tables.events(s, dir))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("last_t").desc, col("event_id").desc)
       e.withColumn("rn", row_number().over(w))
         .withColumn("n_changes", count(lit(1)).over(Window.partitionBy("user_id")))
         .where(col("rn") === 1 && col("op") === "U")
-        .select(col("user_id"), round(col("value"), 2).as("last_value"),
-          col("t").as("last_t"), col("n_changes"))
+        .select(col("user_id"), col("last_value"), col("last_t"), col("n_changes"))
         .orderBy("user_id")
     }),
 

@@ -401,7 +401,7 @@ class StreamSpec extends AnyFunSuite {
     val arriving = emb.where(pmod(col("vec_id"), lit(2)) === 0)
     val streamed = Files.createTempDirectory("graft_pq_streamed").toString + "/codes"
     val batchBuilt = Files.createTempDirectory("graft_pq_batch").toString + "/codes"
-    Quantize.buildPqCodes(initial, streamed, book, append = false)
+    Quantize.buildPqCodes(initial, streamed, book, "batch_init")
     val inDir = Files.createTempDirectory("graft_pqidx_in").toString
     arriving.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
@@ -413,12 +413,12 @@ class StreamSpec extends AnyFunSuite {
     q.awaitTermination()
     // delta encode against the frozen book must reproduce the artifact
     // batch-encoded over the full corpus with the same book
-    Quantize.buildPqCodes(emb, batchBuilt, book, append = false)
-    assertSameRows(spark.read.parquet(streamed), spark.read.parquet(batchBuilt))
+    Quantize.buildPqCodes(emb, batchBuilt, book, "batch_init")
+    assertSameRows(Quantize.readCodes(spark, streamed), Quantize.readCodes(spark, batchBuilt))
     // healthy book on its own corpus — appends alone must not trip
     // re-train (fidelity == the deploy-time baseline by construction)
     val baseline = Quantize.bookFidelity(spark, dir, book)
-    assert(!Quantize.pqRetrainDue(spark, emb, book, baseline),
+    assert(!Quantize.pqRetrainDue(emb, book, baseline),
       "retrain tripped on a book matching its training distribution")
     // a corpus that drifted away from the frozen book is flagged: a
     // mean shift moves the cloud off the trained centroids entirely —
@@ -426,7 +426,7 @@ class StreamSpec extends AnyFunSuite {
     val driftedCorpus = emb.select(col("vec_id"),
       transform(col("embedding").cast("array<double>"),
         x => x + lit(2.0)).as("embedding"))
-    assert(Quantize.pqRetrainDue(spark, driftedCorpus, book, baseline),
+    assert(Quantize.pqRetrainDue(driftedCorpus, book, baseline),
       "retrain not flagged for a corpus that drifted off the book")
   }
 
