@@ -120,6 +120,39 @@ object Extras8 extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // As-of join with TOLERANCE and both DIRECTIONS (the pandas
+    // merge_asof / feature-store point-in-time surface the plain
+    // join_asof key lacks): for each purchase, the latest click within
+    // a 6 h lookback AND the earliest click within a 6 h lookahead —
+    // NULL when nothing falls inside the horizon (the point-in-time
+    // correctness rule: a feature older than the tolerance must not
+    // leak in). Same single-pass IGNORE NULLS window shape as
+    // join_asof — no range self-join; the tolerance is a post-window
+    // comparison, so the plan stays one sort per user partition.
+    "join_asof_tolerance" -> ((s, dir) => {
+      val tol = 21600L // 6 h; fixture median per-user gap ≈ 7.3 h, so both branches fire
+      val ev = Tables.events(s, dir)
+        .withColumn("t", unix_timestamp(date_trunc("second", col("ts"))))
+      val wb = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev
+        .withColumn("b_id", last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(wb))
+        .withColumn("b_t", last(when(col("event_type") === "click", col("t")),
+          ignoreNulls = true).over(wb))
+        .withColumn("f_id", first(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(wf))
+        .withColumn("f_t", first(when(col("event_type") === "click", col("t")),
+          ignoreNulls = true).over(wf))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          when(col("t") - col("b_t") <= tol, col("b_id")).as("click_before"),
+          when(col("f_t") - col("t") <= tol, col("f_id")).as("click_after"))
+        .orderBy("event_id")
+    }),
+
     // Bitmap-index retention (the classic cohort intersect): users
     // active on day d AND day d+1, computed entirely in codegen bitmap
     // expressions over per-(day, bucket) user bitmaps — Spark ships no
@@ -314,6 +347,28 @@ object Extras8 extends QueryPack {
         |       CAST(n_changes AS BIGINT) AS n_changes
         |FROM r WHERE rn = 1 AND op = 'U'
         |ORDER BY user_id""".stripMargin,
+
+    "join_asof_tolerance" ->
+      """WITH e0 AS (SELECT event_id, user_id, event_type,
+        |  CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS t FROM events),
+        |ev AS (SELECT *,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |    OVER wb AS b_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN t END IGNORE NULLS)
+        |    OVER wb AS b_t,
+        |  first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |    OVER wf AS f_id,
+        |  first_value(CASE WHEN event_type = 'click' THEN t END IGNORE NULLS)
+        |    OVER wf AS f_t
+        |  FROM e0 WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY t, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY t, event_id
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  CASE WHEN t - b_t <= 21600 THEN b_id END AS click_before,
+        |  CASE WHEN f_t - t <= 21600 THEN f_id END AS click_after
+        |FROM ev WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "agg_bitmap_retention" ->
       """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
