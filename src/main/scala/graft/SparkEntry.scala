@@ -24,6 +24,7 @@ object SparkEntry {
     relational.Extras6,
     relational.Extras7,
     relational.Extras8,
+    relational.Extras9,
     relational.Storage,
     relational.Subqueries,
     llm.Cluster,

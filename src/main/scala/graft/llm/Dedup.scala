@@ -272,6 +272,41 @@ object Dedup extends QueryPack {
       e.join(dups.withColumn("d", lit(1)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("d").isNotNull.as("is_dup"))
         .orderBy("vec_id")
+    }),
+
+    // edit-distance near-dup (round 7): pairs with levenshtein <= 12.
+    // Length banding is exact blocking, not approximation — a pair at
+    // distance <= k cannot differ in length by more than k chars, so
+    // bucketing n_chars by width 13 and probing each doc against its
+    // own + neighbor buckets (an ordinary equi shuffle join on the
+    // bucket key after a 3x explode) loses nothing while cutting the
+    // candidate set from n^2/2 to ~|bucket|*n. The residual distance
+    // runs Spark's THRESHOLDED levenshtein (banded O(len*k) with early
+    // exit, not full O(len^2)) — at sf0.1 that is ~82k candidate
+    // evaluations instead of 12.5M pairs. No lang pre-block: the
+    // fixture plants most near-dup text across lang labels (measured:
+    // 251 pairs total, only 79 same-lang), and a dedup pass that
+    // misses cross-lang copies would under-dedup the corpus.
+    "dedup_edit_near" -> ((s, dir) => {
+      val k = 12
+      val width = k + 1
+      val d = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"),
+        col("n_chars").as("la"), floor(col("n_chars") / width).as("bkt"))
+      val b = d.select(col("doc_id").as("id_b"), col("text").as("tb"),
+        col("n_chars").as("lb"),
+        explode(array(floor(col("n_chars") / width) - 1,
+          floor(col("n_chars") / width),
+          floor(col("n_chars") / width) + 1)).as("bkt"))
+      a.join(b, Seq("bkt"))
+        .where(col("id_a") < col("id_b") &&
+          abs(col("la") - col("lb")) <= k)
+        .withColumn("dist", levenshtein(col("ta"), col("tb"), k).cast("long"))
+        .where(col("dist") >= 0)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -317,6 +352,14 @@ object Dedup extends QueryPack {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_edit_near" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 12
+        |WHERE levenshtein(a.text, b.text) <= 12
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embed" ->
