@@ -207,4 +207,34 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Exchange hashpartitioning(dst"),
       s"expected the per-round contribution exchanges on dst:\n$plan")
   }
+
+  test("join_interval_overlap: equi join on the customer key, never a cross product") {
+    // the interval predicate must ride as a residual condition on an
+    // ordinary hash/merge join keyed by o_custkey — a nested-loop or
+    // cartesian here would be n^2 over the whole orders table at scale
+    val plan = physical("join_interval_overlap")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"interval overlap degenerated to a cross product:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"expected an equi join keyed on o_custkey:\n$plan")
+  }
+
+  test("dedup_edit_near: candidates come from an equi join on the length band") {
+    val plan = physical("dedup_edit_near")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"edit-distance join degenerated to a cross product:\n$plan")
+    assert(plan.contains("levenshtein"),
+      s"thresholded levenshtein verify missing from the plan:\n$plan")
+  }
+
+  test("ts_ohlc / agg_histogram: one two-phase aggregation, no extra exchange") {
+    for (k <- Seq("ts_ohlc", "agg_histogram")) {
+      val plan = physical(k)
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$k: expected partial+final HashAggregate:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"$k: expected exactly one agg exchange:\n$plan")
+    }
+  }
 }
