@@ -26,6 +26,20 @@ object DebugNg {
             .write.format("noop").mode("overwrite").save())
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "editchunks") {
+      // posting-size distribution + candidate counts for the CDC chunk
+      // blocking at several df caps (dedup_edit_banded tuning)
+      import graft.llm.Dedup
+      val d = Tables.documents(spark, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      for (cap <- Seq(20, 40, 100, 200)) {
+        val c = time(s"cap=$cap candidates")(
+          Dedup.editChunkCandidates(d, 4, cap, 12).count())
+        println(s"  cap=$cap candidate pairs = $c")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "ivfassign") {
       // A/B the two assignCells shapes at the current corpus scale
       import graft.llm.Similarity

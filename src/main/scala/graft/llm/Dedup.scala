@@ -307,8 +307,88 @@ object Dedup extends QueryPack {
         .where(col("dist") >= 0)
         .select(col("id_a"), col("id_b"), col("dist"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // the 100 TB path for edit-distance near-dup: length banding is
+    // quadratic within a length window (any fixed |Δlen| band packs
+    // Θ(n/|lengths|) docs per band value, so candidates grow n²), so
+    // candidates come instead from CONTENT-DEFINED CHUNK blocking:
+    // token chunks cut at hash-selected boundary tokens
+    // (xxhash64(tok) % 4 == 0) are shift-invariant — an insertion
+    // early in the text moves every later chunk's POSITION but not its
+    // CONTENT, so near-identical docs still agree on most chunk keys.
+    // Chunking is pure map-side higher-order-function work on the
+    // token array (no explode shuffle); candidate pairs come from the
+    // same df-capped postings pattern as dedup_ngram_jaccard; the
+    // exact thresholded-levenshtein verify makes false positives
+    // impossible. Probabilistic RECALL only (a pair editing every
+    // shared chunk, or whose chunks are all hotter than the df cap,
+    // is missed) — no SQL oracle; LlmSpec measures recall vs the
+    // exact dedup_edit_near and asserts the subset property.
+    "dedup_edit_banded" -> ((s, dir) => {
+      val k = 12
+      val d = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val pairs = editChunkCandidates(d, p = 4, dfCap = 100, maxLenDiff = k)
+      val texts = d.select(col("doc_id"), col("text"), col("n_chars"))
+      pairs
+        .join(texts.select(col("doc_id").as("id_a"), col("text").as("ta"),
+          col("n_chars").as("la")), Seq("id_a"))
+        .join(texts.select(col("doc_id").as("id_b"), col("text").as("tb"),
+          col("n_chars").as("lb")), Seq("id_b"))
+        .where(abs(col("la") - col("lb")) <= k)
+        .withColumn("dist", levenshtein(col("ta"), col("tb"), k).cast("long"))
+        .where(col("dist") >= 0)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy("id_a", "id_b")
     })
   )
+
+  /** Candidate (id_a < id_b) pairs sharing at least one content-defined
+    * token chunk. Chunks are built map-side from the token array:
+    * boundary tokens (xxhash64 % p == 0) start a new chunk; each chunk
+    * joins back to a single string and is hashed to a 128-bit key
+    * (two seeded xxhash64 halves — same width discipline as
+    * ngramJaccardPairs). Postings hotter than dfCap are dropped:
+    * unrelated docs sharing a chunk by chance (the fixture vocabulary
+    * is ~30 words) would otherwise fan out quadratically. The length
+    * window (|Δn_chars| ≤ maxLenDiff — implied by the edit-distance
+    * threshold) is applied IN-LIST during pair generation, map-side
+    * before any shuffle, so a hot-but-allowed posting contributes only
+    * its same-length-band combinations to the distinct. */
+  private[graft] def editChunkCandidates(docs: DataFrame, p: Int, dfCap: Int,
+      maxLenDiff: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val isBnd = (i: Column) =>
+      pmod(xxhash64(element_at(toks, i + 1)), lit(p)) === 0
+    val starts = concat(array(lit(0)),
+      filter(sequence(lit(1), size(toks) - 1), i => isBnd(i)))
+    val ends = concat(slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+      array(size(toks)))
+    val chunks = zip_with(starts, ends,
+      (st, en) => concat_ws(" ", slice(toks, st + 1, en - st)))
+    val ck = docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(array_distinct(chunks)).as("chunk"))
+      .select(col("doc_id"), col("n_chars"),
+        xxhash64(lit(0), col("chunk")).as("g1"),
+        xxhash64(lit(1), col("chunk")).as("g2"))
+    val posting = ck.groupBy("g1", "g2")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_chars"))))
+        .as("ds"))
+      .where(size(col("ds")).between(2, dfCap))
+    posting
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        filter(
+          transform(slice(col("ds"), i + 2, size(col("ds"))),
+            b => struct(a.getField("doc_id").as("id_a"),
+              b.getField("doc_id").as("id_b"),
+              abs(a.getField("n_chars") - b.getField("n_chars")).as("ld"))),
+          pr => pr.getField("ld") <= maxLenDiff)))).as("pr"))
+      .select(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
+      .distinct()
+  }
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
