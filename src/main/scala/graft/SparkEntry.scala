@@ -25,6 +25,7 @@ object SparkEntry {
     relational.Extras7,
     relational.Extras8,
     relational.Extras9,
+    relational.Extras10,
     relational.Storage,
     relational.Subqueries,
     llm.Cluster,

@@ -1,0 +1,283 @@
+package graft.relational
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-7 second batch: the time-series, reporting, and source shapes
+  * that remained unclaimed after the interval/OHLC additions.
+  *
+  *  - gaps-and-islands (`win_gaps_islands`) — consecutive-activity
+  *    grouping (bursts of orders ≤ 30 days apart) via the classic
+  *    break-flag + running-sum island id: two windows over ONE
+  *    hash-partition by customer, no self-join (the naive SQL forms
+  *    use a correlated subquery per row). At 100 TB the per-customer
+  *    partition is the only shuffle.
+  *  - year-over-year report (`win_yoy`) — revenue per nation-year with
+  *    lag-based growth; dims broadcast, one agg shuffle on the
+  *    (nation, year) key, then a window over the tiny aggregate.
+  *  - distribution entropy (`agg_entropy`) — Shannon entropy of each
+  *    source's language mix: two-phase aggregate (count per
+  *    (source, lang) with map-side combine, then Σ p·ln p per source
+  *    in the decimal-stable discipline). The corpus-health metric a
+  *    curation pipeline tracks per crawl source.
+  *  - weighted sampling (`sample_weighted`) — k items with probability
+  *    ∝ weight, the A-ExpJ reservoir order statistic u^(1/w) made
+  *    deterministic: u from the shared md5 core, key = ln(u)/w (its
+  *    max-k set equals u^(1/w)'s), rounded to 12 before ranking so
+  *    libm ln ulp differences can never reorder, ties broken by key
+  *    id. Global top-k = TakeOrdered (map-side partial per partition,
+  *    no full sort) — the same shape at any corpus size.
+  *  - schema-evolution source (`source_merge_schema`) — a write-once
+  *    two-batch parquet layout where the second batch adds a column
+  *    (the universal "pipeline added a field mid-stream" event);
+  *    mergeSchema unions the schemas and back-fills nulls, and the
+  *    aggregate proves pre-evolution rows survive with the
+  *    `(legacy)` marker. Footer merging at 100 TB: schema comes from
+  *    file footers (bounded by file count, driver-side), data stays
+  *    columnar-pruned.
+  *  - EWMA smoothing (`ts_ewma`) — exponentially weighted moving
+  *    average per event-type over hourly bars. EWMA is inherently a
+  *    sequential recurrence, so the scale discipline is: reduce the
+  *    raw stream to per-(type, hour) bars FIRST (one
+  *    map-side-combinable groupBy over the 100 TB input; bars are
+  *    time-bounded — ~9 k/year/type — not corpus-bounded), then run
+  *    the recurrence per series with `aggregate()` over the collected
+  *    bar array. Parallel across series, sequential only where the
+  *    math is. Each step rounds to 6 so the recurrence is
+  *    cross-engine exact (recursive-CTE oracle).
+  *  - rolling z-score anomalies (`ts_anomaly`) — value vs the
+  *    trailing-50-event mean/std per type. Rolling moments come from
+  *    TWO decimal window sums (Σx, Σx² — order-independent exact, so
+  *    z is bit-identical across engines and partitionings; a double
+  *    stddev_samp window would hash-mismatch), frame = 50 preceding
+  *    to 1 preceding (the current point never pollutes its own
+  *    baseline). One window shuffle per type.
+  */
+object Extras10 extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // bursts of orders ≤30 days apart per customer: break flag via lag,
+    // island id via running sum, then one aggregate per island
+    "win_gaps_islands" -> ((s, dir) => {
+      val wo = Window.partitionBy("o_custkey").orderBy(col("d"), col("o_orderkey"))
+      val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"), col("o_totalprice"))
+        .withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(wo)))
+        .withColumn("brk", when(col("gap").isNull || col("gap") > 30, 1).otherwise(0))
+        .withColumn("island", sum(col("brk")).over(wr))
+        .groupBy(col("o_custkey"), col("island"))
+        .agg(min(col("d")).as("start_d"), max(col("d")).as("end_d"),
+          count(lit(1)).as("n_orders"),
+          round(Stable.dsum(col("o_totalprice")), 2).as("spend"))
+        .orderBy("o_custkey", "island")
+    }),
+
+    // nation-year revenue with YoY growth; revenue rounded BEFORE the
+    // lag ratio so the growth number is derived from exact inputs
+    "win_yoy" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"), col("o_totalprice"))
+        .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("yr"))
+        .agg(round(Stable.dsum(col("o_totalprice")), 2).as("rev"))
+      val w = Window.partitionBy("n_name").orderBy("yr")
+      rev.withColumn("prev", lag(col("rev"), 1).over(w))
+        .select(col("n_name"), col("yr"), col("rev"),
+          round((col("rev") - col("prev")) / col("prev"), 6).as("yoy"))
+        .orderBy("n_name", "yr")
+    }),
+
+    // Shannon entropy of the language mix per source: H = -Σ p ln p,
+    // decimal-stable over per-term round-12 (libm ln ulp-safe)
+    "agg_entropy" -> ((s, dir) => {
+      val c = Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      val t = c.groupBy(col("source")).agg(sum(col("n")).as("tot"))
+      c.join(t, Seq("source"))
+        .withColumn("p", col("n").cast("double") / col("tot"))
+        .groupBy(col("source"))
+        .agg(round(-Stable.dsum(col("p") * log(col("p")), 12), 6).as("entropy"),
+          count(lit(1)).as("n_langs"), min(col("tot")).cast("long").as("n_docs"))
+        .orderBy("source")
+    }),
+
+    // deterministic weighted-by-price top-100 (A-ExpJ order statistic on
+    // the md5 uniform); round-12 key, id tie-break
+    "sample_weighted" -> ((s, dir) => {
+      val u = (Extras3.md5Val(col("o_orderkey")).cast("double") + 0.5) / 4294967296.0
+      Tables.orders(s, dir)
+        .withColumn("wkey", round(log(u) / col("o_totalprice"), 12))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"), col("wkey"))
+        .orderBy(col("wkey").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // schema-evolution read: batch b0 wrote (key, price), batch b1 added
+    // o_orderpriority; mergeSchema unions the footers and the aggregate
+    // shows pre-evolution rows under the '(legacy)' marker
+    "source_merge_schema" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      val pfx = s"graft_msrc_${Tables.pathKey(dir)}_"
+      val root = s"/tmp/$pfx${Tables.pathKey(Tables.fingerprint(dir, "orders"))}"
+      if (!Files.exists(Paths.get(s"$root/b1/_SUCCESS"))) {
+        Tables.dropStalePaths(pfx)
+        val o = Tables.orders(s, dir)
+        o.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$root/b0")
+        o.where(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$root/b1")
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$root/b0", s"$root/b1")
+        .groupBy(coalesce(col("o_orderpriority"), lit("(legacy)")).as("prio"))
+        .agg(count(lit(1)).as("n"),
+          round(Stable.dsum(col("o_totalprice")), 2).as("rev"))
+        .orderBy("prio")
+    }),
+
+    // EWMA (α=0.2) per event_type over hourly mean-value bars; the
+    // recurrence runs inside aggregate() over the sorted bar array —
+    // sequential per series, parallel across series
+    "ts_ewma" -> ((s, dir) => {
+      val bars = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (unix_timestamp(col("ts")).cast("long") / 3600L).cast("long").as("h"))
+        .agg(Stable.davg(col("value"), 6).as("v"))
+      val outT = "array<struct<h:bigint,v:double,e:double>>"
+      bars.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("h"), col("v")))).as("a"))
+        .withColumn("o", aggregate(col("a"),
+          struct(lit(null).cast("double").as("e"), array().cast(outT).as("out")),
+          (acc, x) => {
+            val ne = when(acc("e").isNull, x("v"))
+              .otherwise(round(lit(0.2) * x("v") + lit(0.8) * acc("e"), 6))
+            struct(ne.as("e"),
+              concat(acc("out"),
+                array(struct(x("h").as("h"), x("v").as("v"), ne.as("e")))).as("out"))
+          },
+          acc => acc("out")))
+        .select(col("event_type"), explode(col("o")).as("r"))
+        .select(col("event_type"), col("r.h").as("h"),
+          col("r.v").as("bar_v"), col("r.e").as("ewma"))
+        .orderBy("event_type", "h")
+    }),
+
+    // trailing-50-event z-score outliers per type; moments from two
+    // exact decimal window sums so z is cross-engine bit-identical
+    "ts_anomaly" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(-50, -1)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("sx", sum(col("value").cast(DecimalType(28, 6))).over(w).cast("double"))
+        .withColumn("sq", sum((col("value") * col("value")).cast(DecimalType(28, 10))).over(w).cast("double"))
+        .withColumn("n", count(lit(1)).over(w))
+        .where(col("n") >= 20)
+        .withColumn("m", col("sx") / col("n"))
+        .withColumn("va", (col("sq") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1)))
+        .where(col("va") > 0)
+        .withColumn("z", (col("value") - col("m")) / sqrt(col("va")))
+        .where(abs(col("z")) > 2.5)
+        .select(col("event_type"), col("event_id"),
+          round(col("value"), 2).as("value"), round(col("z"), 4).as("z"))
+        .orderBy("event_type", "event_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "win_gaps_islands" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d, o_totalprice,
+        |    date_diff('day',
+        |      lag(CAST(o_orderdate AS DATE)) OVER
+        |        (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+        |      CAST(o_orderdate AS DATE)) AS gap
+        |  FROM orders),
+        |b AS (
+        |  SELECT *, CASE WHEN gap IS NULL OR gap > 30 THEN 1 ELSE 0 END AS brk FROM o),
+        |i AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM b)
+        |SELECT o_custkey, CAST(island AS BIGINT) AS island, MIN(d) AS start_d,
+        |  MAX(d) AS end_d, COUNT(*) AS n_orders,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 2) AS spend
+        |FROM i GROUP BY 1, 2 ORDER BY o_custkey, island""".stripMargin,
+
+    "win_yoy" ->
+      """WITH rev AS (
+        |  SELECT n_name, EXTRACT(year FROM o_orderdate) AS yr,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 2) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, CAST(yr AS INT) AS yr, rev,
+        |  ROUND((rev - lag(rev) OVER w) / lag(rev) OVER w, 6) AS yoy
+        |FROM rev WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+        |ORDER BY n_name, yr""".stripMargin,
+
+    "agg_entropy" ->
+      """WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.source,
+        |  ROUND(-CAST(SUM(CAST((CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)
+        |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy,
+        |  COUNT(*) AS n_langs, CAST(MIN(tot) AS BIGINT) AS n_docs
+        |FROM c JOIN t ON c.source = t.source
+        |GROUP BY 1 ORDER BY c.source""".stripMargin,
+
+    "sample_weighted" -> {
+      val u = s"((${Extras3.md5ValD("o_orderkey")} + 0.5) / 4294967296.0)"
+      s"""SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+         |  ROUND(ln($u) / o_totalprice, 12) AS wkey
+         |FROM orders
+         |ORDER BY wkey DESC, o_orderkey LIMIT 100""".stripMargin
+    },
+
+    "source_merge_schema" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(legacy)' ELSE o_orderpriority END AS prio,
+        |  COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 2) AS rev
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+
+    "ts_ewma" ->
+      """WITH RECURSIVE bars AS (
+        |  SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |rn AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |       FROM bars),
+        |rec(event_type, h, v, e, rn) AS (
+        |  SELECT event_type, h, v, v, rn FROM rn WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.h, n.v, ROUND(0.2 * n.v + 0.8 * r.e, 6), n.rn
+        |  FROM rec r JOIN rn n ON n.event_type = r.event_type AND n.rn = r.rn + 1)
+        |SELECT event_type, h, v AS bar_v, e AS ewma
+        |FROM rec ORDER BY event_type, h""".stripMargin,
+
+    "ts_anomaly" ->
+      """WITH a AS (
+        |  SELECT event_type, event_id, value,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sq,
+        |    COUNT(*) OVER w AS n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)),
+        |b AS (
+        |  SELECT *, sx / n AS m, (sq - sx * sx / n) / (n - 1) AS va
+        |  FROM a WHERE n >= 20)
+        |SELECT event_type, event_id, ROUND(value, 2) AS value,
+        |  ROUND((value - m) / sqrt(va), 4) AS z
+        |FROM b WHERE va > 0 AND ABS((value - m) / sqrt(va)) > 2.5
+        |ORDER BY event_type, event_id""".stripMargin
+  )
+}
