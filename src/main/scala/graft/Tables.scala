@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table loaders. Every query fn receives the scale-factor dir at
   * call time (driver contract, Verify.scala:18) and must read from it —
@@ -28,9 +28,16 @@ object Tables {
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, dir, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // µs fixture generation: TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        // infers as NTZ; session tz is pinned UTC so the LTZ cast is the
+        // identity instant (watermarks/windows require LTZ).
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame  = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")

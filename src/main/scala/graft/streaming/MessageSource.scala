@@ -27,14 +27,31 @@ object MessageSource {
     StructField("props", StringType)))
 
   /** Normalize a raw-schema frame to the canonical message shape
-    * (proper µs TimestampType `ts`). Works on batch and streaming. */
-  def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * (proper µs TimestampType `ts`). Works on batch and streaming; a
+    * frame whose `ts` is already a timestamp (µs fixtures) passes
+    * through untouched, a raw nanos long (ns fixtures under
+    * nanosAsLong) is truncated to µs — the same dual handling as
+    * Tables.events, so the two read paths can never diverge again. */
+  def normalize(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType =>
+      // µs fixtures carry isAdjustedToUTC=false → Spark infers NTZ,
+      // which watermarks reject; the session tz is pinned UTC so the
+      // NTZ→LTZ cast is the identity on the wall-clock instant.
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
 
   /** Unbounded file stream over a directory of events parquet. */
   def fileStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalize(spark.readStream.schema(rawSchema).parquet(dir))
+    // Streaming sources need a declared schema; derive it from the
+    // directory's parquet footers (driver-side, bounded by file count)
+    // instead of hardcoding the ns-long shape — the fixture generation
+    // has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) `ts`.
+    val footer = spark.read.parquet(dir).schema
+    normalize(spark.readStream.schema(footer).parquet(dir))
   }
 
   /** Synthetic rate source mapped onto the message shape (tests/demos). */
