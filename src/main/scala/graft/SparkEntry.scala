@@ -26,6 +26,7 @@ object SparkEntry {
     relational.Extras8,
     relational.Extras9,
     relational.Extras10,
+    relational.Extras11,
     relational.Storage,
     relational.Subqueries,
     llm.Cluster,
@@ -34,6 +35,7 @@ object SparkEntry {
     llm.Embeddings,
     llm.Text2,
     llm.Text3,
+    llm.Text4,
     llm.Similarity,
     llm.Text,
     llm.Multimodal,

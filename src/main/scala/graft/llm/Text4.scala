@@ -1,0 +1,116 @@
+package graft.llm
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 text-analysis batch: the two remaining Gopher-family corpus
+  * signals (repetition, vocabulary concentration).
+  *
+  *  - repetition report (`text_repetition`) — per-document repetition
+  *    signals in the Gopher §A.1.1 family: the fraction of bigram
+  *    instances consumed by the single most frequent bigram
+  *    (`top_bigram_frac`) and the fraction of trigram instances whose
+  *    trigram occurs more than once in the document
+  *    (`dup_trigram_frac`). Highly repetitive machine-generated text
+  *    scores near 1 on both; a curation pipeline thresholds these
+  *    before training. Shape: one posexplode + two lead()s inside a
+  *    per-document window, then per-(doc, gram) counts with map-side
+  *    combine — every shuffle is keyed by doc_id, per-doc work is
+  *    bounded by document length, nothing is corpus-global.
+  *  - vocabulary coverage (`text_vocab_coverage`) — the top-100 corpus
+  *    vocabulary with cumulative token-coverage fraction (the "how few
+  *    types cover 90% of tokens" curve a tokenizer-budget decision
+  *    reads). The corpus-wide token count is a two-phase aggregate;
+  *    the rank/cumsum window then runs over the REDUCED vocabulary
+  *    (Heaps-law bounded, ≪ corpus), not the token stream — the only
+  *    single-partition step is vocabulary-sized by construction.
+  */
+object Text4 extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> ((s, dir) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t1")))
+        .withColumn("t2", lead(col("t1"), 1).over(w))
+        .withColumn("t3", lead(col("t1"), 2).over(w))
+      val bi = g.where(col("t2").isNotNull)
+        .groupBy(col("doc_id"), concat_ws(" ", col("t1"), col("t2")).as("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("topc"), sum(col("c")).as("totb"))
+      val tri = g.where(col("t3").isNotNull)
+        .groupBy(col("doc_id"), concat_ws(" ", col("t1"), col("t2"), col("t3")).as("tg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0)).as("dupt"),
+          sum(col("c")).as("tott"))
+      bi.join(tri, Seq("doc_id"))
+        .select(col("doc_id"),
+          round(col("topc").cast("double") / col("totb"), 6).as("top_bigram_frac"),
+          round(col("dupt").cast("double") / col("tott"), 6).as("dup_trigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    "text_vocab_coverage" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("total"))
+      // rank/cumsum over the REDUCED vocabulary (Heaps-law bounded)
+      val w = Window.orderBy(col("cnt").desc, col("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts.crossJoin(broadcast(tot))
+        .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .where(col("rank") <= 100)
+        .select(col("rank"), col("tok"), col("cnt"),
+          round(col("cum").cast("double") / col("total"), 6).as("coverage"))
+        .orderBy("rank")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |         unnest(string_split(text, ' ')) AS t1
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, t1, lead(t1, 1) OVER w AS t2, lead(t1, 2) OVER w AS t3
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |bi AS (
+        |  SELECT doc_id, MAX(c) AS topc, SUM(c) AS totb FROM (
+        |    SELECT doc_id, t1 || ' ' || t2 AS bg, COUNT(*) AS c
+        |    FROM g WHERE t2 IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupt,
+        |         SUM(c) AS tott FROM (
+        |    SELECT doc_id, t1 || ' ' || t2 || ' ' || t3 AS tg, COUNT(*) AS c
+        |    FROM g WHERE t3 IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT bi.doc_id,
+        |  ROUND(CAST(topc AS DOUBLE) / totb, 6) AS top_bigram_frac,
+        |  ROUND(CAST(dupt AS DOUBLE) / tott, 6) AS dup_trigram_frac
+        |FROM bi JOIN tri ON bi.doc_id = tri.doc_id
+        |ORDER BY bi.doc_id""".stripMargin,
+
+    "text_vocab_coverage" ->
+      """WITH c AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |counts AS (SELECT tok, COUNT(*) AS cnt FROM c GROUP BY 1),
+        |tot AS (SELECT SUM(cnt) AS total FROM counts),
+        |r AS (
+        |  SELECT tok, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+        |    SUM(cnt) OVER (ORDER BY cnt DESC, tok
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM counts)
+        |SELECT CAST(rank AS INT) AS rank, tok, CAST(cnt AS BIGINT) AS cnt,
+        |  ROUND(CAST(cum AS DOUBLE) / total, 6) AS coverage
+        |FROM r, tot WHERE rank <= 100 ORDER BY rank""".stripMargin
+  )
+}

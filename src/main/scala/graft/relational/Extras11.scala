@@ -1,0 +1,244 @@
+package graft.relational
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 batch: graph analytics beyond PageRank and closed-form
+  * statistical hypothesis tests — the "is this corpus slice different"
+  * questions a curation pipeline asks.
+  *
+  *  - triangle counting (`graph_triangles`) — global triangle census of
+  *    the part co-purchase graph (parts that appear in the
+  *    same order). Edges are mined per order with a bounded
+  *    higher-order-function pair expansion (orders hold ≤ ~7 distinct
+  *    parts, so fan-out per group is ≤ C(7,2) — one groupBy
+  *    shuffle, NO self-join of the 100 TB lineitem). Triangles are then
+  *    counted on the *oriented* edge set: every edge directed
+  *    low→high by (degree, id), so each triangle is enumerated exactly
+  *    once and the wedge join fans out from the LOW-degree endpoint —
+  *    the standard O(m^1.5) bound that survives power-law skew where
+  *    a naive undirected 3-way join explodes on hub nodes. The
+  *    oriented edge set and the degree table are write-once persisted
+  *    artifacts (index-amortized, like the PageRank trade graph),
+  *    bucketed on the wedge-probe key so the warm triangle join reads
+  *    the bucket layout with no edge-side exchange. Output is the
+  *    one-row census: nodes, edges, triangles, wedges, global
+  *    clustering coefficient.
+  *  - degree histogram (`graph_degrees`) — degree → node count over the
+  *    same co-occurrence graph; two map-side-combinable aggregations.
+  *  - Welch's t-test (`agg_ttest`) — pairwise mean-value comparison
+  *    between event types. Moments come from exact decimal sums
+  *    (count/Σx/Σx²), so t and the Welch–Satterthwaite df are derived
+  *    from identical inputs on both engines; the pair join is a
+  *    broadcast over the 5-row moment table. One corpus-wide shuffle
+  *    (the groupBy), everything after is dimension-sized.
+  *  - chi-square independence (`agg_chi2`) — event_type × hour-of-day
+  *    contingency test. Observed counts are one two-phase aggregate;
+  *    expected counts come from broadcast row/column marginals; the
+  *    Σ(o−e)²/e reduction uses the per-term round-12 decimal-sum
+  *    discipline so the statistic is cross-engine exact. Emits χ², df,
+  *    and Cramér's V.
+  */
+object Extras11 extends QueryPack {
+
+  /** Distinct supplier co-occurrence edges (a < b) mined per order via
+    * a bounded HOF pair expansion — one groupBy shuffle, no lineitem
+    * self-join. */
+  private def coEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2),
+            greatest(lit(0), size(col("ss")) - i - lit(1))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+
+  /** Node degrees of the undirected co-occurrence graph. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** Write-once persisted co-purchase graph artifacts (same
+    * index-amortized convention as the PageRank trade graph): the
+    * degree table and the degree-ORIENTED edge table (u → v by
+    * (deg, id), bucketed on u so both wedge-probe sides of the
+    * triangle join consume the bucket layout with no exchange).
+    * Fingerprint-keyed on lineitem; rebuilt only when the fixture
+    * changes. Returns (orientedEdgesTable, degreeTable). */
+  private def triGraph(s: SparkSession, dir: String): (String, String) = {
+    val fp = Tables.pathKey(Tables.fingerprint(dir, "lineitem"))
+    val te = s"graph_tri_e_${Tables.pathKey(dir)}_$fp"
+    val td = s"graph_tri_d_${Tables.pathKey(dir)}_$fp"
+    if (!s.catalog.tableExists(te) || !s.catalog.tableExists(td)) {
+      Tables.dropStaleTables(s, s"graph_tri_e_${Tables.pathKey(dir)}_")
+      Tables.dropStaleTables(s, s"graph_tri_d_${Tables.pathKey(dir)}_")
+      val e = coEdges(s, dir).localCheckpoint()
+      val deg = degrees(e)
+      deg.write.mode("overwrite").format("parquet").saveAsTable(td)
+      val withDeg = e
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      val lowFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      withDeg.select(
+          when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+          when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+        .write.mode("overwrite")
+        .bucketBy(16, "u").sortBy("u")
+        .format("parquet").saveAsTable(te)
+    }
+    (te, td)
+  }
+
+  /** DuckDB twin of coEdges + degrees (self-join form — the oracle
+    * favors clarity; the result set is identical). */
+  private val coEdgesSql =
+    """su AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |      FROM su x JOIN su y ON x.l_orderkey = y.l_orderkey
+      |       AND x.l_partkey < y.l_partkey),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM
+      |        (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |        GROUP BY 1)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // one-row triangle census; edges oriented low→high by (deg, id) so
+    // each triangle is counted once and wedges fan out from the
+    // low-degree endpoint (O(m^1.5) total wedge work under skew)
+    "graph_triangles" -> ((s, dir) => {
+      val (te, td) = triGraph(s, dir)
+      val o = s.table(te)
+      val deg = s.table(td)
+      val tri = o.as("e1")
+        .join(o.as("e2"), col("e1.v") === col("e2.u"))
+        .select(col("e1.u").as("x"), col("e2.v").as("z"))
+        .join(o.as("e3"), col("x") === col("e3.u") && col("z") === col("e3.v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        ((sum(col("deg") * (col("deg") - 1))) / 2).cast("long").as("wedges"))
+      val edges = o.agg(count(lit(1)).as("n_edges"))
+      stats.crossJoin(edges).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("wedges"),
+          round(lit(3.0) * col("n_triangles") / col("wedges"), 6).as("clustering"))
+    }),
+
+    // degree → node count histogram of the same graph (persisted
+    // degree artifact; two dimension-sized aggregations warm)
+    "graph_degrees" -> ((s, dir) =>
+      s.table(triGraph(s, dir)._2)
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("deg")),
+
+    // pairwise Welch's t between event types; moments from exact
+    // decimal sums, pair join broadcast over the 5-row moment table
+    "agg_ttest" -> ((s, dir) => {
+      val m = Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          Stable.dsum(col("value"), 6).as("sx"),
+          Stable.dsum(col("value") * col("value"), 10).as("sq"))
+        .select(col("event_type"), col("n"),
+          (col("sx") / col("n")).as("m"),
+          ((col("sq") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("v"))
+      def side(p: String) = m.select(
+        col("event_type").as(s"type_$p"), col("n").as(s"n_$p"),
+        col("m").as(s"m_$p"), col("v").as(s"v_$p"))
+      // squares via explicit multiplication (exact IEEE ops) — libm pow
+      // is not correctly-rounded and could flip a round() boundary
+      val sa = col("v_a") / col("n_a")
+      val sb = col("v_b") / col("n_b")
+      val se2 = sa + sb
+      side("a").join(broadcast(side("b")), col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          round((col("m_a") - col("m_b")) / sqrt(se2), 4).as("t_stat"),
+          round(se2 * se2 /
+            (sa * sa / (col("n_a") - 1) +
+             sb * sb / (col("n_b") - 1)), 2).as("df"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // chi-square independence of event_type × hour-of-day; expected
+    // counts from broadcast marginals, per-term round-12 decimal sum
+    "agg_chi2" -> ((s, dir) => {
+      val obs = Tables.events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy("event_type").agg(sum(col("o")).as("rtot"))
+      val ct = obs.groupBy("h").agg(sum(col("o")).as("ctot"))
+      val n = obs.agg(sum(col("o")).as("ntot"))
+      val ex = col("rtot") * col("ctot") / col("ntot")
+      val term = (col("o") - ex) * (col("o") - ex) / ex
+      val cells = obs.join(broadcast(rt), Seq("event_type"))
+        .join(broadcast(ct), Seq("h")).crossJoin(broadcast(n))
+      val r = cells.agg(
+        round(Stable.dsum(term, 12), 4).as("chi2"),
+        countDistinct(col("event_type")).as("r"),
+        countDistinct(col("h")).as("c"),
+        max(col("ntot")).as("ntot"))
+      r.select(col("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("df"),
+        round(sqrt(col("chi2") / (col("ntot") *
+          least(col("r") - 1, col("c") - 1))), 6).as("cramers_v"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH $coEdgesSql,
+         |tri AS (
+         |  SELECT COUNT(*) AS n_triangles FROM e e1
+         |  JOIN e e2 ON e1.b = e2.a
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |st AS (SELECT COUNT(*) AS n_nodes,
+         |  CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS wedges FROM deg),
+         |ec AS (SELECT COUNT(*) AS n_edges FROM e)
+         |SELECT n_nodes, n_edges, n_triangles, wedges,
+         |  ROUND(3.0 * n_triangles / wedges, 6) AS clustering
+         |FROM st, ec, tri""".stripMargin,
+
+    "graph_degrees" ->
+      s"""WITH $coEdgesSql
+         |SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY deg""".stripMargin,
+
+    "agg_ttest" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS sq
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT event_type, n, sx / n AS m,
+        |  (sq - sx * sx / n) / (n - 1) AS v FROM m)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  ROUND((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+        |  ROUND((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n) /
+        |    ((a.v / a.n) * (a.v / a.n) / (a.n - 1) +
+        |     (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 2) AS df
+        |FROM s a JOIN s b ON a.event_type < b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "agg_chi2" ->
+      """WITH obs AS (
+        |  SELECT event_type, EXTRACT(hour FROM ts) AS h, COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, SUM(o) AS rtot FROM obs GROUP BY 1),
+        |ct AS (SELECT h, SUM(o) AS ctot FROM obs GROUP BY 1),
+        |n AS (SELECT SUM(o) AS ntot FROM obs),
+        |r AS (
+        |  SELECT
+        |    ROUND(CAST(SUM(CAST((o - rtot * ctot / ntot) * (o - rtot * ctot / ntot) /
+        |      (rtot * ctot / ntot) AS DECIMAL(28,12))) AS DOUBLE), 4) AS chi2,
+        |    COUNT(DISTINCT obs.event_type) AS r,
+        |    COUNT(DISTINCT obs.h) AS c,
+        |    MAX(ntot) AS ntot
+        |  FROM obs JOIN rt USING (event_type) JOIN ct USING (h), n)
+        |SELECT chi2, CAST((r - 1) * (c - 1) AS BIGINT) AS df,
+        |  ROUND(sqrt(chi2 / (ntot * least(r - 1, c - 1))), 6) AS cramers_v
+        |FROM r""".stripMargin
+  )
+}

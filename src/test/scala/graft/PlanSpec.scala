@@ -237,4 +237,53 @@ class PlanSpec extends AnyFunSuite {
         s"$k: expected exactly one agg exchange:\n$plan")
     }
   }
+
+  test("graph_triangles: wedge joins are equi joins, never a cross product") {
+    // the oriented-edge wedge enumeration must plan as ordinary hash/
+    // merge joins on (u, v) — a nested-loop over the edge set is n^2
+    // at link-graph scale; the only CartesianProduct allowed is the
+    // final 1-row × 1-row census assembly
+    val plan = physical("graph_triangles")
+    assert(!plan.contains("CartesianProduct"),
+      s"wedge join degenerated to a cartesian product:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"expected equi wedge joins:\n$plan")
+    // the only nested-loop joins allowed are the 1-row census
+    // assemblies (IdentityBroadcastMode over global aggregates)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      == "BroadcastExchange IdentityBroadcastMode".r.findAllIn(plan).size,
+      s"nested-loop join outside the 1-row census assembly:\n$plan")
+  }
+
+  test("agg_ttest / agg_chi2: one corpus-wide shuffle; marginals broadcast back") {
+    for (k <- Seq("agg_ttest", "agg_chi2")) {
+      val plan = physical(k)
+      // the only exchanges may carry post-combine partials (two-phase
+      // agg) — the dimension-sized moment/marginal joins must broadcast
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$k: moment/marginal join not broadcast:\n$plan")
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$k: expected partial+final HashAggregate:\n$plan")
+    }
+  }
+
+  test("text_repetition: every exchange is keyed by doc_id — nothing corpus-global") {
+    val plan = physical("text_repetition")
+    val exchanges = "Exchange hashpartitioning\\(([a-z0-9_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("doc_id")),
+      s"unexpected non-doc_id exchange keys $exchanges:\n$plan")
+  }
+
+  test("text_vocab_coverage: the single-partition window runs over the reduced vocab") {
+    // the corpus-wide token stream must be reduced by a two-phase
+    // groupBy BEFORE the rank window's single-partition exchange
+    val plan = physical("text_vocab_coverage")
+    val singleIdx = plan.indexOf("Exchange SinglePartition")
+    assert(singleIdx >= 0, s"expected the vocab rank window:\n$plan")
+    val below = plan.substring(singleIdx)
+    assert("HashAggregate".r.findAllIn(below).size >= 2,
+      s"rank window not fed by the reduced vocab aggregate:\n$plan")
+  }
 }
