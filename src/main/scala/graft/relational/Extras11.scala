@@ -135,6 +135,33 @@ object Extras11 extends QueryPack {
         .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
         .orderBy("deg")),
 
+    // Pearson correlation matrix over the four lineitem measures in
+    // ONE map-side-combinable aggregate (n + 4 sums + 4 squares + 6
+    // cross-products, all exact decimal) — the corpus is reduced to a
+    // single row, then the 6 pair rows are exploded driver-free.
+    // corr derived from identical exact inputs on both engines.
+    "agg_corr_matrix" -> ((s, dir) => {
+      val ms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val sums = ms.map(m => Stable.dsum(col(m), 6).as(s"s_$m")) ++
+        ms.map(m => Stable.dsum(col(m) * col(m), 10).as(s"q_$m")) ++
+        ms.combinations(2).map { case Seq(a, b) =>
+          Stable.dsum(col(a) * col(b), 10).as(s"x_${a}_$b") }.toSeq
+      val agg = Tables.lineitem(s, dir)
+        .agg(count(lit(1)).cast("double").as("n"), sums: _*)
+      def corr(a: String, b: String): Column = {
+        val num = col("n") * col(s"x_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+        val da = col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")
+        val db = col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b")
+        round(num / (sqrt(da) * sqrt(db)), 6)
+      }
+      agg.select(explode(array(ms.combinations(2).map { case Seq(a, b) =>
+          struct(lit(a).as("var_a"), lit(b).as("var_b"),
+            corr(a, b).as("corr")) }.toSeq: _*)).as("r"))
+        .select(col("r.var_a").as("var_a"), col("r.var_b").as("var_b"),
+          col("r.corr").as("corr"))
+        .orderBy("var_a", "var_b")
+    }),
+
     // pairwise Welch's t between event types; moments from exact
     // decimal sums, pair join broadcast over the 5-row moment table
     "agg_ttest" -> ((s, dir) => {
@@ -205,6 +232,29 @@ object Extras11 extends QueryPack {
     "graph_degrees" ->
       s"""WITH $coEdgesSql
          |SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY deg""".stripMargin,
+
+    "agg_corr_matrix" -> {
+      val ms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val sums = (ms.map(m =>
+          s"CAST(SUM(CAST($m AS DECIMAL(28,6))) AS DOUBLE) AS s_$m") ++
+        ms.map(m =>
+          s"CAST(SUM(CAST($m * $m AS DECIMAL(28,10))) AS DOUBLE) AS q_$m") ++
+        ms.combinations(2).map { case Seq(a, b) =>
+          s"CAST(SUM(CAST($a * $b AS DECIMAL(28,10))) AS DOUBLE) AS x_${a}_$b" })
+        .mkString(",\n  ")
+      val rows = ms.combinations(2).map { case Seq(a, b) =>
+        s"""SELECT '$a' AS var_a, '$b' AS var_b,
+           |  ROUND((n * x_${a}_$b - s_$a * s_$b) /
+           |    (sqrt(n * q_$a - s_$a * s_$a) * sqrt(n * q_$b - s_$b * s_$b)),
+           |    6) AS corr FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |  $sums
+         |  FROM lineitem)
+         |$rows
+         |ORDER BY var_a, var_b""".stripMargin
+    },
 
     "agg_ttest" ->
       """WITH m AS (

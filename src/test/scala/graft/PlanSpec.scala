@@ -268,6 +268,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_corr_matrix: single-pass reduction — one exchange, two-phase agg") {
+    val plan = physical("agg_corr_matrix")
+    assert("Exchange".r.findAllIn(plan).size == 1
+      && plan.contains("Exchange SinglePartition"),
+      s"expected exactly the final 1-row exchange:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size == 2,
+      s"expected partial+final HashAggregate:\n$plan")
+  }
+
   test("text_repetition: every exchange is keyed by doc_id — nothing corpus-global") {
     val plan = physical("text_repetition")
     val exchanges = "Exchange hashpartitioning\\(([a-z0-9_]+)".r
