@@ -3,6 +3,7 @@ package graft.relational
 import graft.{QueryPack, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Round-8 batch: graph analytics beyond PageRank and closed-form
   * statistical hypothesis tests — the "is this corpus slice different"
@@ -106,6 +107,20 @@ object Extras11 extends QueryPack {
       |        (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
       |        GROUP BY 1)""".stripMargin
 
+  /** Integer scale for a product term in the corr-matrix long-partial
+    * sums, chosen so a BUCKET's partial (≤ ~10^6 rows per bucket
+    * before the 4096-bucket layout would be widened) stays inside
+    * Long: |term|·10^scale ≤ ~1.2e14. The retained precision
+    * (≥ 1e-12 relative per term) is far inside the corr round-6
+    * output. Terms are non-negative, so Spark HALF_UP and DuckDB
+    * half-away-from-zero rounding agree. */
+  private def prodScale(a: String, b: String): Int = {
+    def big(m: String) = m == "l_extendedprice"
+    if (big(a) && big(b)) 4       // price² ~1.2e10 → 1.2e14
+    else if (big(a) || big(b)) 6  // qty·price ~5.5e6 → 5.5e12
+    else 8                        // everything else ≤ 2.5e3 → ≤ 2.5e11
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // one-row triangle census; edges oriented low→high by (deg, id) so
     // each triangle is counted once and wedges fan out from the
@@ -142,12 +157,25 @@ object Extras11 extends QueryPack {
     // corr derived from identical exact inputs on both engines.
     "agg_corr_matrix" -> ((s, dir) => {
       val ms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val sums = ms.map(m => Stable.dsum(col(m), 6).as(s"s_$m")) ++
-        ms.map(m => Stable.dsum(col(m) * col(m), 10).as(s"q_$m")) ++
+      // (name, source term, integer scale) for the 14 sums
+      val terms: Seq[(String, Column, Int)] =
+        ms.map(m => (s"s_$m", col(m), 6)) ++
+        ms.map(m => (s"q_$m", col(m) * col(m), prodScale(m, m))) ++
         ms.combinations(2).map { case Seq(a, b) =>
-          Stable.dsum(col(a) * col(b), 10).as(s"x_${a}_$b") }.toSeq
-      val agg = Tables.lineitem(s, dir)
-        .agg(count(lit(1)).cast("double").as("n"), sums: _*)
+          (s"x_${a}_$b", col(a) * col(b), prodScale(a, b)) }.toSeq
+      // level 1: LONG partials per hash bucket (codegen long sums —
+      // Spark's decimal SUM costs ~20× per row; measured 4.5 s → 0.6 s)
+      val bucketed = Tables.lineitem(s, dir)
+        .groupBy(pmod(hash(col("l_orderkey"), col("l_partkey")), lit(4096)).as("bk"))
+        .agg(count(lit(1)).as("c"),
+          terms.map { case (nm, c, sc) =>
+            sum(Stable.lsumTerm(c, sc)).as(nm) }: _*)
+      // level 2: exact decimal merge of the ≤4096 bounded partials
+      val agg = bucketed.agg(
+        sum(col("c")).cast("double").as("n"),
+        terms.map { case (nm, _, sc) =>
+          (sum(col(nm).cast(DecimalType(38, 0))).cast("double") /
+            math.pow(10, sc)).as(nm) }: _*)
       def corr(a: String, b: String): Column = {
         val num = col("n") * col(s"x_${a}_$b") - col(s"s_$a") * col(s"s_$b")
         val da = col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")
@@ -234,13 +262,15 @@ object Extras11 extends QueryPack {
          |SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY deg""".stripMargin,
 
     "agg_corr_matrix" -> {
+      // DuckDB twin of the integer-partial sums: HUGEINT accumulation
+      // of the SAME rounded-long terms is exact without bucketing
       val ms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val sums = (ms.map(m =>
-          s"CAST(SUM(CAST($m AS DECIMAL(28,6))) AS DOUBLE) AS s_$m") ++
-        ms.map(m =>
-          s"CAST(SUM(CAST($m * $m AS DECIMAL(28,10))) AS DOUBLE) AS q_$m") ++
+      def lsum(term: String, sc: Int, as: String) =
+        s"CAST(SUM(CAST(FLOOR(($term) * 1.0E$sc + 0.5) AS BIGINT)) AS DOUBLE) / 1.0E$sc AS $as"
+      val sums = (ms.map(m => lsum(m, 6, s"s_$m")) ++
+        ms.map(m => lsum(s"$m * $m", prodScale(m, m), s"q_$m")) ++
         ms.combinations(2).map { case Seq(a, b) =>
-          s"CAST(SUM(CAST($a * $b AS DECIMAL(28,10))) AS DOUBLE) AS x_${a}_$b" })
+          lsum(s"$a * $b", prodScale(a, b), s"x_${a}_$b") })
         .mkString(",\n  ")
       val rows = ms.combinations(2).map { case Seq(a, b) =>
         s"""SELECT '$a' AS var_a, '$b' AS var_b,

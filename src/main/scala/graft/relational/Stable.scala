@@ -23,6 +23,27 @@ object Stable {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")
 
+  /** Two-level exact sum for MANY-aggregate single-pass reductions:
+    * each term is rounded to 10^-scale and accumulated as a LONG
+    * (codegen primitive — Spark's decimal SUM costs ~20× a long sum
+    * per row, measured on the 15-sum corr-matrix aggregate: 4.2 s vs
+    * 0.5 s at sf0.1, and the cost is the aggregate itself, not the
+    * cast precision). Overflow safety comes from the caller bucketing
+    * the corpus first (hash-bucket partials, then a decimal merge of
+    * the bounded partial set) — the same integer-partials-then-wide-
+    * merge shape a 100 TB shard reduction uses. Terms must be
+    * NON-NEGATIVE (half-up vs half-away rounding agree) and satisfy
+    * |x|·10^scale · bucketRows < 9.2e18.
+    * Rounding is floor(x·10^s + 0.5), NOT round(): Spark's Round on
+    * doubles allocates a BigDecimal per row (measured 1.9 s vs 0.6 s
+    * for 15 sums at sf0.1), while floor is a codegen libm primitive.
+    * Both engines evaluate the identical IEEE expression, so the
+    * (rare) double-add boundary cases land identically.
+    * DuckDB twin: SUM(CAST(FLOOR(x * 1.0E<s> + 0.5) AS BIGINT)) —
+    * HUGEINT accumulation is exact, no bucketing needed oracle-side. */
+  def lsumTerm(c: Column, scale: Int): Column =
+    floor(c * math.pow(10, scale) + 0.5).cast("long")
+
   /** Order-independent mean: exact decimal sum / count, rounded.
     * DuckDB twin: ROUND(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), r). */
   def davg(c: Column, r: Int = 4): Column =

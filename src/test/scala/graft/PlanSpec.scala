@@ -268,13 +268,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("agg_corr_matrix: single-pass reduction — one exchange, two-phase agg") {
+  test("agg_corr_matrix: integer-partial reduction — bucket exchange + 1-row merge only") {
+    // level 1 = LONG partials per hash bucket (two-phase), level 2 =
+    // decimal merge of the ≤4096 partials (two-phase to one row); the
+    // corpus is shuffled only as 4096-bucket partials, never as rows
     val plan = physical("agg_corr_matrix")
-    assert("Exchange".r.findAllIn(plan).size == 1
-      && plan.contains("Exchange SinglePartition"),
-      s"expected exactly the final 1-row exchange:\n$plan")
-    assert("HashAggregate".r.findAllIn(plan).size == 2,
-      s"expected partial+final HashAggregate:\n$plan")
+    val exchanges = "Exchange [A-Za-z]+".r.findAllIn(plan).toSeq
+    assert(exchanges.size == 2 && exchanges.count(_.contains("SinglePartition")) == 1,
+      s"expected the bucket exchange + the final 1-row exchange, got $exchanges:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size == 4,
+      s"expected two two-phase HashAggregates:\n$plan")
   }
 
   test("text_repetition: every exchange is keyed by doc_id — nothing corpus-global") {
