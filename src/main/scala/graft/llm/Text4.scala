@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   *    per-document window, then per-(doc, gram) counts with map-side
   *    combine — every shuffle is keyed by doc_id, per-doc work is
   *    bounded by document length, nothing is corpus-global.
+  *  - dataset card (`pipeline_dataset_card`) — the per-source corpus
+  *    summary a training-data run publishes: docs, tokens, token share
+  *    of the corpus, language count + entropy, mean quality, exact-dup
+  *    rate, mean length. Composes the SHARED definitions (qualityScore,
+  *    the sha256 exact-dup identity, the agg_entropy formula) so the
+  *    card can never disagree with the pipeline stages it describes.
+  *    Shape: token counts / hashes / quality are map-side per-doc
+  *    expressions (no explode — size(split)), then two source-keyed
+  *    two-phase aggregates + one (source, lang) aggregate + a 1-row
+  *    corpus total broadcast back; sources are dimension-sized, so
+  *    every post-reduction join is broadcast.
   *  - vocabulary coverage (`text_vocab_coverage`) — the top-100 corpus
   *    vocabulary with cumulative token-coverage fraction (the "how few
   *    types cover 90% of tokens" curve a tokenizer-budget decision
@@ -52,6 +63,40 @@ object Text4 extends QueryPack {
           round(col("topc").cast("double") / col("totb"), 6).as("top_bigram_frac"),
           round(col("dupt").cast("double") / col("tott"), 6).as("dup_trigram_frac"))
         .orderBy("doc_id")
+    }),
+
+    "pipeline_dataset_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        sha2(col("text"), 256).as("h"),
+        Text.qualityScore(col("text")).as("q"))
+      val base = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("h")).as("n_uniq"),
+        graft.relational.Stable.davg(col("q"), 4).as("mean_quality"),
+        graft.relational.Stable.davg(col("n_chars"), 2).as("mean_chars"))
+      val lc = d.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      val lt = lc.groupBy("source").agg(sum(col("n")).as("ltot"))
+      val langs = lc.join(lt, Seq("source"))
+        .withColumn("p", col("n").cast("double") / col("ltot"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_langs"),
+          round(-sum((col("p") * log(col("p")))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double"), 6).as("lang_entropy"))
+      val tot = d.agg(sum(col("n_tok")).as("corpus_tokens"))
+      base.join(broadcast(langs), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("corpus_tokens"), 6)
+            .as("token_share"),
+          col("n_langs"), col("lang_entropy"),
+          col("mean_quality"), col("mean_chars"),
+          round(lit(1.0) - col("n_uniq").cast("double") / col("n_docs"), 6)
+            .as("dup_rate"))
+        .orderBy("source")
     }),
 
     "text_vocab_coverage" -> ((s, dir) => {
@@ -97,6 +142,38 @@ object Text4 extends QueryPack {
         |  ROUND(CAST(dupt AS DOUBLE) / tott, 6) AS dup_trigram_frac
         |FROM bi JOIN tri ON bi.doc_id = tri.doc_id
         |ORDER BY bi.doc_id""".stripMargin,
+
+    "pipeline_dataset_card" ->
+      s"""WITH d AS (
+         |  SELECT source, lang, n_chars,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    sha256(text) AS h,
+         |    ${Text.qualityScoreD.replace("\n", "\n    ")} AS q
+         |  FROM documents),
+         |base AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |    COUNT(DISTINCT h) AS n_uniq,
+         |    ROUND(CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4)
+         |      AS mean_quality,
+         |    ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 2)
+         |      AS mean_chars
+         |  FROM d GROUP BY 1),
+         |lc AS (SELECT source, lang, COUNT(*) AS n FROM d GROUP BY 1, 2),
+         |lt AS (SELECT source, SUM(n) AS ltot FROM lc GROUP BY 1),
+         |langs AS (
+         |  SELECT lc.source, COUNT(*) AS n_langs,
+         |    ROUND(-CAST(SUM(CAST((CAST(n AS DOUBLE) / ltot) *
+         |      ln(CAST(n AS DOUBLE) / ltot) AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |      AS lang_entropy
+         |  FROM lc JOIN lt ON lc.source = lt.source GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS corpus_tokens FROM d)
+         |SELECT base.source, n_docs, n_tokens,
+         |  ROUND(CAST(n_tokens AS DOUBLE) / corpus_tokens, 6) AS token_share,
+         |  n_langs, lang_entropy, mean_quality, mean_chars,
+         |  ROUND(1.0 - CAST(n_uniq AS DOUBLE) / n_docs, 6) AS dup_rate
+         |FROM base JOIN langs ON base.source = langs.source, tot
+         |ORDER BY base.source""".stripMargin,
 
     "text_vocab_coverage" ->
       """WITH c AS (

@@ -288,6 +288,18 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected non-doc_id exchange keys $exchanges:\n$plan")
   }
 
+  test("pipeline_dataset_card: per-doc signals map-side; post-reduction joins broadcast") {
+    val plan = physical("pipeline_dataset_card")
+    // no explode anywhere (token counts via size(split), not unnest)
+    assert(!plan.contains("Generate explode"),
+      s"dataset card should never explode the token stream:\n$plan")
+    // the langs + corpus-total joins onto the source-grain base must
+    // be broadcast — sources are dimension-sized
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1
+      && plan.contains("BroadcastNestedLoopJoin"),
+      s"post-reduction joins not broadcast:\n$plan")
+  }
+
   test("text_vocab_coverage: the single-partition window runs over the reduced vocab") {
     // the corpus-wide token stream must be reduced by a two-phase
     // groupBy BEFORE the rank window's single-partition exchange
