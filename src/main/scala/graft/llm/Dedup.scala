@@ -287,6 +287,14 @@ object Dedup extends QueryPack {
     // fixture plants most near-dup text across lang labels (measured:
     // 251 pairs total, only 79 same-lang), and a dedup pass that
     // misses cross-lang copies would under-dedup the corpus.
+    // Negative result (round 8, measured then reverted): a char-
+    // histogram bag-distance prefilter (ed >= L1/2, exact-safe) before
+    // the thresholded levenshtein LOST time here — length-banded
+    // candidates all share the ~30-word fixture vocabulary, so their
+    // histograms differ too little to prune, and the per-pair HOF cost
+    // is pure overhead (banded: 4.8 s -> 19 s). On a real mixed corpus
+    // with heterogeneous character distributions the bound would
+    // prune; on this one it cannot.
     "dedup_edit_near" -> ((s, dir) => {
       val k = 12
       val width = k + 1

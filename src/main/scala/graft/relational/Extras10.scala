@@ -50,11 +50,13 @@ import org.apache.spark.sql.types.DecimalType
   *    cross-engine exact (recursive-CTE oracle).
   *  - rolling z-score anomalies (`ts_anomaly`) — value vs the
   *    trailing-50-event mean/std per type. Rolling moments come from
-  *    TWO decimal window sums (Σx, Σx² — order-independent exact, so
-  *    z is bit-identical across engines and partitionings; a double
-  *    stddev_samp window would hash-mismatch), frame = 50 preceding
-  *    to 1 preceding (the current point never pollutes its own
-  *    baseline). One window shuffle per type.
+  *    TWO exact integer window sums (Σx, Σx² floor-scaled to LONG via
+  *    Stable.lsumTerm — order-independent exact, so z is bit-identical
+  *    across engines and partitionings; a double stddev_samp window
+  *    would hash-mismatch, and the decimal window sums this replaces
+  *    cost ~20×/row), frame = 50 preceding to 1 preceding (the current
+  *    point never pollutes its own baseline). One window shuffle per
+  *    type.
   */
 object Extras10 extends QueryPack {
 
@@ -176,10 +178,16 @@ object Extras10 extends QueryPack {
     "ts_anomaly" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("event_id")
         .rowsBetween(-50, -1)
+      // rolling moments as LONG window sums of floor-scaled terms
+      // (Stable.lsumTerm) — exact, order-independent, and the frame is
+      // 50 rows so a partial can never overflow; the decimal window
+      // sums this replaces cost ~20×/row (the corr-matrix lesson)
       Tables.events(s, dir)
         .select(col("event_id"), col("event_type"), col("value"))
-        .withColumn("sx", sum(col("value").cast(DecimalType(28, 6))).over(w).cast("double"))
-        .withColumn("sq", sum((col("value") * col("value")).cast(DecimalType(28, 10))).over(w).cast("double"))
+        .withColumn("sx",
+          sum(Stable.lsumTerm(col("value"), 6)).over(w).cast("double") / 1e6)
+        .withColumn("sq",
+          sum(Stable.lsumTerm(col("value") * col("value"), 8)).over(w).cast("double") / 1e8)
         .withColumn("n", count(lit(1)).over(w))
         .where(col("n") >= 20)
         .withColumn("m", col("sx") / col("n"))
@@ -266,8 +274,8 @@ object Extras10 extends QueryPack {
     "ts_anomaly" ->
       """WITH a AS (
         |  SELECT event_type, event_id, value,
-        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(value * value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(FLOOR(value * 1.0E6 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 1.0E6 AS sx,
+        |    CAST(SUM(CAST(FLOOR(value * value * 1.0E8 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 1.0E8 AS sq,
         |    COUNT(*) OVER w AS n
         |  FROM events
         |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id
