@@ -65,6 +65,30 @@ object Text4 extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Deterministic 90/5/5 train/val/test split by the shared md5
+    // uniform of doc_id (content-independent — re-crawling a page can't
+    // move it between splits), then the TRAIN side is decontaminated
+    // against val∪test on shared 5-grams (the text_decontaminate
+    // definition, reused verbatim): leaked docs are quarantined, not
+    // silently dropped, so the output accounts for every input doc.
+    // The eval-gram set is 10% of the corpus here but O(benchmark) in
+    // production; the decontaminate join broadcasts it.
+    "pipeline_split" -> ((s, dir) => {
+      val lab = Tables.documents(s, dir)
+        .withColumn("bkt", graft.relational.Extras3.md5Val(col("doc_id")) % 100)
+        .withColumn("s0", when(col("bkt") < 90, "train")
+          .when(col("bkt") < 95, "val").otherwise("test"))
+      val clean = Text3.decontaminate(
+          lab.where(col("s0") === "train"), lab.where(col("s0") =!= "train"))
+        .select(col("doc_id"), lit(1).as("ok"))
+      lab.join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("s0") =!= "train", col("s0"))
+            .when(col("ok").isNotNull, lit("train"))
+            .otherwise(lit("train_quarantined")).as("split"))
+        .orderBy("doc_id")
+    }),
+
     "pipeline_dataset_card" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(
         col("source"), col("lang"), col("n_chars"),
@@ -142,6 +166,28 @@ object Text4 extends QueryPack {
         |  ROUND(CAST(dupt AS DOUBLE) / tott, 6) AS dup_trigram_frac
         |FROM bi JOIN tri ON bi.doc_id = tri.doc_id
         |ORDER BY bi.doc_id""".stripMargin,
+
+    "pipeline_split" -> {
+      val bkt = graft.relational.Extras3.md5ValD("doc_id") + " % 100"
+      s"""WITH lab AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    CASE WHEN $bkt < 90 THEN 'train'
+         |         WHEN $bkt < 95 THEN 'val' ELSE 'test' END AS s0
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, array_to_string(toks[CAST(i AS INT):CAST(i+4 AS INT)], ' ') AS ng
+         |  FROM lab, UNNEST(range(1, len(toks) - 3)) AS r(i)),
+         |evalg AS (
+         |  SELECT DISTINCT ng FROM g JOIN lab USING (doc_id) WHERE s0 <> 'train'),
+         |cont AS (
+         |  SELECT DISTINCT g.doc_id FROM g JOIN evalg USING (ng)
+         |  JOIN lab USING (doc_id) WHERE s0 = 'train')
+         |SELECT doc_id,
+         |  CASE WHEN s0 <> 'train' THEN s0
+         |       WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'train_quarantined'
+         |       ELSE 'train' END AS split
+         |FROM lab ORDER BY doc_id""".stripMargin
+    },
 
     "pipeline_dataset_card" ->
       s"""WITH d AS (
