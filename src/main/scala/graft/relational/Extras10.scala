@@ -244,8 +244,12 @@ object Extras10 extends QueryPack {
 
     "sample_weighted" -> {
       val u = s"((${Extras3.md5ValD("o_orderkey")} + 0.5) / 4294967296.0)"
+      // `+ 0` normalizes -0.0 → +0.0 (IEEE): DuckDB's ROUND preserves
+      // the sign of a negative value rounding to zero, Spark's
+      // BigDecimal round never emits -0.0 — at sf0.1 one wkey rounds
+      // to zero and the string compare sees '-0.0' vs '0.0'
       s"""SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
-         |  ROUND(ln($u) / o_totalprice, 12) AS wkey
+         |  ROUND(ln($u) / o_totalprice, 12) + 0 AS wkey
          |FROM orders
          |ORDER BY wkey DESC, o_orderkey LIMIT 100""".stripMargin
     },
