@@ -123,6 +123,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(err.getMessage != null)
   }
 
+  test("Stable.lsumTerm: bucketed long-partial sum == decimal dsum at the same scale") {
+    import graft.relational.Stable
+    import spark.implicits._
+    // pseudo-random doubles in the corr-matrix magnitude range; the
+    // floor-scaled long path and the decimal cast round identically at
+    // a given scale, so the two-level (long partial → decimal merge)
+    // reduction must equal the direct decimal sum bit-for-bit
+    val vals = (1 to 10000).map(i => ((i * 2654435761L % 1000003).toDouble / 7.0, i))
+    val df = vals.toDF("x", "i")
+    for (scale <- Seq(2, 4, 6)) {
+      val direct = df.agg(Stable.dsum(col("x"), scale)).collect()(0).getDouble(0)
+      val bucketed = df
+        .groupBy(pmod(col("i"), lit(64)).as("bk"))
+        .agg(sum(Stable.lsumTerm(col("x"), scale)).as("p"))
+        .agg((sum(col("p").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / math.pow(10, scale)).as("t"))
+        .collect()(0).getDouble(0)
+      assert(bucketed == direct,
+        s"scale=$scale: long-partial $bucketed != decimal $direct")
+    }
+  }
+
   test("Cluster.components: min label propagates across a 5-node chain (diameter > 1 round)") {
     import spark.implicits._
     // chain 10-11-12-13-14 plus isolated pair 20-21: forces multiple
