@@ -99,6 +99,29 @@ object Filters extends QueryPack {
           .otherwise("REJECT").as("verdict")))
           ,
 
+    // PIP-105 multi-subscription fan-out: the broker evaluates every
+    // subscription's selector against each entry ONCE, server-side —
+    // here all N compiled selectors evaluate in one map-side pass
+    // (an array of when()s, filtered, exploded), so a message matching
+    // k subscriptions fans out k rows with zero extra scans and zero
+    // shuffle. At 100 TB the subscription table is broker metadata
+    // (O(100s)) compiled into the plan — never a join.
+    "filter_subscriptions" -> ((s, dir) => {
+      val subs = Seq(
+        "alerts" -> "event_type = 'error' AND value > 100",
+        "bigbuys" -> "event_type = 'purchase' AND value BETWEEN 200 AND 400",
+        "signups_hi" -> "value * 2 > 500 OR event_type LIKE 'sign%'",
+        "vip" -> "props.k >= 90 AND event_type <> 'error'")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"),
+          explode(filter(array(subs.map { case (n, sel) =>
+            when(Selector.compileEvents(sel), lit(n))
+              .otherwise(lit(null).cast("string")) }: _*),
+            x => x.isNotNull)).as("subscription"))
+        .orderBy("event_id", "subscription")
+    }),
+
     // JMS §3.8 header identifiers as first-class selector metadata
     // (VERDICT r05 item 4): JMSTimestamp (epoch millis), JMSPriority
     // (0-9), JMSXDeliveryCount (the redelivery convention — here the
@@ -172,6 +195,22 @@ object Filters extends QueryPack {
          |       WHEN event_type = 'error' THEN 'RESCHEDULE'
          |       ELSE 'REJECT' END AS verdict
          |FROM events ORDER BY event_id""".stripMargin,
+
+    "filter_subscriptions" ->
+      """WITH m AS (
+        |  SELECT event_id, event_type, ROUND(value, 2) AS value, 'alerts' AS subscription
+        |  FROM events WHERE event_type = 'error' AND value > 100
+        |  UNION ALL
+        |  SELECT event_id, event_type, ROUND(value, 2), 'bigbuys'
+        |  FROM events WHERE event_type = 'purchase' AND value BETWEEN 200 AND 400
+        |  UNION ALL
+        |  SELECT event_id, event_type, ROUND(value, 2), 'signups_hi'
+        |  FROM events WHERE value * 2 > 500 OR event_type LIKE 'sign%'
+        |  UNION ALL
+        |  SELECT event_id, event_type, ROUND(value, 2), 'vip'
+        |  FROM events WHERE CAST(props->>'$.k' AS DOUBLE) >= 90
+        |    AND event_type <> 'error')
+        |SELECT * FROM m ORDER BY event_id, subscription""".stripMargin,
 
     "filter_headers" ->
       s"""$evSel, event_id % 3 + 1 AS delivery_count FROM events

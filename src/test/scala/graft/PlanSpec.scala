@@ -288,6 +288,16 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected non-doc_id exchange keys $exchanges:\n$plan")
   }
 
+  test("filter_subscriptions: all selectors evaluate in one scan, no join, no hash shuffle") {
+    val plan = physical("filter_subscriptions")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly one events scan for all subscriptions:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the subscription table must be plan-compiled, never joined:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"fan-out must be map-side (only the output sort may exchange):\n$plan")
+  }
+
   test("pipeline_dataset_card: per-doc signals map-side; post-reduction joins broadcast") {
     val plan = physical("pipeline_dataset_card")
     // no explode anywhere (token counts via size(split), not unnest)
