@@ -21,6 +21,27 @@ object Filters extends QueryPack {
       col("user_id"), col("event_type"), col("value")) ++ extra: _*)
       .orderBy("event_id")
 
+  /** PIP-105 multi-subscription fan-out: every subscription's compiled
+    * selector evaluates against each message in ONE map-side pass (an
+    * array of when()s, filtered, exploded) — a message matching k
+    * subscriptions fans out k rows with a single scan, no join, no
+    * shuffle. Shared by the `filter_subscriptions` key and the
+    * StreamSpec stream==batch gate (stateless ⇒ identical over an
+    * unbounded source). */
+  private[graft] def subscriptionFanOut(ev: DataFrame): DataFrame = {
+    val subs = Seq(
+      "alerts" -> "event_type = 'error' AND value > 100",
+      "bigbuys" -> "event_type = 'purchase' AND value BETWEEN 200 AND 400",
+      "signups_hi" -> "value * 2 > 500 OR event_type LIKE 'sign%'",
+      "vip" -> "props.k >= 90 AND event_type <> 'error'")
+    ev.select(col("event_id"), col("event_type"),
+      round(col("value"), 2).as("value"),
+      explode(filter(array(subs.map { case (n, sel) =>
+        when(Selector.compileEvents(sel), lit(n))
+          .otherwise(lit(null).cast("string")) }: _*),
+        x => x.isNotNull)).as("subscription"))
+  }
+
   private val evSel =
     "SELECT event_id, strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s, " +
       "user_id, event_type, value"
@@ -106,21 +127,9 @@ object Filters extends QueryPack {
     // k subscriptions fans out k rows with zero extra scans and zero
     // shuffle. At 100 TB the subscription table is broker metadata
     // (O(100s)) compiled into the plan — never a join.
-    "filter_subscriptions" -> ((s, dir) => {
-      val subs = Seq(
-        "alerts" -> "event_type = 'error' AND value > 100",
-        "bigbuys" -> "event_type = 'purchase' AND value BETWEEN 200 AND 400",
-        "signups_hi" -> "value * 2 > 500 OR event_type LIKE 'sign%'",
-        "vip" -> "props.k >= 90 AND event_type <> 'error'")
-      Tables.events(s, dir)
-        .select(col("event_id"), col("event_type"),
-          round(col("value"), 2).as("value"),
-          explode(filter(array(subs.map { case (n, sel) =>
-            when(Selector.compileEvents(sel), lit(n))
-              .otherwise(lit(null).cast("string")) }: _*),
-            x => x.isNotNull)).as("subscription"))
-        .orderBy("event_id", "subscription")
-    }),
+    "filter_subscriptions" -> ((s, dir) =>
+      subscriptionFanOut(Tables.events(s, dir))
+        .orderBy("event_id", "subscription")),
 
     // JMS §3.8 header identifiers as first-class selector metadata
     // (VERDICT r05 item 4): JMSTimestamp (epoch millis), JMSPriority

@@ -93,6 +93,15 @@ class StreamSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0, "driver smoke gate: entry rows > 0")
   }
 
+  test("multi-subscription fan-out: stream == batch (stateless selector routing)") {
+    // the PIP-105 broker shape: the same compiled-selector fan-out
+    // (filter_subscriptions) runs unchanged over the unbounded source —
+    // stateless, so append mode needs no watermark
+    val streamed = runFileStream(
+      graft.relational.Filters.subscriptionFanOut, "subs_fanout", mode = "append")
+    assertSameRows(streamed, SparkEntry.queries("filter_subscriptions")(spark, dir))
+  }
+
   test("stream-static join: stream == batch") {
     val cust = Tables.customer(spark, dir)
     val streamed = runFileStream(Pipeline.enrich(_, cust), "enrich", mode = "append")
