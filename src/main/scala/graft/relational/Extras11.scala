@@ -2,6 +2,7 @@ package graft.relational
 
 import graft.{QueryPack, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -218,6 +219,49 @@ object Extras11 extends QueryPack {
         .orderBy("type_a", "type_b")
     }),
 
+    // Rolling z-score vs the trailing ONE-HOUR window (event-time RANGE
+    // frame) — the chunk-carry parallel form. ts_anomaly's 50-ROW frame
+    // is series-sequential (parallelism = #series, 5 here — measured
+    // 36 s at 100×/10M events); a TIME frame parallelizes exactly:
+    // partition into 4-hour chunks, copy each chunk's last hour into
+    // the next chunk as carry rows (own = false), run the window per
+    // (type, chunk) — every own row sees its full trailing hour by
+    // construction (overlap ≥ frame), carry rows emit nothing. The
+    // ORACLE is the naive single window over the whole series, so the
+    // hash gate PROVES the parallel rewrite exact. RANGE (not ROWS)
+    // also kills intra-second order dependence: same-second peers are
+    // excluded on both engines regardless of tie order. Moments are
+    // exact integer window sums (Stable.lsumTerm; ≤ ~14 k events/hour
+    // at 100× keeps the Σx² partial ≤ 1.5e17, inside Long).
+    "ts_anomaly_time" -> ((s, dir) => {
+      val chunkS = 14400L
+      val frameS = 3600L
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          unix_timestamp(col("ts")).as("sec"))
+      val own = e.withColumn("chunk", floor(col("sec") / chunkS).cast("long"))
+        .withColumn("own", lit(true))
+      val carry = e
+        .where(col("sec") % chunkS >= chunkS - frameS)
+        .withColumn("chunk", floor(col("sec") / chunkS).cast("long") + 1)
+        .withColumn("own", lit(false))
+      val w = Window.partitionBy("event_type", "chunk").orderBy("sec")
+        .rangeBetween(-frameS, -1)
+      own.unionByName(carry)
+        .withColumn("sx", sum(Stable.lsumTerm(col("value"), 6)).over(w).cast("double") / 1e6)
+        .withColumn("sq", sum(Stable.lsumTerm(col("value") * col("value"), 8)).over(w).cast("double") / 1e8)
+        .withColumn("n", count(lit(1)).over(w))
+        .where(col("own") && col("n") >= 20)
+        .withColumn("m", col("sx") / col("n"))
+        .withColumn("va", (col("sq") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1)))
+        .where(col("va") > 0)
+        .withColumn("z", (col("value") - col("m")) / sqrt(col("va")))
+        .where(abs(col("z")) > 2.5)
+        .select(col("event_type"), col("event_id"),
+          round(col("value"), 2).as("value"), round(col("z"), 4).as("z"))
+        .orderBy("event_type", "event_id")
+    }),
+
     // chi-square independence of event_type × hour-of-day; expected
     // counts from broadcast marginals, per-term round-12 decimal sum
     "agg_chi2" -> ((s, dir) => {
@@ -301,6 +345,29 @@ object Extras11 extends QueryPack {
         |     (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 2) AS df
         |FROM s a JOIN s b ON a.event_type < b.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // the NAIVE single-window form — hash-matching it proves the
+    // chunk-carry parallel rewrite exact
+    "ts_anomaly_time" ->
+      """WITH a AS (
+        |  SELECT event_type, event_id, value,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, event_id, value,
+        |    CAST(SUM(CAST(FLOOR(value * 1.0E6 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 1.0E6 AS sx,
+        |    CAST(SUM(CAST(FLOOR(value * value * 1.0E8 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 1.0E8 AS sq,
+        |    COUNT(*) OVER w AS n
+        |  FROM a
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY sec
+        |    RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)),
+        |c AS (
+        |  SELECT *, sx / n AS m, (sq - sx * sx / n) / (n - 1) AS va
+        |  FROM b WHERE n >= 20)
+        |SELECT event_type, event_id, ROUND(value, 2) AS value,
+        |  ROUND((value - m) / sqrt(va), 4) AS z
+        |FROM c WHERE va > 0 AND ABS((value - m) / sqrt(va)) > 2.5
+        |ORDER BY event_type, event_id""".stripMargin,
 
     "agg_chi2" ->
       """WITH obs AS (

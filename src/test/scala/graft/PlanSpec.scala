@@ -288,6 +288,15 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected non-doc_id exchange keys $exchanges:\n$plan")
   }
 
+  test("ts_anomaly_time: the rolling window partitions by (type, chunk), not type alone") {
+    // the chunk key is what turns 5-series parallelism into
+    // corpus-proportional parallelism; a window partitioned by
+    // event_type alone would re-create the 5-task bottleneck
+    val plan = physical("ts_anomaly_time")
+    assert(plan.contains("windowspecdefinition(event_type") && plan.contains("chunk"),
+      s"expected the (event_type, chunk) window partitioning:\n$plan")
+  }
+
   test("filter_subscriptions: all selectors evaluate in one scan, no join, no hash shuffle") {
     val plan = physical("filter_subscriptions")
     assert("FileScan parquet".r.findAllIn(plan).size == 1,
