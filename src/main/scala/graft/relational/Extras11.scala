@@ -191,6 +191,25 @@ object Extras11 extends QueryPack {
         .orderBy("var_a", "var_b")
     }),
 
+    // Median absolute deviation per event type — the robust-stats
+    // complement to agg_ttest/ts_anomaly's moment-based forms (MAD
+    // shrugs off the outliers that inflate a stddev). Two passes:
+    // per-type medians broadcast back onto the corpus, then the median
+    // of absolute deviations. Exact interpolated medians are the
+    // oracle-able form (both engines sort identical doubles); at
+    // true scale the exact percentile buffers a group's values —
+    // agg_approx_percentile is the declared sketch path there.
+    "agg_mad" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = e.groupBy("event_type").agg(median(col("value")).as("med"))
+      e.join(broadcast(med), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(round(max(col("med")), 4).as("med_value"),
+          round(median(abs(col("value") - col("med"))), 4).as("mad"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // pairwise Welch's t between event types; moments from exact
     // decimal sums, pair join broadcast over the 5-row moment table
     "agg_ttest" -> ((s, dir) => {
@@ -329,6 +348,14 @@ object Extras11 extends QueryPack {
          |$rows
          |ORDER BY var_a, var_b""".stripMargin
     },
+
+    "agg_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY 1)
+        |SELECT e.event_type, ROUND(MAX(m.med), 4) AS med_value,
+        |  ROUND(median(ABS(e.value - m.med)), 4) AS mad, COUNT(*) AS n
+        |FROM events e JOIN med m ON e.event_type = m.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_ttest" ->
       """WITH m AS (
