@@ -191,6 +191,30 @@ object Extras11 extends QueryPack {
         .orderBy("var_a", "var_b")
     }),
 
+    // Gini coefficient of order value per priority class — the
+    // inequality summary (0 = uniform spend, →1 = one order dominates)
+    // via the closed rank form G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    // ascending-sorted values. Ties on price are broken by orderkey for
+    // a deterministic rank; equal values are swap-invariant in Σ i·xᵢ,
+    // so the tie-break cannot change G. One rank window per group +
+    // exact decimal sums; same parallelism-by-group-count posture as
+    // every ranked statistic (documented at ts_anomaly).
+    "agg_gini" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("double").as("n"),
+          Stable.dsum(col("o_totalprice"), 2).as("sx"),
+          Stable.dsum(col("rn") * col("o_totalprice"), 2).as("sxy"))
+        .select(col("o_orderpriority"), col("n").cast("long").as("n"),
+          round(lit(2.0) * col("sxy") / (col("n") * col("sx"))
+            - (col("n") + 1) / col("n"), 6).as("gini"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Median absolute deviation per event type — the robust-stats
     // complement to agg_ttest/ts_anomaly's moment-based forms (MAD
     // shrugs off the outliers that inflate a stddev). Two passes:
@@ -348,6 +372,21 @@ object Extras11 extends QueryPack {
          |$rows
          |ORDER BY var_a, var_b""".stripMargin
     },
+
+    "agg_gini" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rn
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(rn * o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sxy
+        |  FROM r GROUP BY 1)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  ROUND(2.0 * sxy / (n * sx) - (n + 1) / n, 6) AS gini
+        |FROM g ORDER BY o_orderpriority""".stripMargin,
 
     "agg_mad" ->
       """WITH med AS (
