@@ -122,6 +122,40 @@ object Extras11 extends QueryPack {
     else 8                        // everything else ≤ 2.5e3 → ≤ 2.5e11
   }
 
+  /** Chunk-carry parallel trailing-hour z-score (the ts_anomaly_time
+    * body). EXACT for any chunkS ≥ frameS: each own row's trailing
+    * RANGE frame is fully covered by its chunk plus the carried last
+    * `frameS` seconds of the previous chunk. Parameterized so the
+    * equivalence spec can vary the chunk geometry against the naive
+    * single-series window. */
+  private[graft] def anomalyTime(events: DataFrame,
+      chunkS: Long, frameS: Long = 3600L): DataFrame = {
+    require(chunkS >= frameS, "carry overlap must cover the frame")
+    val e = events
+      .select(col("event_id"), col("event_type"), col("value"),
+        unix_timestamp(col("ts")).as("sec"))
+    val own = e.withColumn("chunk", floor(col("sec") / chunkS).cast("long"))
+      .withColumn("own", lit(true))
+    val carry = e
+      .where(col("sec") % chunkS >= chunkS - frameS)
+      .withColumn("chunk", floor(col("sec") / chunkS).cast("long") + 1)
+      .withColumn("own", lit(false))
+    val w = Window.partitionBy("event_type", "chunk").orderBy("sec")
+      .rangeBetween(-frameS, -1)
+    own.unionByName(carry)
+      .withColumn("sx", sum(Stable.lsumTerm(col("value"), 6)).over(w).cast("double") / 1e6)
+      .withColumn("sq", sum(Stable.lsumTerm(col("value") * col("value"), 8)).over(w).cast("double") / 1e8)
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("own") && col("n") >= 20)
+      .withColumn("m", col("sx") / col("n"))
+      .withColumn("va", (col("sq") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1)))
+      .where(col("va") > 0)
+      .withColumn("z", (col("value") - col("m")) / sqrt(col("va")))
+      .where(abs(col("z")) > 2.5)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 2).as("value"), round(col("z"), 4).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // one-row triangle census; edges oriented low→high by (deg, id) so
     // each triangle is counted once and wedges fan out from the
@@ -276,34 +310,9 @@ object Extras11 extends QueryPack {
     // excluded on both engines regardless of tie order. Moments are
     // exact integer window sums (Stable.lsumTerm; ≤ ~14 k events/hour
     // at 100× keeps the Σx² partial ≤ 1.5e17, inside Long).
-    "ts_anomaly_time" -> ((s, dir) => {
-      val chunkS = 14400L
-      val frameS = 3600L
-      val e = Tables.events(s, dir)
-        .select(col("event_id"), col("event_type"), col("value"),
-          unix_timestamp(col("ts")).as("sec"))
-      val own = e.withColumn("chunk", floor(col("sec") / chunkS).cast("long"))
-        .withColumn("own", lit(true))
-      val carry = e
-        .where(col("sec") % chunkS >= chunkS - frameS)
-        .withColumn("chunk", floor(col("sec") / chunkS).cast("long") + 1)
-        .withColumn("own", lit(false))
-      val w = Window.partitionBy("event_type", "chunk").orderBy("sec")
-        .rangeBetween(-frameS, -1)
-      own.unionByName(carry)
-        .withColumn("sx", sum(Stable.lsumTerm(col("value"), 6)).over(w).cast("double") / 1e6)
-        .withColumn("sq", sum(Stable.lsumTerm(col("value") * col("value"), 8)).over(w).cast("double") / 1e8)
-        .withColumn("n", count(lit(1)).over(w))
-        .where(col("own") && col("n") >= 20)
-        .withColumn("m", col("sx") / col("n"))
-        .withColumn("va", (col("sq") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1)))
-        .where(col("va") > 0)
-        .withColumn("z", (col("value") - col("m")) / sqrt(col("va")))
-        .where(abs(col("z")) > 2.5)
-        .select(col("event_type"), col("event_id"),
-          round(col("value"), 2).as("value"), round(col("z"), 4).as("z"))
-        .orderBy("event_type", "event_id")
-    }),
+    "ts_anomaly_time" -> ((s, dir) =>
+      anomalyTime(Tables.events(s, dir), chunkS = 14400L)
+        .orderBy("event_type", "event_id")),
 
     // chi-square independence of event_type × hour-of-day; expected
     // counts from broadcast marginals, per-term round-12 decimal sum

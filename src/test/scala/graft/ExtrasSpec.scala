@@ -24,6 +24,37 @@ class ExtrasSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("anomalyTime chunk-carry rewrite == naive single-series window at varied chunk sizes") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.relational.Stable
+    // the naive form: one RANGE window per series, no chunking
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        unix_timestamp(col("ts")).as("sec"))
+    val w = Window.partitionBy("event_type").orderBy("sec")
+      .rangeBetween(-3600L, -1)
+    val naive = e
+      .withColumn("sx", sum(Stable.lsumTerm(col("value"), 6)).over(w).cast("double") / 1e6)
+      .withColumn("sq", sum(Stable.lsumTerm(col("value") * col("value"), 8)).over(w).cast("double") / 1e8)
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("n") >= 20)
+      .withColumn("m", col("sx") / col("n"))
+      .withColumn("va", (col("sq") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1)))
+      .where(col("va") > 0)
+      .withColumn("z", (col("value") - col("m")) / sqrt(col("va")))
+      .where(abs(col("z")) > 2.5)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 2).as("value"), round(col("z"), 4).as("z"))
+    // exactness must hold for ANY chunkS >= frameS — including the
+    // degenerate chunk == frame (maximum carry) and odd sizes that
+    // misalign with the hour grid
+    for (chunkS <- Seq(3600L, 5000L, 7200L, 14400L, 86400L)) {
+      val par = graft.relational.Extras11.anomalyTime(
+        Tables.events(spark, dir), chunkS)
+      assertSameMultiset(par, naive)
+    }
+  }
+
   // the per-run temp warehouse must be set AFTER tuned(), which sets a
   // shared default warehouse of its own
   private lazy val spark: SparkSession = GraftSession.tuned(
