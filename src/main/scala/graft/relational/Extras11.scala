@@ -109,16 +109,22 @@ object Extras11 extends QueryPack {
       |        GROUP BY 1)""".stripMargin
 
   /** Integer scale for a product term in the corr-matrix long-partial
-    * sums, chosen so a BUCKET's partial (≤ ~10^6 rows per bucket
-    * before the 4096-bucket layout would be widened) stays inside
-    * Long: |term|·10^scale ≤ ~1.2e14. The retained precision
-    * (≥ 1e-12 relative per term) is far inside the corr round-6
-    * output. Terms are non-negative, so Spark HALF_UP and DuckDB
-    * half-away-from-zero rounding agree. */
+    * sums. True fixture domain (ADVICE r06): l_extendedprice reaches
+    * ~5.0e5, so price² ≤ ~2.5e11 and qty·price ≤ ~2.5e7. Scales are
+    * chosen so the WORST-CASE scaled term is ≤ 2.5e13, which keeps a
+    * bucket partial inside Long even if every row hit the max: at
+    * 1000× fixture scale (600 M rows / 4096 buckets ≈ 1.5e5
+    * rows/bucket) the bound is 1.5e5 · 2.5e13 ≈ 3.7e18 < Long.MAX
+    * 9.2e18; beyond that, widen the bucket count with the corpus.
+    * Retained precision (≤ 0.5·10^-scale absolute per term, ≤ ~1e-11
+    * relative on average terms) is far inside the 6-dp corr rounding,
+    * and the oracle quantizes with the SAME scale, so cross-engine
+    * agreement is exact regardless. Terms are non-negative, so Spark
+    * HALF_UP and DuckDB half-away-from-zero rounding agree. */
   private def prodScale(a: String, b: String): Int = {
     def big(m: String) = m == "l_extendedprice"
-    if (big(a) && big(b)) 4       // price² ~1.2e10 → 1.2e14
-    else if (big(a) || big(b)) 6  // qty·price ~5.5e6 → 5.5e12
+    if (big(a) && big(b)) 2       // price² ≤ ~2.5e11 → 2.5e13
+    else if (big(a) || big(b)) 6  // qty·price ≤ ~2.5e7 → 2.5e13
     else 8                        // everything else ≤ 2.5e3 → ≤ 2.5e11
   }
 
@@ -169,9 +175,13 @@ object Extras11 extends QueryPack {
         .select(col("e1.u").as("x"), col("e2.v").as("z"))
         .join(o.as("e3"), col("x") === col("e3.u") && col("z") === col("e3.v"))
         .agg(count(lit(1)).as("n_triangles"))
+      // integer `div`, not `/`: Spark's `/` promotes to double (lossy
+      // past 2^53) and its double→long cast truncates while DuckDB's
+      // rounds — keep both engines in exact integer arithmetic
+      // (ADVICE r06). Σ deg·(deg−1) is even, so div 2 is exact.
       val stats = deg.agg(
         count(lit(1)).as("n_nodes"),
-        ((sum(col("deg") * (col("deg") - 1))) / 2).cast("long").as("wedges"))
+        expr("sum(deg * (deg - 1)) div 2").as("wedges"))
       val edges = o.agg(count(lit(1)).as("n_edges"))
       stats.crossJoin(edges).crossJoin(tri)
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("wedges"),
@@ -347,7 +357,7 @@ object Extras11 extends QueryPack {
          |  JOIN e e2 ON e1.b = e2.a
          |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
          |st AS (SELECT COUNT(*) AS n_nodes,
-         |  CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS wedges FROM deg),
+         |  CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS wedges FROM deg),
          |ec AS (SELECT COUNT(*) AS n_edges FROM e)
          |SELECT n_nodes, n_edges, n_triangles, wedges,
          |  ROUND(3.0 * n_triangles / wedges, 6) AS clustering

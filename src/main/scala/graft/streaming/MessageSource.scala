@@ -50,7 +50,12 @@ object MessageSource {
     // directory's parquet footers (driver-side, bounded by file count)
     // instead of hardcoding the ns-long shape — the fixture generation
     // has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) `ts`.
-    val footer = spark.read.parquet(dir).schema
+    // An EMPTY monitored directory has no footers to infer from; fall
+    // back to the canonical raw schema so the stream can start before
+    // the first file lands (ADVICE r06).
+    val footer =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
     normalize(spark.readStream.schema(footer).parquet(dir))
   }
 
