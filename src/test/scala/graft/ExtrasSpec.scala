@@ -55,6 +55,32 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("giniRanked two-phase rank == naive single-window rank at varied bucket geometries") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.relational.Stable
+    // the naive form: one rank window per group (parallelism = #groups)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val naive = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("n"),
+        Stable.dsum(col("o_totalprice"), 2).as("sx"),
+        Stable.dsum(col("rn") * col("o_totalprice"), 2).as("sxy"))
+      .select(col("o_orderpriority"), col("n").cast("long").as("n"),
+        round(lit(2.0) * col("sxy") / (col("n") * col("sx"))
+          - (col("n") + 1) / col("n"), 6).as("gini"))
+    // bit-identical for ANY bucket count: nb = 1 is the naive sort
+    // itself; odd counts misalign with the price distribution; large
+    // counts leave most buckets sparse or empty
+    for (nb <- Seq(1, 2, 7, 64, 509)) {
+      val twoPhase = graft.relational.Extras11.giniRanked(
+        Tables.orders(spark, dir), nb)
+      assertSameMultiset(twoPhase, naive)
+    }
+  }
+
   // the per-run temp warehouse must be set AFTER tuned(), which sets a
   // shared default warehouse of its own
   private lazy val spark: SparkSession = GraftSession.tuned(
