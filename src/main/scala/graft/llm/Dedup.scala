@@ -295,6 +295,18 @@ object Dedup extends QueryPack {
     // is pure overhead (banded: 4.8 s -> 19 s). On a real mixed corpus
     // with heterogeneous character distributions the bound would
     // prune; on this one it cannot.
+    // Shape decision re-measured on the regenerated fixtures (round 7,
+    // graft.DebugEdit, local[32], min-of-2 warm): the dense length
+    // distribution admits ~617 k candidate pairs at sf0.1, and the
+    // THRESHOLDED levenshtein is the whole game — 4.1 s fused vs 469 s
+    // with the unthresholded form on identical candidates (~115×; the
+    // O(len·k) band + early exit, not the O(len²) table). Carrying the
+    // texts through the band join (fused) beat a candidates-then-
+    // verify restructure (ids-only pair join, then two text fetches)
+    // 4.1 s vs 11.1 s here: with ~300-char docs the pair shuffle is
+    // ~370 MB either way once both texts must meet, and the extra id
+    // joins only add exchanges. At cluster scale the same fused shape
+    // holds per length-band partition.
     "dedup_edit_near" -> ((s, dir) => {
       val k = 12
       val width = k + 1

@@ -148,7 +148,17 @@ object Incremental extends QueryPack {
     * bucket-to-bucket with no index re-shuffle, and the daily cost is
     * exactly the batch's signatures (never a rescan of the index). The
     * caller picks the trigger (AvailableNow drain by default, or a
-    * ProcessingTime cadence for continuous maintenance). */
+    * ProcessingTime cadence for continuous maintenance).
+    *
+    * RESTART-SAFE (VERDICT r06 item 7): foreachBatch is at-least-once
+    * — a crash between the index write and the checkpoint commit
+    * replays that epoch on restart. Each micro-batch therefore lands
+    * in its own epoch=<id> partition via DYNAMIC partition overwrite:
+    * a replayed epoch replaces exactly its own partition with the same
+    * rows (signatures are deterministic) instead of double-appending
+    * into the index — the maintainPqCodes batch_<id> recipe, expressed
+    * at the table layer. The maintainer maintains an EXISTING index
+    * (buildSimhashIndex creates the epoch-partitioned layout). */
   def maintainSimhashIndex(streamingDocs: DataFrame, table: String,
       ckpt: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -157,13 +167,18 @@ object Incremental extends QueryPack {
     streamingDocs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        bands(Dedup.simhashOf(batch))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // the writer-level option is not honored on the catalog-table
+        // insert path — scope the session conf instead
+        val conf = batch.sparkSession.conf
+        val prior = conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try bands(Dedup.simhashOf(batch))
           .select(col("band_id"), col("band_val"),
-            col("doc_id").as("idx_id"), col("h"))
-          .write.mode("append")
-          .bucketBy(16, "band_id", "band_val").sortBy("band_id", "band_val")
-          .format("parquet").saveAsTable(table)
+            col("doc_id").as("idx_id"), col("h"), lit(id).as("epoch"))
+          .write.mode("overwrite")
+          .insertInto(table)
+        finally conf.set("spark.sql.sources.partitionOverwriteMode", prior)
         ()
       }
       .start()
@@ -257,12 +272,18 @@ object Incremental extends QueryPack {
 
   /** Batch-build a band store over `docs` into `table` — the same
     * layout simhashIndex persists, factored out so tests and the
-    * streaming maintainer share one definition. */
+    * streaming maintainer share one definition. The table is
+    * EPOCH-PARTITIONED (bulk build = epoch -1, one partition per
+    * streaming micro-batch) so a replayed epoch can overwrite exactly
+    * its own partition — the restart-safety contract below; bucket
+    * files live inside each partition, so band probes stay
+    * bucket-to-bucket. */
   private[graft] def buildSimhashIndex(docs: DataFrame, table: String): Unit =
     bands(Dedup.simhashOf(docs))
       .select(col("band_id"), col("band_val"),
-        col("doc_id").as("idx_id"), col("h"))
+        col("doc_id").as("idx_id"), col("h"), lit(-1L).as("epoch"))
       .write.mode("overwrite")
+      .partitionBy("epoch")
       .bucketBy(16, "band_id", "band_val").sortBy("band_id", "band_val")
       .format("parquet").saveAsTable(table)
 

