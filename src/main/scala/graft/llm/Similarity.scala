@@ -241,17 +241,22 @@ object Similarity extends QueryPack {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
-  /** Shared serving head: multi-probe (Hamming ≤ 2) candidate
+  /** Shared serving head: multi-probe (Hamming ≤ `radius`) candidate
     * (id_q, idx_id) pairs for the pinned probe batch against the
     * persisted SRP band store — only the probe side shuffles; see
-    * ann_query_topk for the multi-probe rationale. Returns
-    * (candidates, probe frame, vector-store table). */
-  private def servingCandidates(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, String) = {
+    * ann_query_topk for the multi-probe rationale. The radius is the
+    * per-key recall/candidate knob: probe rows grow ≈ B^radius/radius!
+    * per table while the index is untouched. Returns (candidates,
+    * probe frame, vector-store table). */
+  private[llm] def servingCandidates(s: SparkSession, dir: String,
+      radius: Int): (DataFrame, DataFrame, String) = {
     val (st, vt, tables, bits) = Incremental.annIndex(s, dir)
     val probes = probeBatch(s, dir)
-    val masks: Seq[Int] = 0 +: (0 until bits).map(1 << _) ++:
-      (for { i <- 0 until bits; j <- (i + 1) until bits } yield (1 << i) | (1 << j))
+    val masks: Seq[Int] = (0 to radius).flatMap {
+      case 0 => Seq(0)
+      case r => (0 until bits).combinations(r)
+        .map(_.map(1 << _).reduce(_ | _)).toSeq
+    }
     val psig = srpBuckets(probes, tables, bits)
       .select(col("vec_id").as("id_q"), col("tbl"),
         explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
@@ -259,6 +264,42 @@ object Similarity extends QueryPack {
       .where(col("idx_id") =!= col("id_q"))
       .select("id_q", "idx_id").distinct()
     (cand, probes, vt)
+  }
+
+  /** ann_query_range body, radius parameterized (DebugServe ladder). */
+  private[graft] def rangeServe(s: SparkSession, dir: String,
+      radius: Int): DataFrame = {
+    val (cand, probes, vt) = servingCandidates(s, dir, radius)
+    val pv = probes.select(col("vec_id").as("id_q"), col("v").as("vq"),
+      col("nrm").as("nq"))
+    cand.join(broadcast(pv), Seq("id_q"))
+      .join(s.table(vt), Seq("idx_id"))
+      .withColumn("cos", dot(col("vq"), col("v")) / (col("nq") * col("nrm")))
+      .where(round(col("cos"), 6) >= 0.3)
+      .select(col("id_q"), col("idx_id").as("id_m"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("id_q", "id_m")
+  }
+
+  /** ann_query_ivf body, probe-width scale parameterized (DebugServe
+    * ladder): P = max(10, ⌈pScale·√K⌉) cells probed per query. */
+  private[graft] def ivfServe(s: SparkSession, dir: String,
+      pScale: Double): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    val K = ivfCells(n)
+    val cents = learnedCentroids(s, dir, K)
+    val ct = ivfIndexTable(s, dir, cents, K)
+    val (_, vt, _, _) = Incremental.annIndex(s, dir) // shared vector store
+    val probes = probeBatch(s, dir)
+    val P = math.max(10, math.ceil(pScale * math.sqrt(K.toDouble)).toInt)
+    val pcells = assignCells(probes, cents, P, viaBroadcast = assignViaBroadcast(K))
+      .select(col("vec_id").as("id_q"), col("cell"))
+    val cand = pcells.join(s.table(ct), Seq("cell"))
+      .where(col("idx_id") =!= col("id_q"))
+      .select("id_q", "idx_id").distinct()
+    val pv = probes.select(col("vec_id").as("id_q"), col("v").as("vq"),
+      col("nrm").as("nq"))
+    rerankTopK(s, cand, pv, vt)
   }
 
   /** Shared serving tail: exact cosine re-rank of (id_q, idx_id)
@@ -379,7 +420,7 @@ object Similarity extends QueryPack {
     // B grows (measured 0.25 at cos 0.4–0.55, 10× corpus) — recovers
     // to ≈0.9+ (RecallProbe, BASELINE.md).
     "ann_query_topk" -> ((s, dir) => {
-      val (cand, probes, vt) = servingCandidates(s, dir)
+      val (cand, probes, vt) = servingCandidates(s, dir, radius = 2)
       val pv = probes.select(col("vec_id").as("id_q"), col("v").as("vq"),
         col("nrm").as("nq"))
       rerankTopK(s, cand, pv, vt)
@@ -394,18 +435,15 @@ object Similarity extends QueryPack {
     // only MISS (never fabricate) matches, so LlmSpec asserts both
     // recall ≥ 0.9 vs the exact sim_range_search twin and that the
     // result is a strict subset of it. Exempt — no SQL oracle.
-    "ann_query_range" -> ((s, dir) => {
-      val (cand, probes, vt) = servingCandidates(s, dir)
-      val pv = probes.select(col("vec_id").as("id_q"), col("v").as("vq"),
-        col("nrm").as("nq"))
-      cand.join(broadcast(pv), Seq("id_q"))
-        .join(s.table(vt), Seq("idx_id"))
-        .withColumn("cos", dot(col("vq"), col("v")) / (col("nq") * col("nrm")))
-        .where(round(col("cos"), 6) >= 0.3)
-        .select(col("id_q"), col("idx_id").as("id_m"),
-          round(col("cos"), 4).as("cos_sim"))
-        .orderBy("id_q", "id_m")
-    }),
+    // RADIUS-3 multi-probe (round 7): a range query wants EVERY member
+    // of the cos ≥ 0.3 neighborhood, a much harder recall target than
+    // top-5 — at the radius boundary the per-bit agreement is p ≈ 0.6,
+    // so Hamming ≤ 2 probing finds a boundary member in one table with
+    // prob ~0.03 (measured ALL-band 0.66 at 100×). One more probe ring
+    // (B³/6 masks, query side only, index untouched) lifts the
+    // one-table hit to ~0.10 → 1−(1−p₃)^48 ≈ 0.95+ (measured —
+    // DebugServe ladder in BASELINE.md).
+    "ann_query_range" -> ((s, dir) => rangeServe(s, dir, radius = 3)),
 
     // kNN serving against a persisted IVF index — the learned-quantizer
     // twin of ann_query_topk: the index assigns each corpus vector to
@@ -416,27 +454,13 @@ object Similarity extends QueryPack {
     // sublinear in corpus; index build (k-means + one assignment pass)
     // is the one-time fingerprint-keyed job. Exempt (cell probing can
     // miss a neighbor) — recall vs sim_topk asserted in LlmSpec.
-    "ann_query_ivf" -> ((s, dir) => {
-      val n = Tables.embeddings(s, dir).count()
-      val K = ivfCells(n)
-      val cents = learnedCentroids(s, dir, K)
-      val ct = ivfIndexTable(s, dir, cents, K)
-      val (_, vt, _, _) = Incremental.annIndex(s, dir) // shared vector store
-      val probes = probeBatch(s, dir)
-      // query-side multi-probe width, growing ∝ √K: per-probe candidate
-      // count is P·(n/K)·idxAssign ≈ 2·n^(3/4) — still sublinear — while
-      // holding mid-similarity kNN recall as the cell count grows
-      // (10 through the fixtures; 13 at the 10× probe, 22 at 100×)
-      val P = math.max(10, math.ceil(math.sqrt(K.toDouble)).toInt)
-      val pcells = assignCells(probes, cents, P, viaBroadcast = assignViaBroadcast(K))
-        .select(col("vec_id").as("id_q"), col("cell"))
-      val cand = pcells.join(s.table(ct), Seq("cell"))
-        .where(col("idx_id") =!= col("id_q"))
-        .select("id_q", "idx_id").distinct()
-      val pv = probes.select(col("vec_id").as("id_q"), col("v").as("vq"),
-        col("nrm").as("nq"))
-      rerankTopK(s, cand, pv, vt)
-    }),
+    // query-side probe width P = max(10, ⌈pScale·√K⌉): per-probe
+    // candidates P·(n/K)·idxAssign ≈ 2·pScale·n^(3/4) — sublinear at
+    // any pScale constant. pScale chosen by the measured DebugServe
+    // recall ladder at 100× (BASELINE.md round-7): the √K floor
+    // (pScale 1) served 0.64 ALL-band; wider probing buys the
+    // remaining recall at the same complexity class.
+    "ann_query_ivf" -> ((s, dir) => ivfServe(s, dir, pScale = 4.0)),
 
     // approximate pairs (cos > 0.4) via SRP-LSH bucket join + exact
     // re-check. Probabilistic (recall ≈ 1-(1-p^B)^L, ~0.97 at cos 0.4) —
