@@ -138,10 +138,10 @@ object DebugNg {
       val t = "ivfmaint_probe"
       Tables.dropStaleTables(spark, t)
       time(s"index-build-n$n-k$k")(
-        Incremental.buildIvfIndex(emb, t, cents, k, append = false))
+        Incremental.buildIvfIndex(emb, t, cents, k, epoch = None))
       val delta = emb.where(col("vec_id") < 200)
       time("maint-append-200")(
-        Incremental.buildIvfIndex(delta, t, cents, k, append = true))
+        Incremental.buildIvfIndex(delta, t, cents, k, epoch = Some(0L)))
       time("retrain-check")(
         println("  retrainDue=" + Incremental.ivfRetrainDue(spark, t, k)))
       spark.stop(); return

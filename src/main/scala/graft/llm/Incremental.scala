@@ -69,17 +69,35 @@ object Incremental extends QueryPack {
 
   /** Day-1 exact-content index: DISTINCT sha256 of day-1 text, bucketed
     * on the hash — the metadata a daily exact-dedup probe joins against
-    * (bytes ∝ distinct day-1 docs, never their text). */
+    * (bytes ∝ distinct day-1 docs, never their text). Epoch-partitioned
+    * like every maintainable index (bulk = epoch -1). */
   private[llm] def shaIndex(s: SparkSession, dir: String): String = {
     val t = s"dedup_shaidx_${key(dir)}_${key(Tables.fingerprint(dir, "documents"))}"
     if (!s.catalog.tableExists(t)) {
       Tables.dropStaleTables(s, s"dedup_shaidx_${key(dir)}_")
-      day1(s, dir).select(sha2(col("text"), 256).as("h")).distinct()
+      day1(s, dir).select(sha2(col("text"), 256).as("h"), lit(-1L).as("epoch"))
         .write.mode("overwrite")
+        .partitionBy("epoch")
         .bucketBy(16, "h").sortBy("h")
         .format("parquet").saveAsTable(t)
     }
     t
+  }
+
+  /** Land `rows` as partition epoch=<id> of an epoch-partitioned index
+    * table, REPLACING that partition if a replayed foreachBatch epoch
+    * already wrote it — the restart-safety contract every streaming
+    * maintainer shares (foreachBatch is at-least-once; the write must
+    * be per-epoch idempotent). Dynamic partition overwrite is scoped
+    * to the call: the writer-level option is not honored on the
+    * catalog-table insert path. */
+  private def epochInsert(rows: DataFrame, table: String, id: Long): Unit = {
+    val conf = rows.sparkSession.conf
+    val prior = conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rows.withColumn("epoch", lit(id))
+      .write.mode("overwrite").insertInto(table)
+    finally conf.set("spark.sql.sources.partitionOverwriteMode", prior)
   }
 
   /** Day-1 SimHash band store: 4 rows per doc, bucketed on the band. */
@@ -168,17 +186,9 @@ object Incremental extends QueryPack {
       .trigger(trigger)
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // the writer-level option is not honored on the catalog-table
-        // insert path — scope the session conf instead
-        val conf = batch.sparkSession.conf
-        val prior = conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try bands(Dedup.simhashOf(batch))
+        epochInsert(bands(Dedup.simhashOf(batch))
           .select(col("band_id"), col("band_val"),
-            col("doc_id").as("idx_id"), col("h"), lit(id).as("epoch"))
-          .write.mode("overwrite")
-          .insertInto(table)
-        finally conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+            col("doc_id").as("idx_id"), col("h")), table, id)
         ()
       }
       .start()
@@ -190,7 +200,7 @@ object Incremental extends QueryPack {
     * the index grows by delta hashes only. Unlike the band stores the
     * rows are 1-per-doc; duplicates WITHIN the corpus land as repeated
     * hash rows, which the anti-join semantics absorb (membership, not
-    * counts). */
+    * counts). Restart-safe via the shared epoch-partition contract. */
   def maintainShaIndex(streamingDocs: DataFrame, table: String, ckpt: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -198,11 +208,9 @@ object Incremental extends QueryPack {
     streamingDocs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select(sha2(col("text"), 256).as("h")).distinct()
-          .write.mode("append")
-          .bucketBy(16, "h").sortBy("h")
-          .format("parquet").saveAsTable(table)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        epochInsert(batch.select(sha2(col("text"), 256).as("h")).distinct(),
+          table, id)
         ()
       }
       .start()
@@ -234,28 +242,38 @@ object Incremental extends QueryPack {
     streamingVecs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        buildIvfIndex(batch, table, cents, k, append = true)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        buildIvfIndex(batch, table, cents, k, epoch = Some(id))
         ()
       }
       .start()
 
-  /** Batch-build (or append to) the bucketed IVF inverted-list table:
-    * one definition shared by the ann_query_ivf index job, the
-    * streaming maintainer, and the tests. `vecs` is (vec_id,
-    * embedding); assignment is redundant top-2, matching the serving
-    * key's recall posture. */
+  /** Batch-build (epoch None → one-time overwrite as epoch -1) or
+    * maintain (epoch Some(id) → idempotent per-epoch insert) the
+    * bucketed IVF inverted-list table: one definition shared by the
+    * ann_query_ivf index job, the streaming maintainer, and the tests.
+    * `vecs` is (vec_id, embedding); assignment is redundant top-2,
+    * matching the serving key's recall posture. Per-epoch idempotency
+    * matters doubly here: ivfRetrainDue derives the corpus size from
+    * index row counts, so a replayed double-append would skew the
+    * re-train trigger, not just bloat the index. */
   private[graft] def buildIvfIndex(vecs: DataFrame, table: String,
-      cents: DataFrame, k: Int, append: Boolean): Unit = {
+      cents: DataFrame, k: Int, epoch: Option[Long]): Unit = {
     import graft.functions.DotProduct.dot
     val e = vecs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    Similarity.assignCells(e, cents, 2, Similarity.assignViaBroadcast(k))
+    val assigned = Similarity.assignCells(e, cents, 2,
+      Similarity.assignViaBroadcast(k))
       .select(col("vec_id").as("idx_id"), col("cell"))
-      .write.mode(if (append) "append" else "overwrite")
-      .bucketBy(16, "cell").sortBy("cell")
-      .format("parquet").saveAsTable(table)
+    epoch match {
+      case Some(id) => epochInsert(assigned, table, id)
+      case None => assigned.withColumn("epoch", lit(-1L))
+        .write.mode("overwrite")
+        .partitionBy("epoch")
+        .bucketBy(16, "cell").sortBy("cell")
+        .format("parquet").saveAsTable(table)
+    }
   }
 
   /** The documented IVF re-train policy (see maintainIvfIndex): true

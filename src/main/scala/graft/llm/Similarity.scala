@@ -230,7 +230,7 @@ object Similarity extends QueryPack {
     if (!s.catalog.tableExists(ct)) {
       Tables.dropStaleTables(s, pfx)
       Incremental.buildIvfIndex(Tables.embeddings(s, dir), ct, cents, k,
-        append = false)
+        epoch = None)
     }
     ct
   }

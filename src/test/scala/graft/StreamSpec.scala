@@ -317,7 +317,7 @@ class StreamSpec extends AnyFunSuite {
     val batchBuilt = "ivfidx_batch_test"
     Tables.dropStaleTables(spark, streamed)
     Tables.dropStaleTables(spark, batchBuilt)
-    Incremental.buildIvfIndex(initial, streamed, cents, k, append = false)
+    Incremental.buildIvfIndex(initial, streamed, cents, k, epoch = None)
     val inDir = Files.createTempDirectory("graft_ivfidx_in").toString
     arriving.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
@@ -329,8 +329,9 @@ class StreamSpec extends AnyFunSuite {
     q.awaitTermination()
     // delta assignment against the frozen quantizer must reproduce the
     // index batch-built over the full corpus with the same centroids
-    Incremental.buildIvfIndex(emb, batchBuilt, cents, k, append = false)
-    assertSameRows(spark.table(streamed), spark.table(batchBuilt))
+    Incremental.buildIvfIndex(emb, batchBuilt, cents, k, epoch = None)
+    assertSameRows(spark.table(streamed).select("cell", "idx_id"),
+      spark.table(batchBuilt).select("cell", "idx_id"))
     // healthy at the matching K — appends alone must not trip re-train
     assert(!Incremental.ivfRetrainDue(spark, streamed, k),
       "retrain tripped on a balanced, correctly-sized index")
@@ -382,8 +383,10 @@ class StreamSpec extends AnyFunSuite {
     val batchBuilt = "shaidx_batch_test"
     Tables.dropStaleTables(spark, streamed)
     Tables.dropStaleTables(spark, batchBuilt)
-    initial.select(sha2(col("text"), 256).as("h")).distinct()
-      .write.bucketBy(16, "h").sortBy("h").format("parquet").saveAsTable(streamed)
+    initial.select(sha2(col("text"), 256).as("h"), lit(-1L).as("epoch"))
+      .distinct()
+      .write.partitionBy("epoch")
+      .bucketBy(16, "h").sortBy("h").format("parquet").saveAsTable(streamed)
     val inDir = Files.createTempDirectory("graft_shaidx_in").toString
     arriving.select("doc_id", "text").write.mode("append").json(inDir)
     val ckpt = Files.createTempDirectory("graft_ckpt_shaidx").toString
@@ -395,7 +398,8 @@ class StreamSpec extends AnyFunSuite {
       .write.bucketBy(16, "h").sortBy("h").format("parquet").saveAsTable(batchBuilt)
     // per-batch distinct can repeat a hash ACROSS appends — membership
     // (what the anti-join probe consumes) must match the batch build
-    assertSameRows(spark.table(streamed).distinct(), spark.table(batchBuilt))
+    assertSameRows(spark.table(streamed).select("h").distinct(),
+      spark.table(batchBuilt))
     // and the exact-dedup probe agrees: delta docs surviving the
     // anti-join are identical against either index
     val delta = docs.where(col("doc_id") % 4 === 0)
