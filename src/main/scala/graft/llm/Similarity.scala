@@ -266,10 +266,35 @@ object Similarity extends QueryPack {
     (cand, probes, vt)
   }
 
-  /** ann_query_range body, radius parameterized (DebugServe ladder). */
+  /** Smallest query-side multi-probe radius whose PREDICTED recall at
+    * the range contract's cos ≥ 0.3 boundary clears 0.95: per-bit
+    * agreement p = 1 − acos(0.3)/π ≈ 0.597, one-table hit =
+    * Σ_{i≤r} C(B,i)·p^(B−i)·(1−p)^i, across-tables 1−(1−hit)^L.
+    * Fixture/10× geometries (B ≤ 8) stay at radius 2 (probing is
+    * cheap-wide there anyway); the 100× geometry (L=48, B=16) needs
+    * radius 3 — prediction 0.994, measured 0.974 (DebugServe,
+    * BASELINE.md round-7). Capped at 3: mask count C(B,3) ≈ B³/6 is
+    * the practical ceiling before the probe side stops being narrow. */
+  private[graft] def rangeRadius(tables: Int, bits: Int): Int = {
+    val p = 1 - math.acos(0.3) / math.Pi
+    def comb(n: Int, k: Int): Double =
+      (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+    def hit(r: Int): Double =
+      (0 to r).map(i =>
+        comb(bits, i) * math.pow(p, bits - i) * math.pow(1 - p, i)).sum
+    (1 to 3).find(r => 1 - math.pow(1 - hit(r), tables) >= 0.95).getOrElse(3)
+  }
+
+  /** ann_query_range body; radius ≤ 0 derives the geometry-adaptive
+    * radius (the production path), explicit radius is the DebugServe
+    * ladder hook. */
   private[graft] def rangeServe(s: SparkSession, dir: String,
       radius: Int): DataFrame = {
-    val (cand, probes, vt) = servingCandidates(s, dir, radius)
+    val r = if (radius > 0) radius else {
+      val (_, _, tables, bits) = Incremental.annIndex(s, dir)
+      rangeRadius(tables, bits)
+    }
+    val (cand, probes, vt) = servingCandidates(s, dir, r)
     val pv = probes.select(col("vec_id").as("id_q"), col("v").as("vq"),
       col("nrm").as("nq"))
     cand.join(broadcast(pv), Seq("id_q"))
@@ -435,15 +460,16 @@ object Similarity extends QueryPack {
     // only MISS (never fabricate) matches, so LlmSpec asserts both
     // recall ≥ 0.9 vs the exact sim_range_search twin and that the
     // result is a strict subset of it. Exempt — no SQL oracle.
-    // RADIUS-3 multi-probe (round 7): a range query wants EVERY member
-    // of the cos ≥ 0.3 neighborhood, a much harder recall target than
-    // top-5 — at the radius boundary the per-bit agreement is p ≈ 0.6,
-    // so Hamming ≤ 2 probing finds a boundary member in one table with
-    // prob ~0.03 (measured ALL-band 0.66 at 100×). One more probe ring
-    // (B³/6 masks, query side only, index untouched) lifts the
-    // one-table hit to ~0.10 → 1−(1−p₃)^48 ≈ 0.95+ (measured —
-    // DebugServe ladder in BASELINE.md).
-    "ann_query_range" -> ((s, dir) => rangeServe(s, dir, radius = 3)),
+    // GEOMETRY-ADAPTIVE multi-probe (round 7): a range query wants
+    // EVERY member of the cos ≥ 0.3 neighborhood, a much harder recall
+    // target than top-5 — at the radius boundary per-bit agreement is
+    // p ≈ 0.6, so at the 100× geometry (B=16) Hamming ≤ 2 probing
+    // finds a boundary member in one table with prob ~0.03 (measured
+    // ALL-band 0.66). rangeRadius picks the smallest probe ring whose
+    // predicted boundary recall clears 0.95 — radius 2 at fixture
+    // B ≤ 8, radius 3 at B=16 (measured 0.974 — DebugServe ladder in
+    // BASELINE.md). Query side only; the index is untouched.
+    "ann_query_range" -> ((s, dir) => rangeServe(s, dir, radius = -1)),
 
     // kNN serving against a persisted IVF index — the learned-quantizer
     // twin of ann_query_topk: the index assigns each corpus vector to
