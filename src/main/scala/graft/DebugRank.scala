@@ -26,7 +26,22 @@ object DebugRank {
     println(s"orders rows = $n  dir = $sfDir")
     for (nb <- Seq(1, 64)) {
       val ts = (1 to reps).map(_ => exec(nb))
-      println(f"nb=$nb%-4d min=${ts.min}%6.2f s  runs=${ts.map(t => f"$t%.2f").mkString(", ")}")
+      println(f"gini nb=$nb%-4d min=${ts.min}%6.2f s  runs=${ts.map(t => f"$t%.2f").mkString(", ")}")
+    }
+    // the median family: two-phase medianRanked vs the buffering
+    // median() aggregate on the events table
+    val e = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    def execMed(two: Boolean): Double = time {
+      val df = if (two)
+        graft.relational.Extras11.medianRanked(e, "event_type", "value", 64)
+      else e.groupBy("event_type").agg(median(col("value")).as("med"))
+      df.write.format("noop").mode("overwrite").save()
+    }
+    println(s"events rows = ${e.count()}")
+    for (two <- Seq(false, true)) {
+      val ts = (1 to reps).map(_ => execMed(two))
+      val tag = if (two) "medianRanked(64)" else "median() buffer"
+      println(f"$tag%-17s min=${ts.min}%6.2f s  runs=${ts.map(t => f"$t%.2f").mkString(", ")}")
     }
     spark.stop()
   }

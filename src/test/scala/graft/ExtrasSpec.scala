@@ -81,6 +81,26 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("medianRanked two-phase median == buffering median() at varied bucket geometries") {
+    // the agg_mad template: exact per-group median without a per-group
+    // value buffer — must be BIT-equal to Spark's median() aggregate
+    // (both compute the mean of the two middle values at frac 1/2)
+    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val naive = e.groupBy("event_type").agg(median(col("value")).as("med"))
+    // also the second (deviation) level, whose domain starts at 0
+    val dev = e.join(naive, Seq("event_type"))
+      .select(col("event_type"), abs(col("value") - col("med")).as("dev"))
+    val naiveDev = dev.groupBy("event_type").agg(median(col("dev")).as("med"))
+    for (nb <- Seq(1, 2, 7, 64, 509)) {
+      assertSameMultiset(
+        graft.relational.Extras11.medianRanked(e, "event_type", "value", nb),
+        naive)
+      assertSameMultiset(
+        graft.relational.Extras11.medianRanked(dev, "event_type", "dev", nb),
+        naiveDev)
+    }
+  }
+
   test("AQE skew join splits the hot-key partition (the cluster-side twin of join_skew_salted)") {
     // VERDICT r06 missing 4: join_skew_salted demonstrates MANUAL
     // salting; on a real cluster the first line of defense is
