@@ -208,6 +208,33 @@ object Cluster extends QueryPack {
         .withColumn("is_rep", row_number().over(w) === 1)
         .select(col("doc_id"), col("cluster_id"), col("is_rep"))
         .orderBy("doc_id")
+    }),
+
+    // Near-dup ATTRIBUTION matrix (round 7): which crawls duplicate
+    // each other? Every mined pair is labeled with its two docs'
+    // sources (canonicalized source_a ≤ source_b) and rolled up to
+    // per-source-pair counts + share — the report a corpus owner reads
+    // to decide which source to de-prioritize or to detect a mirror
+    // site. Reads the PERSISTED pair table (no re-mining); the doc
+    // joins are id-keyed; the matrix is dimension-sized (≤ sources²).
+    "dedup_cross_source" -> ((s, dir) => {
+      val pairs = s.table(pairsTable(s, dir))
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val lab = pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+      val cells = lab.groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+      val tot = cells.agg(sum(col("n_pairs")).as("tot"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("source_a"), col("source_b"), col("n_pairs"),
+          (col("source_a") === col("source_b")).as("within_source"),
+          round(col("n_pairs").cast("double") / col("tot"), 6).as("pair_share"))
+        .orderBy("source_a", "source_b")
     })
   )
 
@@ -251,7 +278,54 @@ object Cluster extends QueryPack {
         |  GROUP BY d.doc_id)
         |""".stripMargin
 
+  // the pair-mining CTE prefix (t → jp), shared verbatim with the
+  // recursive clusters oracle below — non-recursive form for the
+  // attribution matrix
+  private val pairsOracle =
+      """WITH t AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+        |         unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        |tg AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS ng
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |pruned AS (
+        |  SELECT tg.doc_id, tg.ng FROM tg
+        |  JOIN (SELECT ng, count(*) AS dfreq FROM tg GROUP BY ng) d USING (ng)
+        |  WHERE dfreq <= 20),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM pruned a JOIN pruned b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5)
+        |""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_cross_source" ->
+      (pairsOracle +
+        """, lab AS (
+          |  SELECT least(da.source, db.source) AS source_a,
+          |         greatest(da.source, db.source) AS source_b
+          |  FROM jp
+          |  JOIN documents da ON da.doc_id = jp.id_a
+          |  JOIN documents db ON db.doc_id = jp.id_b),
+          |cells AS (
+          |  SELECT source_a, source_b, COUNT(*) AS n_pairs
+          |  FROM lab GROUP BY 1, 2),
+          |tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot FROM cells)
+          |SELECT source_a, source_b, n_pairs,
+          |  source_a = source_b AS within_source,
+          |  ROUND(CAST(n_pairs AS DOUBLE) / tot, 6) AS pair_share
+          |FROM cells, tot
+          |ORDER BY source_a, source_b""".stripMargin),
+
     "dedup_clusters" ->
       (clustersOracle + "SELECT doc_id, cluster_id FROM lbl ORDER BY doc_id"),
     "dedup_clusters_star" ->

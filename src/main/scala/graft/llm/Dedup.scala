@@ -233,6 +233,36 @@ object Dedup extends QueryPack {
       ngramJaccardPairs(Tables.documents(s, dir), 0.5)
         .orderBy("id_a", "id_b")),
 
+    // Dedup RETENTION curve (round 7): survivors per threshold τ —
+    // the "how aggressive should dedup be" decision curve a corpus
+    // owner reads before committing a τ. Pairs are mined ONCE at the
+    // loosest grid point (τ = 0.3, same df ≤ 20 postings contract as
+    // dedup_ngram_jaccard), then each τ's drop count is a conditional
+    // aggregate over the τ grid (v1 pair-drop semantics: the higher
+    // doc_id of any pair at or above τ is dropped; counts on the
+    // ROUNDED display jacc — mirrored in the oracle). One mining pass,
+    // grid work ∝ pairs × |grid|.
+    "dedup_retention_curve" -> ((s, dir) => {
+      val taus = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+      val pairs = ngramJaccardPairs(Tables.documents(s, dir), 0.3)
+      val dropped = pairs
+        .select(col("id_b"), col("jacc"),
+          explode(array(taus.map(lit(_)): _*)).as("tau"))
+        .where(col("jacc") >= col("tau"))
+        .groupBy("tau").agg(countDistinct(col("id_b")).as("n_dropped"))
+      import s.implicits._
+      val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      taus.toDF("tau")
+        .join(dropped, Seq("tau"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("tau"), col("n_docs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_docs") - coalesce(col("n_dropped"), lit(0L))).as("n_survivors"),
+          round((col("n_docs") - coalesce(col("n_dropped"), lit(0L)))
+            .cast("double") / col("n_docs"), 6).as("retention"))
+        .orderBy("tau")
+    }),
+
     // embedding-cosine near-dup, LSH-bucketed scale path: the same
     // keep/drop semantics as dedup_embed, but candidate pairs come from
     // the shared SRP bucket join (Similarity.srpCandidates) instead of
@@ -453,6 +483,46 @@ object Dedup extends QueryPack {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_retention_curve" ->
+      """WITH t AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+        |         unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        |tg AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS ng
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |pruned AS (
+        |  SELECT tg.doc_id, tg.ng FROM tg
+        |  JOIN (SELECT ng, count(*) AS dfreq FROM tg GROUP BY ng) d USING (ng)
+        |  WHERE dfreq <= 20),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM pruned a JOIN pruned b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT id_b,
+        |    ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) AS jacc
+        |  FROM prs
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3),
+        |grid(tau) AS (VALUES (0.3), (0.4), (0.5), (0.6), (0.7), (0.8), (0.9)),
+        |dropped AS (
+        |  SELECT tau, COUNT(DISTINCT id_b) AS n_dropped
+        |  FROM grid JOIN jp ON jp.jacc >= grid.tau
+        |  GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT grid.tau, n_docs,
+        |  COALESCE(n_dropped, 0) AS n_dropped,
+        |  n_docs - COALESCE(n_dropped, 0) AS n_survivors,
+        |  ROUND(CAST(n_docs - COALESCE(n_dropped, 0) AS DOUBLE) / n_docs, 6)
+        |    AS retention
+        |FROM grid LEFT JOIN dropped ON grid.tau = dropped.tau, tot
+        |ORDER BY grid.tau""".stripMargin,
 
     "dedup_edit_near" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
