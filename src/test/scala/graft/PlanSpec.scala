@@ -329,4 +329,44 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(below).size >= 2,
       s"rank window not fed by the reduced vocab aggregate:\n$plan")
   }
+
+  test("agg_gini: the rank window partitions by (priority, bucket), offsets broadcast") {
+    // the two-phase rank's parallelism claim is only real if the sort
+    // exchange carries the bucket key — a priority-only partitioning
+    // would be the 5-task ceiling the rewrite exists to remove
+    val plan = physical("agg_gini")
+    assert(plan.contains("hashpartitioning(o_orderpriority") &&
+      plan.matches("(?s).*hashpartitioning\\(o_orderpriority[^)]*bkt.*"),
+      s"rank window not partitioned by (priority, bucket):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"prefix offsets not broadcast:\n$plan")
+  }
+
+  test("agg_mad_ranked: hot-bucket pruning broadcasts; no per-group value buffer aggregate") {
+    val plan = physical("agg_mad_ranked")
+    // the only joins against the corpus are broadcast (hot buckets +
+    // the two dimension-sized median frames)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot-bucket prune not broadcast:\n$plan")
+    assert(!plan.contains("percentile"),
+      s"buffering percentile aggregate leaked into the bufferless twin:\n$plan")
+  }
+
+  test("pipeline_curate_v2 reads the persisted curated-reps artifact, not the curate chain") {
+    val plan = physical("pipeline_curate_v2")
+    assert(plan.contains("curate_reps_"),
+      s"not reading the persisted artifact:\n$plan")
+    // the curate head's signature ops must be absent: no sha2 exact
+    // dedup, no posting-list aggregation — those ran in the one-time
+    // artifact build, not per query
+    assert(!plan.contains("sha2"), s"curate head recomputed:\n$plan")
+  }
+
+  test("dedup_cross_source reads the persisted pair table and stays dimension-sized") {
+    val plan = physical("dedup_cross_source")
+    assert(plan.contains("dup_pairs_"),
+      s"not reading the persisted pair table:\n$plan")
+    assert(!plan.contains("collect_list"),
+      s"pair mining recomputed in the report query:\n$plan")
+  }
 }
