@@ -84,6 +84,27 @@ object Incremental extends QueryPack {
     t
   }
 
+  /** Day-1 corpus laid out for edit-distance probing: (band, idx_id,
+    * n_chars, text) bucketed on the length band — see dedup_incr_edit
+    * for why the "index" carries text (an exact edit threshold cannot
+    * be answered from a sub-linear signature; the production shape is
+    * the corpus itself, band-bucketed so probes never re-shuffle it).
+    * Band width = k + 1 = 13, matching dedup_edit_near's blocking. */
+  private[llm] def editIndex(s: SparkSession, dir: String): String = {
+    val t = s"dedup_edidx_${key(dir)}_${key(Tables.fingerprint(dir, "documents"))}"
+    if (!s.catalog.tableExists(t)) {
+      Tables.dropStaleTables(s, s"dedup_edidx_${key(dir)}_")
+      day1(s, dir)
+        .select(floor(col("n_chars") / 13).as("bkt"),
+          col("doc_id").as("idx_id"), col("n_chars").as("ln"),
+          col("text").as("tx"))
+        .write.mode("overwrite")
+        .bucketBy(16, "bkt").sortBy("bkt")
+        .format("parquet").saveAsTable(t)
+    }
+    t
+  }
+
   /** Land `rows` as partition epoch=<id> of an epoch-partitioned index
     * table, REPLACING that partition if a replayed foreachBatch epoch
     * already wrote it — the restart-safety contract every streaming
@@ -372,6 +393,33 @@ object Incremental extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // delta docs vs day 1 at edit distance ≤ 12 — the incremental twin
+    // of dedup_edit_near, completing the incremental family (jaccard /
+    // simhash / embed / edit). Unlike the signature indexes, an EXACT
+    // edit threshold needs candidate TEXT at verify time, so the index
+    // IS the day-1 corpus laid out by length band (editIndex, bucketed
+    // on the band key): the probe joins bucket-to-bucket, only the
+    // delta side shuffles (3 band rows per delta doc), and the
+    // thresholded levenshtein verifies where the day-1 text lands.
+    // Exact blocking (|Δlen| ≤ k ⟹ same-or-neighbor band) — fully
+    // oracle-able, no recall exemption needed.
+    "dedup_incr_edit" -> ((s, dir) => {
+      val k = 12
+      val idx = s.table(editIndex(s, dir))
+      val w = k + 1
+      val d = delta(s, dir)
+        .select(col("doc_id").as("delta_id"), col("text").as("td"),
+          col("n_chars").as("ld"))
+        .withColumn("bkt", explode(array(floor(col("ld") / w) - 1,
+          floor(col("ld") / w), floor(col("ld") / w) + 1)))
+      d.join(idx, Seq("bkt"))
+        .where(abs(col("ld") - col("ln")) <= k)
+        .withColumn("dist", levenshtein(col("td"), col("tx"), k).cast("long"))
+        .where(col("dist") >= 0)
+        .select(col("delta_id"), col("idx_id"), col("dist"))
+        .orderBy("delta_id", "idx_id")
+    }),
+
     // delta docs vs the persisted trigram postings: shared counts via
     // one equi-join on ng (fan-out bounded by the df ≤ 20 pruning baked
     // into the index), jaccard estimate, threshold 0.5
@@ -424,6 +472,15 @@ object Incremental extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_incr_edit" ->
+      """SELECT d.doc_id AS delta_id, a.doc_id AS idx_id,
+        |  CAST(levenshtein(d.text, a.text) AS BIGINT) AS dist
+        |FROM documents d JOIN documents a
+        |  ON d.doc_id % 4 = 0 AND a.doc_id % 4 <> 0
+        |  AND abs(d.n_chars - a.n_chars) <= 12
+        |WHERE levenshtein(d.text, a.text) <= 12
+        |ORDER BY delta_id, idx_id""".stripMargin,
+
     "pipeline_curate_incr" ->
       s"""WITH q AS (SELECT doc_id, lang, source, text, ${Text.qualityScoreD} AS quality
          |           FROM documents WHERE doc_id % 4 = 0),
