@@ -402,7 +402,14 @@ object Incremental extends QueryPack {
     // delta side shuffles (3 band rows per delta doc), and the
     // thresholded levenshtein verifies where the day-1 text lands.
     // Exact blocking (|Δlen| ≤ k ⟹ same-or-neighbor band) — fully
-    // oracle-able, no recall exemption needed.
+    // oracle-able, no recall exemption needed. Same admission as
+    // dedup_edit_near: candidates are delta_band × day1_band —
+    // quadratic within a length band (measured ~8 s at 10×) — so its
+    // declared role is the exact probe / oracle twin; the 100 TB
+    // upgrade is content-defined chunk blocking over the same
+    // band-bucketed text layout (the dedup_edit_banded candidates with
+    // this key's verify), which trades recall-certainty for the
+    // df-capped postings bound.
     "dedup_incr_edit" -> ((s, dir) => {
       val k = 12
       val idx = s.table(editIndex(s, dir))
