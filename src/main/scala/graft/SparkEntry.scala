@@ -27,6 +27,7 @@ object SparkEntry {
     relational.Extras9,
     relational.Extras10,
     relational.Extras11,
+    relational.Extras12,
     relational.Storage,
     relational.Subqueries,
     llm.Cluster,
