@@ -369,4 +369,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("collect_list"),
       s"pair mining recomputed in the report query:\n$plan")
   }
+
+  test("sql_tpch_q2: the correlated scalar-MIN decorrelates to a two-phase aggregate join") {
+    val plan = physical("sql_tpch_q2")
+    assert(!plan.contains("CartesianProduct"),
+      s"decorrelation failed — cartesian in plan:\n$plan")
+    // the per-part MIN must run partial+final, and the kept prefix must
+    // be the deterministic top-100 (total ORDER BY → TakeOrdered)
+    assert(plan.contains("partial_min"), s"min not two-phase:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject(limit=100"),
+      s"top-100 not a TakeOrdered:\n$plan")
+  }
+
+  test("sql_tpch_q21: EXISTS and NOT EXISTS plan as semi/anti equi joins on the order key") {
+    val plan = physical("sql_tpch_q21")
+    assert(plan.contains("LeftSemi"), s"EXISTS not a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"self-correlation fell off the equi-join path:\n$plan")
+  }
+
+  test("sql_tpch_q16: NOT IN plans as an anti join; distinct supplier count is two-phase") {
+    val plan = physical("sql_tpch_q16")
+    assert(plan.contains("LeftAnti"), s"NOT IN not an anti join:\n$plan")
+    assert(plan.contains("partial_count(distinct"),
+      s"count-distinct not two-phase:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"NOT IN fell back to a nested loop:\n$plan")
+  }
 }
