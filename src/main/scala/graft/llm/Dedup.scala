@@ -100,7 +100,24 @@ object Dedup extends QueryPack {
     ngramJaccardImpl(docs, threshold, hashedKeys = false)
 
   private def ngramJaccardImpl(docs: DataFrame, threshold: Double,
-                               hashedKeys: Boolean): DataFrame = {
+                               hashedKeys: Boolean): DataFrame =
+    // threshold on the UNROUNDED ratio (round only for display) — both
+    // oracles filter unrounded, and a true jaccard in [t-5e-5, t) must
+    // not slip through via round-up (ADVICE r01)
+    ngramSharedCounts(docs, hashedKeys)
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared"))).as("jraw"))
+      .where(col("jraw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jraw"), 4).as("jacc"))
+
+  /** Pre-threshold candidate stage shared by jaccard and containment:
+    * (id_a < id_b, shared, na, nb) where `shared` counts co-occurring
+    * df ≤ 20 trigrams and na/nb count each doc's PRUNED distinct
+    * trigrams (the same posting contract as ngramJaccardPairs; every
+    * oracle mirrors the pruned-denominator semantics). */
+  private def ngramSharedCounts(docs: DataFrame,
+                                hashedKeys: Boolean): DataFrame = {
     val tg = if (hashedKeys)
       trigrams(docs).select(xxhash64(lit(0), col("ng")).as("g1"),
         xxhash64(lit(1), col("ng")).as("g2"), col("doc_id"))
@@ -122,17 +139,9 @@ object Dedup extends QueryPack {
           b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("shared"))
-    // threshold on the UNROUNDED ratio (round only for display) — both
-    // oracles filter unrounded, and a true jaccard in [t-5e-5, t) must
-    // not slip through via round-up (ADVICE r01)
     pairs
       .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("shared").cast("double") /
-          (col("na") + col("nb") - col("shared"))).as("jraw"))
-      .where(col("jraw") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jraw"), 4).as("jacc"))
   }
 
   /** DuckDB twin: same construction, SQL generated by the same loop.
@@ -232,6 +241,31 @@ object Dedup extends QueryPack {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(Tables.documents(s, dir), 0.5)
         .orderBy("id_a", "id_b")),
+
+    // Asymmetric n-gram CONTAINMENT (round 7): C(a ⊂ b) = |tg(a) ∩
+    // tg(b)| / |tg(a)| over the pruned-trigram sets — the measure that
+    // catches a short document quoted or subsumed inside a longer one
+    // even when symmetric Jaccard is low (|A∪B| is dominated by the
+    // container). Emits both directions of each candidate pair past
+    // τ = 0.8; threshold on the unrounded ratio (ADVICE r01 rule).
+    // Same df ≤ 20 posting contract and hashed 128-bit keys as the
+    // jaccard key — one candidate mining stage serves both measures,
+    // and the pruned-denominator semantics are mirrored in the oracle.
+    "dedup_containment" -> ((s, dir) => {
+      val sc = ngramSharedCounts(Tables.documents(s, dir), hashedKeys = true)
+        .localCheckpoint() // feeds both directions; mine candidates once
+      val fwd = sc.select(col("id_a").as("contained"),
+        col("id_b").as("container"),
+        (col("shared").cast("double") / col("na")).as("craw"))
+      val rev = sc.select(col("id_b").as("contained"),
+        col("id_a").as("container"),
+        (col("shared").cast("double") / col("nb")).as("craw"))
+      fwd.unionAll(rev)
+        .where(col("craw") >= 0.8)
+        .select(col("contained"), col("container"),
+          round(col("craw"), 4).as("containment"))
+        .orderBy("contained", "container")
+    }),
 
     // Dedup RETENTION curve (round 7): survivors per threshold τ —
     // the "how aggressive should dedup be" decision curve a corpus
@@ -483,6 +517,37 @@ object Dedup extends QueryPack {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+        |         unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        |tg AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS ng
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |pruned AS (
+        |  SELECT tg.doc_id, tg.ng FROM tg
+        |  JOIN (SELECT ng, count(*) AS dfreq FROM tg GROUP BY ng) d USING (ng)
+        |  WHERE dfreq <= 20),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM pruned a JOIN pruned b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |directed AS (
+        |  SELECT id_a AS contained, id_b AS container,
+        |         CAST(shared AS DOUBLE) / sa.n AS craw
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+        |  UNION ALL
+        |  SELECT id_b, id_a, CAST(shared AS DOUBLE) / sb.n
+        |  FROM pairs JOIN sizes sb ON sb.doc_id = id_b)
+        |SELECT contained, container, ROUND(craw, 4) AS containment
+        |FROM directed
+        |WHERE craw >= 0.8
+        |ORDER BY contained, container""".stripMargin,
 
     "dedup_retention_curve" ->
       """WITH t AS (

@@ -376,6 +376,36 @@ object Similarity extends QueryPack {
         .orderBy("id_a", "rn")
     }),
 
+    // Mutual k-NN graph (round 7): undirected edge (a, b) iff b is in
+    // a's top-5 AND a is in b's top-5 — the substrate semantic
+    // clustering / SemDeDup-style pruning builds on. Directed edges
+    // come from the same map-side TopKByScore reduction as sim_topk
+    // (k rows per vector leave the map side, never the full candidate
+    // set); mutuality is then an n·k-row self equi join on the (a, b)
+    // key — scale-safe past the scoring stage. The O(n²) exact scoring
+    // is this key's declared oracle-twin role (sim_topk precedent); at
+    // corpus scale the candidate feed swaps to the SRP/IVF ANN path
+    // (sim_lsh_ann / sim_ivf_ann) with the same mutual join on top.
+    "sim_knn_graph" -> ((s, dir) => {
+      import graft.functions.TopKByScore.topk
+      val (a, b) = sides(s, dir)
+      val directed = a.join(b, col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          cosOf(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+        .groupBy(col("id_a"))
+        .agg(topk(col("cos"), col("id_b"), 5).as("top"))
+        .select(col("id_a"), explode(col("top")).as("t"))
+        .select(col("id_a"), col("t.payload").as("id_b"),
+          col("t.score").as("cos"))
+        .localCheckpoint() // feeds both sides of the mutual join
+      val reverse = directed.select(col("id_b").as("id_a"),
+        col("id_a").as("id_b"))
+      directed.join(reverse, Seq("id_a", "id_b"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // IVF-style ANN: coarse-quantize each vector to its top-P cells
     // (learned, seeded k-means centroids — a persisted index artifact,
     // K = √n cells, trained on a bounded sample), candidates share a
@@ -528,6 +558,21 @@ object Similarity extends QueryPack {
         |       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
         |FROM e a JOIN e b ON a.vec_id <> b.vec_id
         |QUALIFY rn <= 5
-        |ORDER BY id_a, rn""".stripMargin
+        |ORDER BY id_a, rn""".stripMargin,
+
+    "sim_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_cosine_similarity(a.v, b.v) AS cos,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |                            ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+        |                                     b.vec_id) AS rn
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        |  QUALIFY rn <= 5)
+        |SELECT x.id_a, x.id_b, ROUND(x.cos, 4) AS cos_sim
+        |FROM d x JOIN d y ON x.id_a = y.id_b AND x.id_b = y.id_a
+        |WHERE x.id_a < x.id_b
+        |ORDER BY x.id_a, x.id_b""".stripMargin
   )
 }
