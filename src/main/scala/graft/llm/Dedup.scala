@@ -251,21 +251,23 @@ object Dedup extends QueryPack {
     // Same df ≤ 20 posting contract and hashed 128-bit keys as the
     // jaccard key — one candidate mining stage serves both measures,
     // and the pruned-denominator semantics are mirrored in the oracle.
-    "dedup_containment" -> ((s, dir) => {
-      val sc = ngramSharedCounts(Tables.documents(s, dir), hashedKeys = true)
-        .localCheckpoint() // feeds both directions; mine candidates once
-      val fwd = sc.select(col("id_a").as("contained"),
-        col("id_b").as("container"),
-        (col("shared").cast("double") / col("na")).as("craw"))
-      val rev = sc.select(col("id_b").as("contained"),
-        col("id_a").as("container"),
-        (col("shared").cast("double") / col("nb")).as("craw"))
-      fwd.unionAll(rev)
-        .where(col("craw") >= 0.8)
-        .select(col("contained"), col("container"),
-          round(col("craw"), 4).as("containment"))
-        .orderBy("contained", "container")
-    }),
+    "dedup_containment" -> ((s, dir) =>
+      // both directions come off ONE scan of the counts via a 2-row
+      // explode (a union would re-execute the mining lineage, and a
+      // checkpoint would materialize the full pre-threshold pair
+      // table — measured 21.6 s vs 8.7 s at 10× for this form, which
+      // lands at the jaccard sibling's own 10× cost: mining dominates)
+      ngramSharedCounts(Tables.documents(s, dir), hashedKeys = true)
+        .select(explode(array(
+          struct(col("id_a").as("contained"), col("id_b").as("container"),
+            (col("shared").cast("double") / col("na")).as("craw")),
+          struct(col("id_b").as("contained"), col("id_a").as("container"),
+            (col("shared").cast("double") / col("nb")).as("craw")))).as("d"))
+        .where(col("d.craw") >= 0.8)
+        .select(col("d.contained").as("contained"),
+          col("d.container").as("container"),
+          round(col("d.craw"), 4).as("containment"))
+        .orderBy("contained", "container")),
 
     // Dedup RETENTION curve (round 7): survivors per threshold τ —
     // the "how aggressive should dedup be" decision curve a corpus
