@@ -447,6 +447,35 @@ object Incremental extends QueryPack {
         .orderBy("delta_id", "idx_id")
     }),
 
+    // Incremental CONTAINMENT (round 7): the ingest-gate twin of
+    // dedup_containment — is a new doc already subsumed by the corpus
+    // (c_delta_in_idx = shared/na), or does it swallow an existing one
+    // (c_idx_in_delta = shared/nb)? Same single probe join against the
+    // persisted day-1 postings as the jaccard probe (one equi join on
+    // ng, fan-out bounded by the index's df ≤ 20 pruning); both
+    // directions come off the one shared-counts row, gated on the
+    // unrounded max. Denominators mirror the jaccard probe's estimate
+    // semantics: na counts all delta trigrams, nb the index's pruned
+    // count — mirrored in the oracle.
+    "dedup_incr_containment" -> ((s, dir) => {
+      val idx = s.table(jaccardIndex(s, dir))
+      val dtg = Dedup.trigrams(delta(s, dir))
+      val na = dtg.groupBy(col("doc_id").as("delta_id")).agg(count(lit(1)).as("na"))
+      val shared = dtg.select(col("doc_id").as("delta_id"), col("ng"))
+        .join(idx, Seq("ng"))
+        .groupBy(col("delta_id"), col("idx_id"), col("nb"))
+        .agg(count(lit(1)).as("shared"))
+      shared.join(na, Seq("delta_id"))
+        .select(col("delta_id"), col("idx_id"),
+          (col("shared").cast("double") / col("na")).as("cdel"),
+          (col("shared").cast("double") / col("nb")).as("cidx"))
+        .where(greatest(col("cdel"), col("cidx")) >= 0.8)
+        .select(col("delta_id"), col("idx_id"),
+          round(col("cdel"), 4).as("c_delta_in_idx"),
+          round(col("cidx"), 4).as("c_idx_in_delta"))
+        .orderBy("delta_id", "idx_id")
+    }),
+
     // delta signatures vs the persisted band store: candidates on band
     // equality, exact hamming ≤ 6 re-check — the signature bytes ride
     // the index, so the re-check needs no day-1 text either
@@ -552,6 +581,37 @@ object Incremental extends QueryPack {
         |JOIN na ON na.doc_id = delta_id
         |JOIN nb ON nb.doc_id = idx_id
         |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+        |ORDER BY delta_id, idx_id""".stripMargin,
+
+    "dedup_incr_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+        |         unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        |tg AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS ng
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |idx_tg AS (SELECT * FROM tg WHERE doc_id % 4 <> 0),
+        |pruned AS (
+        |  SELECT idx_tg.doc_id, idx_tg.ng FROM idx_tg
+        |  JOIN (SELECT ng, count(*) AS dfreq FROM idx_tg GROUP BY ng) d USING (ng)
+        |  WHERE dfreq <= 20),
+        |nb AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+        |delta_tg AS (SELECT * FROM tg WHERE doc_id % 4 = 0),
+        |na AS (SELECT doc_id, count(*) AS n FROM delta_tg GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS delta_id, b.doc_id AS idx_id, count(*) AS shared
+        |  FROM delta_tg a JOIN pruned b ON a.ng = b.ng GROUP BY 1, 2)
+        |SELECT delta_id, idx_id,
+        |       ROUND(CAST(shared AS DOUBLE) / na.n, 4) AS c_delta_in_idx,
+        |       ROUND(CAST(shared AS DOUBLE) / nb.n, 4) AS c_idx_in_delta
+        |FROM shared
+        |JOIN na ON na.doc_id = delta_id
+        |JOIN nb ON nb.doc_id = idx_id
+        |WHERE greatest(CAST(shared AS DOUBLE) / na.n,
+        |               CAST(shared AS DOUBLE) / nb.n) >= 0.8
         |ORDER BY delta_id, idx_id""".stripMargin,
 
     "dedup_incr_simhash" ->
