@@ -406,6 +406,43 @@ object Similarity extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // Mutual k-NN graph, ANN-fed (round 7): the corpus-scale path the
+    // exact key's scaladoc promises — directed top-5 is computed over
+    // SRP bucket candidates only (≈ L·n²/2^(B+1) pairs by geometry,
+    // not n²), then the same TopKByScore reduction and n·k mutual equi
+    // join. Both orientations of each candidate pair come off one scan
+    // via a 2-row explode (a union would re-execute the bucket join).
+    // Approximate in BOTH directions (a missed true neighbor can both
+    // drop a real edge and promote a 6th-closest into a top-5), so no
+    // SQL oracle: LlmSpec measures edge recall AND precision vs the
+    // exact sim_knn_graph.
+    "sim_knn_graph_ann" -> ((s, dir) => {
+      import graft.functions.TopKByScore.topk
+      val e = vecs(s, dir)
+      val cand = srpCandidates(e, Tables.embeddings(s, dir).count())
+      val sym = cand.select(explode(array(
+          struct(col("id_a"), col("id_b")),
+          struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      val directed = sym.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          cosOf(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+        .groupBy(col("id_a"))
+        .agg(topk(col("cos"), col("id_b"), 5).as("top"))
+        .select(col("id_a"), explode(col("top")).as("t"))
+        .select(col("id_a"), col("t.payload").as("id_b"),
+          col("t.score").as("cos"))
+        .localCheckpoint() // feeds both sides of the mutual join
+      val reverse = directed.select(col("id_b").as("id_a"),
+        col("id_a").as("id_b"))
+      directed.join(reverse, Seq("id_a", "id_b"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // IVF-style ANN: coarse-quantize each vector to its top-P cells
     // (learned, seeded k-means centroids — a persisted index artifact,
     // K = √n cells, trained on a bounded sample), candidates share a

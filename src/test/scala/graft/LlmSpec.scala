@@ -133,6 +133,24 @@ class LlmSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), "LSH-flagged dups must pass the exact re-check")
   }
 
+  test("sim_knn_graph_ann: edge recall AND precision >= 0.9 vs the exact mutual k-NN graph") {
+    val exact = q("sim_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should produce mutual k-NN edges")
+    val ann = q("sim_knn_graph_ann").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    val precision = ann.count(exact.contains).toDouble / ann.size
+    // approximate in BOTH directions: a missed candidate can drop a
+    // real edge (recall) or promote a 6th-closest into a local top-5
+    // (precision) — measured 0.936/0.937 at sf0.001, 0.961/0.962 at
+    // sf0.1 under the corpus-adaptive SRP geometry
+    assert(recall >= 0.9,
+      s"edge recall $recall < 0.9 (exact=${exact.size}, ann=${ann.size})")
+    assert(precision >= 0.9,
+      s"edge precision $precision < 0.9 (exact=${exact.size}, ann=${ann.size})")
+  }
+
   test("dedup_edit_banded: recall >= 0.95 vs exact dedup_edit_near, zero false positives") {
     val exact = q("dedup_edit_near").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
