@@ -48,7 +48,7 @@ object Incremental extends QueryPack {
     Tables.documents(s, dir).where(col("doc_id") % 4 === 0)
 
   /** Day-1 trigram postings, df-pruned, bucketed on ng. */
-  private[llm] def jaccardIndex(s: SparkSession, dir: String): String = {
+  private[graft] def jaccardIndex(s: SparkSession, dir: String): String = {
     val t = s"dedup_ngidx_${key(dir)}_${key(Tables.fingerprint(dir, "documents"))}"
     if (!s.catalog.tableExists(t)) {
       Tables.dropStaleTables(s, s"dedup_ngidx_${key(dir)}_")
@@ -120,6 +120,12 @@ object Incremental extends QueryPack {
       .write.mode("overwrite").insertInto(table)
     finally conf.set("spark.sql.sources.partitionOverwriteMode", prior)
   }
+  // NOTE (reader contract): a replayed epoch REPLACES part files. A
+  // long-lived reader session that already scanned the table holds a
+  // session-local file-index cache pointing at the old files and must
+  // `catalog.refreshTable` before its next read — refreshing from
+  // inside the maintainer cannot do it, because foreachBatch runs on a
+  // cloned session whose catalog cache is not the reader's.
 
   /** Day-1 SimHash band store: 4 rows per doc, bucketed on the band. */
   private[llm] def simhashIndex(s: SparkSession, dir: String): String = {
@@ -235,6 +241,47 @@ object Incremental extends QueryPack {
         ()
       }
       .start()
+
+  /** Streaming maintenance of the trigram posting index: each
+    * micro-batch's accepted docs append their distinct trigrams as raw
+    * (ng, idx_id) posting rows under the same ng-bucketed spec. The
+    * maintained store is deliberately UNPRUNED: the df ≤ 20 cap is
+    * applied at READ (prunedPostings) from the always-current global
+    * counts. A pre-pruned store would freeze each shingle's df at the
+    * epoch that wrote it and silently diverge from a rebuild as
+    * appended docs push shingles past the cap — going hot must remove
+    * the whole posting list AND shrink every member doc's nb, which
+    * only a read-time cap can do retroactively. Restart-safe via the
+    * shared epoch-partition contract (epochInsert). */
+  def maintainPostingsIndex(streamingDocs: DataFrame, table: String,
+      ckpt: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingDocs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        epochInsert(Dedup.trigrams(batch)
+          .select(col("ng"), col("doc_id").as("idx_id")), table, id)
+        ()
+      }
+      .start()
+
+  /** Read-side derivation of the probe-facing rows (ng, idx_id, nb)
+    * from a raw maintained posting store: df ≤ 20 cap plus per-doc
+    * pruned counts, both over the CURRENT corpus — equal by
+    * construction to a from-scratch jaccardIndex build on the same
+    * docs (asserted in StreamSpec). */
+  private[graft] def prunedPostings(s: SparkSession, table: String): DataFrame = {
+    val tg = s.table(table).select(col("ng"), col("idx_id"))
+    val keep = tg.groupBy("ng").agg(count(lit(1)).as("dfreq"))
+      .where(col("dfreq") <= 20).select("ng")
+    val pruned = tg.join(keep, Seq("ng"))
+    pruned.join(pruned.groupBy("idx_id").agg(count(lit(1)).as("nb")),
+        Seq("idx_id"))
+      .select(col("ng"), col("idx_id"), col("nb"))
+  }
 
   /** Streaming maintenance of the IVF inverted-list index (VERDICT r05
     * item 5 — the ann_ivfidx layout was rebuild-only): each micro-batch

@@ -409,6 +409,49 @@ class StreamSpec extends AnyFunSuite {
       delta.join(spark.table(batchBuilt), Seq("h"), "left_anti").select("doc_id"))
   }
 
+  test("streaming postings-index maintenance: read-derived df-capped rows == batch build; replay idempotent") {
+    import graft.llm.{Dedup, Incremental}
+    val docs = Tables.documents(spark, dir)
+    val day1 = docs.where(col("doc_id") % 4 =!= 0)
+    val initial = day1.where(pmod(col("doc_id"), lit(2)) === 1)
+    val arriving = day1.where(pmod(col("doc_id"), lit(2)) === 0)
+    val streamed = "ngidx_streamed_test"
+    Tables.dropStaleTables(spark, streamed)
+    // raw UNPRUNED posting rows — the cap is a read-time decision
+    Dedup.trigrams(initial)
+      .select(col("ng"), col("doc_id").as("idx_id"), lit(-1L).as("epoch"))
+      .write.partitionBy("epoch")
+      .bucketBy(16, "ng").sortBy("ng").format("parquet").saveAsTable(streamed)
+    val inDir = Files.createTempDirectory("graft_ngidx_in").toString
+    arriving.select("doc_id", "text").write.mode("append").json(inDir)
+    val ckpt = Files.createTempDirectory("graft_ckpt_ngidx").toString
+    Incremental.maintainPostingsIndex(
+      spark.readStream.schema("doc_id LONG, text STRING").json(inDir),
+      streamed, ckpt).awaitTermination()
+    // the read-derived (ng, idx_id, nb) rows must equal the batch-built
+    // jaccardIndex on the same day-1 docs — including shingles whose df
+    // crossed the cap only once BOTH halves were in the store (a
+    // pre-pruned store would keep them and re-derive stale nb)
+    val batchTable = Incremental.jaccardIndex(spark, dir)
+    assertSameRows(Incremental.prunedPostings(spark, streamed),
+      spark.table(batchTable).select("ng", "idx_id", "nb"))
+    // replay idempotency: re-running the maintainer over the same input
+    // with a FRESH checkpoint re-lands the same epoch ids; the dynamic
+    // partition overwrite must leave the store byte-identical
+    val before = Incremental.prunedPostings(spark, streamed)
+      .orderBy("idx_id", "ng").collect().toSeq
+    val ckpt2 = Files.createTempDirectory("graft_ckpt_ngidx2").toString
+    Incremental.maintainPostingsIndex(
+      spark.readStream.schema("doc_id LONG, text STRING").json(inDir),
+      streamed, ckpt2).awaitTermination()
+    // reader contract (epochInsert note): the replay REPLACED part
+    // files; this session's cached file index must be refreshed
+    spark.catalog.refreshTable(streamed)
+    val after = Incremental.prunedPostings(spark, streamed)
+      .orderBy("idx_id", "ng").collect().toSeq
+    assert(before == after, "replayed epochs changed the maintained store")
+  }
+
   test("streaming PQ codes maintenance: maintained codes == batch-encoded; drift trigger") {
     import graft.llm.Quantize
     val emb = Tables.embeddings(spark, dir)
