@@ -42,9 +42,22 @@ object DebugEdit {
     time("fused + lev")(candFused
       .withColumn("dist", levenshtein(col("t_id_a"), col("t_id_b"), k).cast("long"))
       .where(col("dist") >= 0).select("id_a", "id_b", "dist"))
-    time("fused + lev nothresh")(candFused
-      .withColumn("dist", levenshtein(col("t_id_a"), col("t_id_b")).cast("long"))
-      .where(col("dist") <= k).select("id_a", "id_b", "dist"))
+    // (the unthresholded-levenshtein variant was measured here in r6 —
+    // full DP over every candidate, ~20× the banded form — and removed
+    // so the probe stays minutes-free; thresholded won, permanently)
+    // candidates-then-verify: ids-only band join, texts fetched via two
+    // broadcast lookups of the (dimension-sized) doc table — the
+    // exploded band side never carries text
+    val candIds = bands("id_a", "la", false).drop("t_id_a")
+      .join(bands("id_b", "lb", true).drop("t_id_b"), Seq("bkt"))
+      .where(col("id_a") < col("id_b") && abs(col("la") - col("lb")) <= k)
+      .select("id_a", "id_b")
+    val ta = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val tb = d.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    time("cand->bcast fetch + lev")(candIds
+      .join(broadcast(ta), Seq("id_a")).join(broadcast(tb), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), k).cast("long"))
+      .where(col("dist") >= 0).select("id_a", "id_b", "dist"))
     spark.stop()
   }
 }
