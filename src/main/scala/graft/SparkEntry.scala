@@ -63,4 +63,20 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.iterator.flatMap(_.oracleSql).toMap
+
+  /** The ONLY keys allowed to omit an SQL oracle — probabilistic /
+    * sketch / ANN operators whose outputs have no deterministic SQL
+    * twin. Every member carries a named recall/error-bound test
+    * (LlmSpec/ExtrasSpec/FunctionsSpec; streaming keys additionally
+    * assert stream==batch in StreamSpec). ExtrasSpec asserts
+    * queries = oracleSql ∪ THIS set exactly, so a new key cannot ship
+    * ungated; tools/gen_key_index.py parses this list for SURVEY §2.13
+    * (single source of truth). */
+  val oracleExempt: Set[String] = Set(
+    "agg_approx_distinct", "agg_approx_percentile", "agg_heavy_hitters",
+    "agg_sketch_merge", "agg_sketch_persisted", "ann_query_ivf",
+    "ann_query_ivfpq", "ann_query_pq", "ann_query_range", "ann_query_topk",
+    "dedup_edit_banded", "dedup_embed_lsh", "dedup_incr_embed",
+    "dedup_near", "embed_pq", "sim_ivf_ann", "sim_knn_graph_ann",
+    "sim_lsh_ann")
 }

@@ -24,6 +24,20 @@ class ExtrasSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("contract: every query key carries an SQL oracle or is in the documented exempt set") {
+    val keys = SparkEntry.queries.keySet
+    val oracled = SparkEntry.oracleSql.keySet
+    val orphanOracles = oracled -- keys
+    assert(orphanOracles.isEmpty, s"oracles without a query: $orphanOracles")
+    val ungated = keys -- oracled -- SparkEntry.oracleExempt
+    assert(ungated.isEmpty,
+      s"keys with neither oracle nor documented exemption: $ungated")
+    val both = oracled.intersect(SparkEntry.oracleExempt)
+    assert(both.isEmpty, s"keys both oracled and exempt (stale list): $both")
+    val staleExempt = SparkEntry.oracleExempt -- keys
+    assert(staleExempt.isEmpty, s"exempt keys with no query: $staleExempt")
+  }
+
   test("anomalyTime chunk-carry rewrite == naive single-series window at varied chunk sizes") {
     import org.apache.spark.sql.expressions.Window
     import graft.relational.Stable

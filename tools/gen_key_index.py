@@ -15,17 +15,19 @@ import os, re, sys, glob
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SURVEY = os.path.join(ROOT, "SURVEY.md")
 
-# probabilistic/sketch/ANN keys exempt from the SQL oracle under the
-# SparkEntry.scala escape hatch — each has a named recall/error-bound
-# test (LlmSpec/ExtrasSpec/FunctionsSpec; stream==batch in StreamSpec)
-EXEMPT = {
-    "agg_approx_distinct", "agg_approx_percentile", "agg_heavy_hitters",
-    "agg_sketch_merge", "agg_sketch_persisted", "ann_query_ivf",
-    "ann_query_ivfpq", "ann_query_pq", "ann_query_range", "ann_query_topk",
-    "dedup_edit_banded", "dedup_embed_lsh", "dedup_incr_embed",
-    "dedup_near", "embed_pq", "sim_ivf_ann", "sim_knn_graph_ann",
-    "sim_lsh_ann",
-}
+# probabilistic/sketch/ANN keys exempt from the SQL oracle — parsed
+# from SparkEntry.oracleExempt (the single source of truth; ExtrasSpec
+# asserts queries = oracleSql ∪ exempt exactly)
+def _parse_exempt():
+    src = open(os.path.join(ROOT,
+        "src/main/scala/graft/SparkEntry.scala")).read()
+    m = re.search(r"oracleExempt: Set\[String\] = Set\((.*?)\)", src,
+                  re.DOTALL)
+    if not m:
+        sys.exit("cannot find oracleExempt in SparkEntry.scala")
+    return set(re.findall(r'"([a-z0-9_]+)"', m.group(1)))
+
+EXEMPT = _parse_exempt()
 
 # matches both inline lambdas (`"k" -> ((s, dir) =>`) and named-method
 # entries (`"k" -> aggGroup,`) in the queries map; oracleSql entries
