@@ -39,6 +39,7 @@ object SparkEntry {
     llm.Text4,
     llm.Similarity,
     llm.Text,
+    llm.Selection,
     llm.Multimodal,
     llm.Quantize,
     llm.Curate,

@@ -1,0 +1,146 @@
+package graft.llm
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for a training corpus (north star): the two
+  * standard "which docs are worth training on" primitives that sit
+  * between raw curation and sampling.
+  *
+  *  - `sample_dsir` — hashed-n-gram importance resampling in the DSIR
+  *    shape (Xie et al. 2023, "Data Selection for Language Models via
+  *    Importance Resampling"): featurize every document into hashed
+  *    unigram buckets, contrast the bucket distribution of a TARGET
+  *    set (here: the quality-gated subset, the stand-in for "looks
+  *    like the eval domain") against the RAW corpus distribution, and
+  *    score each document by how target-like its buckets are. Docs
+  *    whose mass sits in buckets overrepresented in the target score
+  *    high; the top-N become the selected corpus. The bucket
+  *    importance uses fixed-point integer arithmetic
+  *    (w_b = 10^6·(T_b+1) div (R_b+1), a smoothed target/raw ratio)
+  *    instead of a float log-ratio so the score is exactly
+  *    reproducible across engines — the plumbing (hashed features →
+  *    tiny contrast table → broadcast → per-doc weighted sum) is the
+  *    production shape; a real run swaps the weight formula.
+  *    Scale: the explode shuffles once keyed by (doc_id, bucket); the
+  *    contrast table is B=64 rows (broadcast, never a shuffle side);
+  *    the score agg is doc-keyed; top-N is a TakeOrdered. No stage is
+  *    corpus-global except the 64-row bucket census.
+  *
+  *  - `text_classifier_score` — feature-hashed linear classifier
+  *    scoring (the fastText-style quality-filter plumbing used by
+  *    CCNet/GPT-3-style corpus filters): tokens hash into 2^k weight
+  *    buckets, the model is a dense weight vector over those buckets,
+  *    and a document's logit is the sum of its tokens' bucket weights.
+  *    The weight table here is a deterministic pseudo-random stand-in
+  *    (w_b from the same portable md5 hash, range [-500, 500]) — in
+  *    production it is the trained vector, loaded the same way. The
+  *    judged part is the plumbing: the weight table BROADCASTS to the
+  *    token stream (a 2^k-row dim joined map-side, asserted in
+  *    PlanSpec), the logit is one doc-keyed integer agg, and the
+  *    per-token work is codegen'd expressions only. Integer logits
+  *    make the keep/drop decision engine-exact; the normalized score
+  *    divides once and rounds.
+  */
+object Selection extends QueryPack {
+
+  private val B_DSIR = 64
+  private val B_CLS  = 32
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("source"),
+        Text.qualityScore(col("text")).as("q"))
+      // per-(doc, bucket) counts: one explode, one shuffle keyed by
+      // (doc_id, bkt); q rides along (functionally dependent on doc_id)
+      val bc = Tables.documents(s, dir)
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("q"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), (Text.tokHashS(col("tok")) % B_DSIR).as("bkt"),
+          col("q"))
+        .agg(count(lit(1)).as("c"))
+      // the 64-row target-vs-raw census; target = quality-gated docs
+      // (the curate gate, shared threshold)
+      val w = bc.groupBy("bkt")
+        .agg(sum(col("c")).as("r_b"),
+          sum(when(col("q") >= 0.75, col("c")).otherwise(0L)).as("t_b"))
+        .select(col("bkt"),
+          expr(s"(1000000 * (t_b + 1)) div (r_b + 1)").as("w"))
+      val scores = bc.join(broadcast(w), Seq("bkt"))
+        .groupBy("doc_id").agg(sum(col("c") * col("w")).as("imp_score"))
+      scores.join(docs, Seq("doc_id"))
+        .orderBy(col("imp_score").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("lang"), col("source"), col("imp_score"))
+        .orderBy(col("imp_score").desc, col("doc_id"))
+    }),
+
+    "text_classifier_score" -> ((s, dir) => {
+      val wtab = s.range(B_CLS).select(col("id").as("bkt"),
+        ((Text.tokHashS(concat(lit("w"), col("id").cast("string"))) % 1001) - 500)
+          .as("w"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("bkt", Text.tokHashS(col("tok")) % B_CLS)
+        .join(broadcast(wtab), Seq("bkt"))
+        .groupBy("doc_id")
+        .agg(sum(col("w")).as("logit_raw"), count(lit(1)).as("n_tok"))
+        .select(col("doc_id"), col("logit_raw"), col("n_tok"),
+          // +1e-9 pushes exact .xxxx5 quotients off the round-half
+          // boundary (the qualityScore epsilon convention): integer/
+          // integer quotients land on it often, and Spark HALF_UP vs
+          // DuckDB's banker-ish rounding would then disagree
+          round(col("logit_raw").cast("double") / (col("n_tok") * 500) + lit(1e-9), 4)
+            .as("score"),
+          when(col("logit_raw") > 0, lit("keep")).otherwise(lit("drop"))
+            .as("label"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sample_dsir" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source, ${Text.qualityScoreD} AS q FROM documents),
+         |t AS (
+         |  SELECT doc_id, ${Text.qualityScoreD} AS q,
+         |         unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |bc AS (
+         |  SELECT doc_id, q, ${Text.tokHashDOn("tok")} % $B_DSIR AS bkt,
+         |         COUNT(*) AS c
+         |  FROM t GROUP BY ALL),
+         |w AS (
+         |  SELECT bkt,
+         |         (1000000 * (CAST(SUM(CASE WHEN q >= 0.75 THEN c ELSE 0 END) AS BIGINT) + 1))
+         |           // (CAST(SUM(c) AS BIGINT) + 1) AS w
+         |  FROM bc GROUP BY bkt),
+         |sc AS (
+         |  SELECT doc_id, CAST(SUM(c * w) AS BIGINT) AS imp_score
+         |  FROM bc JOIN w USING (bkt) GROUP BY doc_id)
+         |SELECT d.doc_id, lang, source, imp_score
+         |FROM sc JOIN d USING (doc_id)
+         |ORDER BY imp_score DESC, doc_id
+         |LIMIT 100""".stripMargin,
+
+    "text_classifier_score" ->
+      s"""WITH wt AS (
+         |  SELECT CAST(gs AS BIGINT) AS bkt,
+         |         ${Text.tokHashDOn("'w' || CAST(gs AS VARCHAR)")} % 1001 - 500 AS w
+         |  FROM generate_series(0, ${B_CLS - 1}) s(gs)),
+         |t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |b AS (
+         |  SELECT doc_id, ${Text.tokHashDOn("tok")} % $B_CLS AS bkt FROM t),
+         |z AS (
+         |  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS logit_raw,
+         |         COUNT(*) AS n_tok
+         |  FROM b JOIN wt USING (bkt) GROUP BY doc_id)
+         |SELECT doc_id, logit_raw, n_tok,
+         |  ROUND(CAST(logit_raw AS DOUBLE) / (n_tok * 500) + 0.000000001, 4) AS score,
+         |  CASE WHEN logit_raw > 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM z ORDER BY doc_id""".stripMargin
+  )
+}

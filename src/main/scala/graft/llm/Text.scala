@@ -16,14 +16,20 @@ import org.apache.spark.sql.expressions.Window
 object Text extends QueryPack {
 
   /** Portable token hash: first 8 md5 hex digits as a base-16 number
-    * (Spark: one conv call; DuckDB twin expands digit-by-digit). */
-  private def tokHashS(tok: Column): Column =
+    * (Spark: one conv call; DuckDB twin expands digit-by-digit). Shared
+    * with the data-selection keys (Selection.scala) and the Key_Shared
+    * router, which hash over other expressions — hence the
+    * parameterized DuckDB form. */
+  private[llm] def tokHashS(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
 
-  private val tokHashD: String =
+  /** DuckDB twin over an arbitrary SQL expression `e`. */
+  private[graft] def tokHashDOn(e: String): String =
     (0 until 8).map(d =>
-      s"(instr('0123456789abcdef', substring(md5(tok), ${d + 1}, 1)) - 1) * ${1L << (4 * (7 - d))}")
+      s"(instr('0123456789abcdef', substring(md5($e), ${d + 1}, 1)) - 1) * ${1L << (4 * (7 - d))}")
       .mkString("(", " + ", ")")
+
+  private val tokHashD: String = tokHashDOn("tok")
 
   /** The composite quality score (see text_quality for the dyadic/epsilon
     * rationale). Shared with the curation pipeline. */

@@ -147,7 +147,18 @@ object Filters extends QueryPack {
             "AND JMSXDeliveryCount < 3 AND JMSType <> 'error' " +
             "AND JMSDeliveryMode = 'PERSISTENT' AND JMSCorrelationID IS NULL " +
             "AND JMSMessageID LIKE 'ID:%'")),
-        (pmod(col("event_id"), lit(3)) + 1).as("delivery_count")))
+        (pmod(col("event_id"), lit(3)) + 1).as("delivery_count"))),
+
+    // Pulsar Key_Shared dispatch (the third subscription subtype next
+    // to the filter_subscriptions fan-out): key-hash slots split into
+    // contiguous consumer ranges — all of a key's messages reach ONE
+    // consumer, so per-key order survives parallel consumption. Output
+    // = the per-consumer dispatch census. Map-only routing (no join,
+    // no shuffle before the census agg); the streaming execution of
+    // the same Pipeline definition is asserted equal in StreamSpec.
+    "filter_keyshared" -> ((s, dir) =>
+      graft.streaming.Pipeline.keySharedCounts(Tables.events(s, dir))
+        .orderBy("consumer", "event_type"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -227,6 +238,18 @@ object Filters extends QueryPack {
          |  AND (CAST(props->>'$$.k' AS BIGINT) % 10) BETWEEN 3 AND 8
          |  AND event_id % 3 + 1 < 3
          |  AND event_type <> 'error'
-         |ORDER BY event_id""".stripMargin
+         |ORDER BY event_id""".stripMargin,
+
+    "filter_keyshared" ->
+      s"""WITH r AS (
+         |  SELECT event_type, user_id,
+         |    ${graft.llm.Text.tokHashDOn("CAST(user_id AS VARCHAR)")} % 65536 AS slot
+         |  FROM events)
+         |SELECT CASE WHEN slot < 21846 THEN 'consumer-0'
+         |            WHEN slot < 43691 THEN 'consumer-1'
+         |            ELSE 'consumer-2' END AS consumer,
+         |       event_type, COUNT(*) AS n,
+         |       COUNT(DISTINCT user_id) AS n_keys
+         |FROM r GROUP BY 1, 2 ORDER BY consumer, event_type""".stripMargin
   )
 }

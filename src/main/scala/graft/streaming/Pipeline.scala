@@ -283,6 +283,65 @@ object Pipeline {
       .agg(count(lit(1)).as("n"))
       .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("n"))
 
+  /** Key_Shared subscription dispatch (Pulsar's Key_Shared subtype,
+    * PIP-34/PIP-105 context): every message key hashes into one of
+    * 65536 slots, and each consumer owns a contiguous slot range —
+    * all messages for one key land on one consumer (per-key ordering
+    * survives fan-out), and ranges rebalance without rehashing keys.
+    * The hash here is the engine's portable md5 slot (Pulsar uses
+    * Murmur3-32; the algorithm is a pluggable detail, the range
+    * assignment is the semantics). Map-only — a stream routes with
+    * zero shuffle and zero state. */
+  val keySharedSlots = 65536
+  val keySharedRanges: Seq[(String, Long)] = Seq(
+    ("consumer-0", 21846L), ("consumer-1", 43691L), ("consumer-2", 65536L))
+
+  def keySharedRoute(events: DataFrame): DataFrame = {
+    val slot = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % keySharedSlots
+    val consumer = keySharedRanges.init.foldRight(
+      lit(keySharedRanges.last._1)) { case ((name, hi), rest) =>
+      when(slot < hi, name).otherwise(rest)
+    }
+    events.withColumn("slot", slot).withColumn("consumer", consumer)
+  }
+
+  /** Per-consumer dispatch census — the batch twin judged by the
+    * oracle; the streaming form (same def over a file stream) is
+    * asserted equal in StreamSpec. n_keys counts distinct keys per
+    * consumer: the Key_Shared invariant (a key never splits across
+    * consumers) makes the per-consumer key counts sum to the global
+    * distinct-key count, which the spec asserts. */
+  def keySharedCounts(events: DataFrame): DataFrame =
+    keySharedRoute(events)
+      .groupBy("consumer", "event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_keys"))
+      .select(col("consumer"), col("event_type"), col("n"), col("n_keys"))
+
+  /** Pulsar delayed delivery (deliverAfter/deliverAt): a message is
+    * invisible to consumers until its deliver-at time. Policy here:
+    * 'error' events back off 15 minutes (retry-after-transient-fault),
+    * 'signup' events 5 minutes (welcome-flow delay), everything else
+    * delivers immediately — deterministic, so the batch twin is
+    * closed-form oracle-able. Map-only shift of the event-time column:
+    * in streaming mode the watermark runs on deliver_at, so windows
+    * emit when the DELIVERY clock passes, which is exactly the broker
+    * behavior (the message participates in downstream time at its
+    * visible time, not its publish time). */
+  def delayedDeliver(events: DataFrame): DataFrame =
+    events.withColumn("deliver_at",
+      when(col("event_type") === "error", col("ts") + expr("INTERVAL 15 MINUTES"))
+        .when(col("event_type") === "signup", col("ts") + expr("INTERVAL 5 MINUTES"))
+        .otherwise(col("ts")))
+
+  /** 5-min tumbling counts on the VISIBLE (deliver-at) clock. */
+  def delayedCounts(events: DataFrame): DataFrame =
+    delayedDeliver(events)
+      .withColumn("da_sec", date_trunc("second", col("deliver_at")))
+      .groupBy(window(col("da_sec"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("n"))
+
   /** The canonical change record of the CDC view: op = D on 'error'
     * (delete), else upsert; ordered by (event-time second, event_id). */
   final case class CdcChange(user_id: Long, op: String, last_value: Double,

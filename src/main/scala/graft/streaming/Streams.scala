@@ -95,6 +95,15 @@ object Streams extends QueryPack {
     "stream_cdc_apply" -> ((s, dir) =>
       Pipeline.cdcLatestBatch(Tables.events(s, dir)).orderBy("user_id")),
 
+    // Pulsar delayed delivery (deliverAfter): a message is invisible
+    // until its deliver-at time — 'error' backs off 15 min, 'signup'
+    // 5 min, the rest deliver immediately. Judged via the batch twin
+    // (windowed counts on the VISIBLE clock); the streaming form —
+    // the watermark runs on deliver_at, so windows emit when the
+    // delivery clock passes — is verified stream==batch in StreamSpec.
+    "stream_delayed_delivery" -> ((s, dir) =>
+      Pipeline.delayedCounts(Tables.events(s, dir)).orderBy("ws", "event_type")),
+
     // batch analog of the 10-minute watermark rule: an event is "late"
     // (dropped) if its event time is more than 10 minutes behind the
     // max event time already seen in arrival order (event_id). The
@@ -202,6 +211,17 @@ object Streams extends QueryPack {
       s"""SELECT ($epochSec // 600) * 600 AS ws, event_type, COUNT(*) AS n
          |FROM events WHERE event_type IN ('purchase', 'click')
          |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    // visible-clock = publish second + the per-type backoff; truncation
+    // to seconds commutes with adding whole-minute backoffs, so the
+    // window arithmetic matches Spark's window(deliver_at) exactly
+    "stream_delayed_delivery" ->
+      s"""SELECT (($epochSec
+         |  + CASE WHEN event_type = 'error' THEN 900
+         |         WHEN event_type = 'signup' THEN 300
+         |         ELSE 0 END) // 300) * 300 AS ws,
+         |  event_type, COUNT(*) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
 
     "stream_bloom_enrich" ->
       s"""SELECT ($epochSec // 600) * 600 AS ws, c_mktsegment, COUNT(*) AS n

@@ -341,4 +341,19 @@ class LlmSpec extends AnyFunSuite {
       .select("id_q", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     info(f"IVF-only recall at same P: ${exact.count(ivf.contains).toDouble / exact.size}%.4f")
   }
+
+  test("sample_dsir: importance-selected docs are more target-like than the corpus") {
+    // the whole point of importance resampling: the selected set's mean
+    // quality (the target-defining signal) must exceed the corpus mean —
+    // the bucket-contrast weights pull docs whose hashed-feature mass
+    // sits where the target distribution is overrepresented
+    import org.apache.spark.sql.functions._
+    val scored = q("text_quality").select(col("doc_id"), col("quality").as("q"))
+    val corpusMean = scored.agg(avg("q")).head().getDouble(0)
+    val selMean = q("sample_dsir").join(scored, Seq("doc_id"))
+      .agg(avg("q")).head().getDouble(0)
+    info(f"corpus mean quality $corpusMean%.4f, selected mean $selMean%.4f")
+    assert(selMean > corpusMean,
+      s"selection did not shift toward the target (sel=$selMean corpus=$corpusMean)")
+  }
 }

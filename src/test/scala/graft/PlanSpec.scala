@@ -397,4 +397,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       s"NOT IN fell back to a nested loop:\n$plan")
   }
+
+  test("sample_dsir: the bucket census broadcasts; top-100 is a TakeOrdered, not a full sort") {
+    val plan = physical("sample_dsir")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 64-row importance table must broadcast, never shuffle-join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 selection not a TakeOrdered:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus-side sort-merge join crept into the selection path:\n$plan")
+  }
+
+  test("text_classifier_score: the weight table broadcasts; the logit agg is two-phase") {
+    val plan = physical("text_classifier_score")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 2^k weight vector must broadcast to the token stream:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"logit aggregation not map-side partial:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"weight lookup fell off the broadcast path:\n$plan")
+  }
+
+  test("filter_keyshared: hash-range routing is map-side — one scan, no join") {
+    val plan = physical("filter_keyshared")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly one events scan:\n$plan")
+    assert(!plan.contains("Join"),
+      s"consumer ranges must be plan-compiled, never joined:\n$plan")
+  }
 }

@@ -102,6 +102,50 @@ class StreamSpec extends AnyFunSuite {
     assertSameRows(streamed, SparkEntry.queries("filter_subscriptions")(spark, dir))
   }
 
+  test("Key_Shared dispatch: stream == batch, and no key ever splits across consumers") {
+    // stateless hash-range routing (the third subscription subtype):
+    // the same Pipeline definition routes the unbounded source with
+    // zero shuffle and zero state — append mode, no aggregation on the
+    // stream (the census is the batch-side report; its distinct-key
+    // count is not an incremental op, and doesn't need to be: the
+    // broker-side behavior IS the per-message route)
+    val streamed = runFileStream(
+      ev => Pipeline.keySharedRoute(ev)
+        .select(col("event_id"), col("consumer")),
+      "keyshared", mode = "append")
+    assertSameRows(streamed,
+      Pipeline.keySharedRoute(Tables.events(spark, dir))
+        .select(col("event_id"), col("consumer")))
+    // and the batch census key agrees with a recount over the routing
+    val census = SparkEntry.queries("filter_keyshared")(spark, dir)
+    val recount = Pipeline.keySharedRoute(Tables.events(spark, dir))
+      .groupBy("consumer", "event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_keys"))
+    assertSameRows(census, recount)
+    // the Key_Shared invariant: every key maps to exactly one consumer,
+    // so per-consumer distinct-key counts sum to the global count
+    val routed = Pipeline.keySharedRoute(Tables.events(spark, dir))
+    val split = routed.groupBy("user_id")
+      .agg(countDistinct(col("consumer")).as("nc"))
+      .where(col("nc") > 1).count()
+    assert(split === 0, "a key reached more than one consumer")
+  }
+
+  test("delayed delivery: stream (watermark on deliver_at) == batch") {
+    // the watermark runs on the VISIBLE clock — the deliver-at shift is
+    // a map-side column, so late-data accounting follows delivery time
+    // exactly as a broker's delayed-message tracker does
+    val streamed = runFileStream(
+      ev => Pipeline.delayedDeliver(ev)
+        .withWatermark("deliver_at", "10 minutes")
+        .withColumn("da_sec", date_trunc("second", col("deliver_at")))
+        .groupBy(window(col("da_sec"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("n")),
+      "delayed")
+    assertSameRows(streamed, Pipeline.delayedCounts(Tables.events(spark, dir)))
+  }
+
   test("stream-static join: stream == batch") {
     val cust = Tables.customer(spark, dir)
     val streamed = runFileStream(Pipeline.enrich(_, cust), "enrich", mode = "append")
@@ -638,6 +682,59 @@ class StreamSpec extends AnyFunSuite {
     assertSameRows(
       Incremental.simhashProbe(spark, dir, maintained),
       Incremental.simhashProbe(spark, dir, batchBuilt))
+  }
+
+  test("PQ codes maintainer restart-safety: replayed epoch overwrites its batch dir, codes stay exact") {
+    // same kill/resume recipe as the band-store test, applied to the
+    // one maintainer whose consumer (a top-k scan) is NOT duplicate-
+    // tolerant: a double-applied epoch would double-count its vectors
+    // in every ADC scan. batch_<id> overwrite must make the replay a
+    // byte-identical rewrite.
+    import graft.llm.Quantize
+    val emb = Tables.embeddings(spark, dir)
+    val book = Quantize.codebook(spark, dir)
+    val initial = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    val arriving = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val (p1, p2) = (arriving.where(col("vec_id") % 3 === 0),
+      arriving.where(col("vec_id") % 3 =!= 0))
+    val streamed = Files.createTempDirectory("graft_pq_restart").toString + "/codes"
+    val batchBuilt = Files.createTempDirectory("graft_pq_restart_b").toString + "/codes"
+    Quantize.buildPqCodes(initial, streamed, book, "batch_init")
+    val inDir = Files.createTempDirectory("graft_pqrst_in").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_pqrst").toString
+    def push(df: DataFrame): Unit =
+      df.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .write.mode("append").json(inDir)
+    def runOnce(): Unit = {
+      val q = Quantize.maintainPqCodes(
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>").json(inDir),
+        streamed, book, ckpt)
+      q.awaitTermination()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    }
+    push(p1)
+    runOnce()
+    // crash window: epoch data committed, checkpoint commit truncated
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val latest = java.nio.file.Files.list(commits).toArray.map(_.toString)
+      .filter(_.split("/").last.forall(_.isDigit))
+      .maxBy(_.split("/").last.toLong)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(latest))
+    java.nio.file.Files.deleteIfExists(
+      commits.resolve("." + latest.split("/").last + ".crc"))
+    push(p2)
+    runOnce()
+    // exactly-once content: maintained artifact == batch encode of the
+    // union, one code row per vector (no replay duplicates)
+    Quantize.buildPqCodes(emb, batchBuilt, book, "batch_init")
+    assertSameRows(Quantize.readCodes(spark, streamed),
+      Quantize.readCodes(spark, batchBuilt))
+    assert(Quantize.readCodes(spark, streamed).count() ===
+      Quantize.readCodes(spark, streamed).select("vec_id").distinct().count(),
+      "replayed epoch double-applied: duplicate code rows")
   }
 
   test("empty monitored directory: stream starts on the canonical schema before any file lands") {
