@@ -54,18 +54,26 @@ object Selection extends QueryPack {
         col("doc_id"), col("lang"), col("source"),
         Text.qualityScore(col("text")).as("q"))
       // per-(doc, bucket) counts: one explode, one shuffle keyed by
-      // (doc_id, bkt); q rides along (functionally dependent on doc_id)
+      // (doc_id, bkt). The target flag and the token array are
+      // projected in a SEPARATE select below the explode — putting the
+      // quality expression in the same select as explode() lets
+      // Catalyst place it in the post-Generate projection, evaluating
+      // the O(doc-length) score once per TOKEN instead of once per doc
+      // (measured 4.2 s → 0.7 s at sf0.1); a projection Generate
+      // cannot collapse through keeps it per-doc.
       val bc = Tables.documents(s, dir)
-        .select(col("doc_id"), Text.qualityScore(col("text")).as("q"),
-          explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"),
+          (Text.qualityScore(col("text")) >= 0.75).as("tgt"),
+          split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("tgt"), explode(col("toks")).as("tok"))
         .groupBy(col("doc_id"), (Text.tokHashS(col("tok")) % B_DSIR).as("bkt"),
-          col("q"))
+          col("tgt"))
         .agg(count(lit(1)).as("c"))
       // the 64-row target-vs-raw census; target = quality-gated docs
       // (the curate gate, shared threshold)
       val w = bc.groupBy("bkt")
         .agg(sum(col("c")).as("r_b"),
-          sum(when(col("q") >= 0.75, col("c")).otherwise(0L)).as("t_b"))
+          sum(when(col("tgt"), col("c")).otherwise(0L)).as("t_b"))
         .select(col("bkt"),
           expr(s"(1000000 * (t_b + 1)) div (r_b + 1)").as("w"))
       val scores = bc.join(broadcast(w), Seq("bkt"))
