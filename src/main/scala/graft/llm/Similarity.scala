@@ -41,6 +41,71 @@ object Similarity extends QueryPack {
       e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")))
   }
 
+  /** All-pairs scored frame (id_a, id_b, cos) — the exact O(n²)
+    * oracle-twin feed for the kNN-graph family. */
+  private def scoredExact(s: SparkSession, dir: String): DataFrame = {
+    val (a, b) = sides(s, dir)
+    a.join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosOf(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+  }
+
+  /** SRP-candidate scored frame — the corpus-scale feed: only bucket
+    * cohabitants are scored, both orientations of each candidate pair
+    * off one scan via a 2-row explode (a union would re-execute the
+    * bucket join). */
+  private def scoredAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cand = srpCandidates(e, Tables.embeddings(s, dir).count())
+    val sym = cand.select(explode(array(
+        struct(col("id_a"), col("id_b")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    sym.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosOf(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
+  }
+
+  /** Directed top-5 per vector (map-side TopKByScore reduction) →
+    * mutual edges (id_a < id_b, with the a→b cos attached). ONE
+    * definition under sim_knn_graph, sim_knn_graph_ann, and both
+    * semantic-dedup keys, so the graph semantics can never fork. */
+  private def mutualTopk(scored: DataFrame): DataFrame = {
+    import graft.functions.TopKByScore.topk
+    val directed = scored
+      .groupBy(col("id_a"))
+      .agg(topk(col("cos"), col("id_b"), 5).as("top"))
+      .select(col("id_a"), explode(col("top")).as("t"))
+      .select(col("id_a"), col("t.payload").as("id_b"),
+        col("t.score").as("cos"))
+      .localCheckpoint() // feeds both sides of the mutual join
+    val reverse = directed.select(col("id_b").as("id_a"),
+      col("id_a").as("id_b"))
+    directed.join(reverse, Seq("id_a", "id_b"))
+      .where(col("id_a") < col("id_b"))
+  }
+
+  /** Semantic-cluster keep/drop: mutual edges at cos ≥ 0.45 →
+    * connected components → keep the min-id member per cluster.
+    * Components run on (id, id) label pairs — tiny next to the corpus
+    * (the pipeline_curate_v2 posture). */
+  private def semanticKeep(s: SparkSession, dir: String,
+      mutual: DataFrame): DataFrame = {
+    val m = mutual.where(col("cos") >= 0.45).select(col("id_a"), col("id_b"))
+    val edges = m.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(m.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val labels = Cluster.components(edges)
+    Tables.embeddings(s, dir).select(col("vec_id"))
+      .join(labels.select(col("node").as("vec_id"), col("lbl")),
+        Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("vec_id")))
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** SRP-LSH geometry: L tables × B(n) sign bits, 64-dim planes, seed
     * 42, emitted by the fused SrpSignature expression (one codegen loop
     * instead of L×B dot-product sub-expressions; VERDICT r01 item 2).
@@ -386,25 +451,10 @@ object Similarity extends QueryPack {
     // is this key's declared oracle-twin role (sim_topk precedent); at
     // corpus scale the candidate feed swaps to the SRP/IVF ANN path
     // (sim_lsh_ann / sim_ivf_ann) with the same mutual join on top.
-    "sim_knn_graph" -> ((s, dir) => {
-      import graft.functions.TopKByScore.topk
-      val (a, b) = sides(s, dir)
-      val directed = a.join(b, col("id_a") =!= col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          cosOf(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
-        .groupBy(col("id_a"))
-        .agg(topk(col("cos"), col("id_b"), 5).as("top"))
-        .select(col("id_a"), explode(col("top")).as("t"))
-        .select(col("id_a"), col("t.payload").as("id_b"),
-          col("t.score").as("cos"))
-        .localCheckpoint() // feeds both sides of the mutual join
-      val reverse = directed.select(col("id_b").as("id_a"),
-        col("id_a").as("id_b"))
-      directed.join(reverse, Seq("id_a", "id_b"))
-        .where(col("id_a") < col("id_b"))
+    "sim_knn_graph" -> ((s, dir) =>
+      mutualTopk(scoredExact(s, dir))
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // Mutual k-NN graph, ANN-fed (round 7): the corpus-scale path the
     // exact key's scaladoc promises — directed top-5 is computed over
@@ -416,32 +466,28 @@ object Similarity extends QueryPack {
     // drop a real edge and promote a 6th-closest into a top-5), so no
     // SQL oracle: LlmSpec measures edge recall AND precision vs the
     // exact sim_knn_graph.
-    "sim_knn_graph_ann" -> ((s, dir) => {
-      import graft.functions.TopKByScore.topk
-      val e = vecs(s, dir)
-      val cand = srpCandidates(e, Tables.embeddings(s, dir).count())
-      val sym = cand.select(explode(array(
-          struct(col("id_a"), col("id_b")),
-          struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("p"))
-        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-      val directed = sym.join(a, Seq("id_a")).join(b, Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          cosOf(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
-        .groupBy(col("id_a"))
-        .agg(topk(col("cos"), col("id_b"), 5).as("top"))
-        .select(col("id_a"), explode(col("top")).as("t"))
-        .select(col("id_a"), col("t.payload").as("id_b"),
-          col("t.score").as("cos"))
-        .localCheckpoint() // feeds both sides of the mutual join
-      val reverse = directed.select(col("id_b").as("id_a"),
-        col("id_a").as("id_b"))
-      directed.join(reverse, Seq("id_a", "id_b"))
-        .where(col("id_a") < col("id_b"))
+    "sim_knn_graph_ann" -> ((s, dir) =>
+      mutualTopk(scoredAnn(s, dir))
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
+
+    // SemDeDup-shaped semantic dedup (Abbas et al. 2023 family): prune
+    // semantically redundant embeddings, not just near-identical ones —
+    // mutual-kNN edges at cos ≥ 0.45 (the dedup_embed threshold),
+    // resolved into connected components (Cluster.components, the same
+    // solver every dedup_clusters key verifies), keep = the min-id
+    // member of each semantic cluster. The exact O(n²) scoring is the
+    // declared oracle-twin role; _ann below is the corpus-scale path.
+    "dedup_semantic" -> ((s, dir) =>
+      semanticKeep(s, dir, mutualTopk(scoredExact(s, dir)))),
+
+    // corpus-scale semantic dedup: same mutual-kNN + components +
+    // representative chain over SRP bucket candidates (≈ L·n²/2^(B+1)
+    // scored pairs by geometry, not n²). Approximate in both
+    // directions, so no SQL oracle; LlmSpec gates keep-decision
+    // agreement vs the exact twin.
+    "dedup_semantic_ann" -> ((s, dir) =>
+      semanticKeep(s, dir, mutualTopk(scoredAnn(s, dir)))),
 
     // IVF-style ANN: coarse-quantize each vector to its top-P cells
     // (learned, seeded k-means centroids — a persisted index artifact,
@@ -610,6 +656,39 @@ object Similarity extends QueryPack {
         |SELECT x.id_a, x.id_b, ROUND(x.cos, 4) AS cos_sim
         |FROM d x JOIN d y ON x.id_a = y.id_b AND x.id_b = y.id_a
         |WHERE x.id_a < x.id_b
-        |ORDER BY x.id_a, x.id_b""".stripMargin
+        |ORDER BY x.id_a, x.id_b""".stripMargin,
+
+    // the knn-graph CTE + the transitive-closure component labeling of
+    // the pipeline_curate_v2 oracle, applied to mutual edges at
+    // cos >= 0.45
+    "dedup_semantic" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_cosine_similarity(a.v, b.v) AS cos,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |                            ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+        |                                     b.vec_id) AS rn
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        |  QUALIFY rn <= 5),
+        |m AS (
+        |  SELECT x.id_a, x.id_b
+        |  FROM d x JOIN d y ON x.id_a = y.id_b AND x.id_b = y.id_a
+        |  WHERE x.id_a < x.id_b AND x.cos >= 0.45),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM m
+        |          UNION SELECT id_b, id_a FROM m),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, g.b FROM reach r JOIN edges g ON r.b = g.a),
+        |lbl AS (
+        |  SELECT e.vec_id,
+        |         CAST(COALESCE(LEAST(MIN(r.b), e.vec_id), e.vec_id) AS BIGINT)
+        |           AS cluster_id
+        |  FROM e LEFT JOIN reach r ON r.a = e.vec_id
+        |  GROUP BY e.vec_id)
+        |SELECT vec_id, cluster_id, vec_id = cluster_id AS keep
+        |FROM lbl ORDER BY vec_id""".stripMargin
   )
 }

@@ -342,6 +342,24 @@ class LlmSpec extends AnyFunSuite {
     info(f"IVF-only recall at same P: ${exact.count(ivf.contains).toDouble / exact.size}%.4f")
   }
 
+  test("dedup_semantic_ann: keep decisions agree with the exact semantic twin on >= 95% of vectors") {
+    // the SRP-fed mutual-kNN graph can drop a true edge or promote a
+    // 6th-closest neighbor, which can split or merge a semantic
+    // cluster — the gate is therefore on the DECISION surface (keep/
+    // drop per vector), the thing a pipeline consumer acts on
+    val exact = q("dedup_semantic")
+      .select("vec_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val ann = q("dedup_semantic_ann")
+      .select("vec_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(exact.keySet == ann.keySet, "vector sets differ")
+    assert(exact.values.count(!_) > 0, "fixture should drop some semantic dups")
+    val agree = exact.count { case (id, k) => ann(id) == k }.toDouble / exact.size
+    info(f"semantic keep-decision agreement: $agree%.4f")
+    assert(agree >= 0.95, s"keep agreement $agree < 0.95")
+  }
+
   test("sample_dsir: importance-selected docs are more target-like than the corpus") {
     // the whole point of importance resampling: the selected set's mean
     // quality (the target-defining signal) must exceed the corpus mean —
