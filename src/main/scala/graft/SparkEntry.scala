@@ -28,6 +28,7 @@ object SparkEntry {
     relational.Extras10,
     relational.Extras11,
     relational.Extras12,
+    relational.Extras13,
     relational.Storage,
     relational.Subqueries,
     llm.Cluster,

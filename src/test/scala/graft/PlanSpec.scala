@@ -418,6 +418,19 @@ class PlanSpec extends AnyFunSuite {
       s"weight lookup fell off the broadcast path:\n$plan")
   }
 
+  test("join_asof_nearest: bidirectional carry is windows over ONE exchange — no join at all") {
+    // nearest-as-of via a range join would enumerate |Δ| ≤ tolerance
+    // pairs; the carry form unions the kinds into one sorted stream,
+    // so the physical plan must contain window operators and exactly
+    // one hash exchange on user_id — and NO join operator
+    val plan = physical("join_asof_nearest")
+    assert(plan.contains("Window"), s"carry windows missing:\n$plan")
+    assert(!plan.contains("Join"),
+      s"nearest-as-of fell back to a join:\n$plan")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      s"expected exactly one user_id exchange:\n$plan")
+  }
+
   test("filter_keyshared: hash-range routing is map-side — one scan, no join") {
     val plan = physical("filter_keyshared")
     assert("FileScan parquet".r.findAllIn(plan).size == 1,
