@@ -87,6 +87,44 @@ object Embeddings extends QueryPack {
     // dot/(nq·nm) and DuckDB's list_cosine_similarity are different FP
     // evaluation orders, and an unrounded >= 0.3 could split a pair
     // within 1 ulp of the boundary (ADVICE r03).
+    // Matryoshka-style truncation evaluation (Kusupati et al. 2022
+    // family): serve retrieval from the FIRST 16 of 64 dims (4× less
+    // memory/bandwidth) and measure what survives — for the pinned
+    // 16-probe set, the truncated top-5 per query with an
+    // in_full_top5 flag against the full-dimension top-5. This is the
+    // measurement a serving owner runs before switching the index to
+    // truncated vectors; the output grain (probe × rank) is the
+    // decision artifact. Shape: same broadcast-probe scan as
+    // sim_range_search (corpus partition-local, probes ride the
+    // broadcast), both cosines off one scored frame, rank windows over
+    // 16 probe groups (probe-sized, not corpus-sized).
+    "embed_truncate_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = vecs(s, dir)
+        .repartition(col("vec_id"))
+        .withColumn("v16", slice(col("v"), 1, 16))
+        .withColumn("n64", norm(col("v")))
+        .withColumn("n16", nullif(sqrt(dot(col("v16"), col("v16"))), lit(0.0)))
+      val q = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("id_q"), col("v").as("vq"),
+          col("v16").as("vq16"), col("n64").as("nq64"), col("n16").as("nq16"))
+      val sc = e.join(broadcast(q), col("id_q") =!= col("vec_id"))
+        .select(col("id_q"), col("vec_id").as("id_b"),
+          (dot(col("vq"), col("v")) / (col("nq64") * col("n64"))).as("cos64"),
+          (dot(col("vq16"), col("v16")) / (col("nq16") * col("n16"))).as("cos16"))
+      val w64 = Window.partitionBy("id_q").orderBy(col("cos64").desc, col("id_b"))
+      val w16 = Window.partitionBy("id_q").orderBy(col("cos16").desc, col("id_b"))
+      val t64 = sc.withColumn("rn", row_number().over(w64))
+        .where(col("rn") <= 5).select(col("id_q"), col("id_b"), lit(true).as("hit"))
+      val t16 = sc.withColumn("rn", row_number().over(w16))
+        .where(col("rn") <= 5)
+        .select(col("id_q"), col("rn"), col("id_b"), round(col("cos16"), 4).as("cos_trunc"))
+      t16.join(t64, Seq("id_q", "id_b"), "left")
+        .select(col("id_q"), col("rn"), col("id_b"), col("cos_trunc"),
+          coalesce(col("hit"), lit(false)).as("in_full_top5"))
+        .orderBy("id_q", "rn")
+    }),
+
     "sim_range_search" -> ((s, dir) => {
       val e = vecs(s, dir)
         .repartition(col("vec_id"))
@@ -104,6 +142,31 @@ object Embeddings extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "embed_truncate_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, v, v[1:16] AS v16 FROM e),
+        |q AS (SELECT vec_id AS id_q, v AS vq, v16 AS vq16 FROM x WHERE vec_id < 16),
+        |sc AS (
+        |  SELECT id_q, x.vec_id AS id_b,
+        |         list_cosine_similarity(vq, x.v) AS cos64,
+        |         list_cosine_similarity(vq16, x.v16) AS cos16
+        |  FROM q JOIN x ON id_q <> x.vec_id),
+        |t64 AS (
+        |  SELECT id_q, id_b FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY id_q
+        |                             ORDER BY cos64 DESC, id_b) <= 5),
+        |t16 AS (
+        |  SELECT id_q, id_b, cos16,
+        |         row_number() OVER (PARTITION BY id_q
+        |                            ORDER BY cos16 DESC, id_b) AS rn
+        |  FROM sc QUALIFY rn <= 5)
+        |SELECT t16.id_q AS id_q, rn, t16.id_b AS id_b,
+        |       ROUND(cos16, 4) AS cos_trunc,
+        |       t64.id_b IS NOT NULL AS in_full_top5
+        |FROM t16 LEFT JOIN t64
+        |  ON t16.id_q = t64.id_q AND t16.id_b = t64.id_b
+        |ORDER BY t16.id_q, rn""".stripMargin,
+
     "embed_normalize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)

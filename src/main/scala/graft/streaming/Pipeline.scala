@@ -342,6 +342,29 @@ object Pipeline {
       .agg(count(lit(1)).as("n"))
       .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("n"))
 
+  /** Windowed per-user activity counts — the streamable incremental
+    * aggregate under stream_window_topk. */
+  def windowUserCounts(events: DataFrame): DataFrame =
+    events.withColumn("ts_sec", date_trunc("second", col("ts")))
+      .groupBy(window(col("ts_sec"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("user_id"), col("n"))
+
+  /** Top-3 users per window, as RANK POST-PROCESSING of the
+    * incremental aggregate: a rank over a streaming agg would be a
+    * second stateful stage (unsupported chained aggregation), and it
+    * doesn't need to be one — the production pattern is to keep the
+    * incremental agg as the streaming state and rank in foreachBatch /
+    * over the sink table, which is exactly how the StreamSpec gate
+    * executes it. The window ranks per ws group (window-count-sized,
+    * not event-sized). */
+  def topkOfCounts(counts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ws").orderBy(col("n").desc, col("user_id"))
+    counts.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select(col("ws"), col("rn"), col("user_id"), col("n"))
+  }
+
   /** The canonical change record of the CDC view: op = D on 'error'
     * (delete), else upsert; ordered by (event-time second, event_id). */
   final case class CdcChange(user_id: Long, op: String, last_value: Double,

@@ -95,6 +95,16 @@ object Streams extends QueryPack {
     "stream_cdc_apply" -> ((s, dir) =>
       Pipeline.cdcLatestBatch(Tables.events(s, dir)).orderBy("user_id")),
 
+    // windowed top-k (top-3 users per 10-min window): the incremental
+    // windowed count is the streaming state; the rank is post-
+    // processing of that aggregate (chained streaming aggregations are
+    // unsupported, and the production pattern — rank in foreachBatch /
+    // over the sink table — doesn't want one). StreamSpec executes
+    // exactly that split and asserts it equals this batch twin.
+    "stream_window_topk" -> ((s, dir) =>
+      Pipeline.topkOfCounts(Pipeline.windowUserCounts(Tables.events(s, dir)))
+        .orderBy("ws", "rn")),
+
     // Pulsar delayed delivery (deliverAfter): a message is invisible
     // until its deliver-at time — 'error' backs off 15 min, 'signup'
     // 5 min, the rest deliver immediately. Judged via the batch twin
@@ -211,6 +221,17 @@ object Streams extends QueryPack {
       s"""SELECT ($epochSec // 600) * 600 AS ws, event_type, COUNT(*) AS n
          |FROM events WHERE event_type IN ('purchase', 'click')
          |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "stream_window_topk" ->
+      s"""WITH c AS (
+         |  SELECT ($epochSec // 600) * 600 AS ws, user_id, COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2)
+         |SELECT ws, rn, user_id, n FROM (
+         |  SELECT ws, user_id, n,
+         |         row_number() OVER (PARTITION BY ws
+         |                            ORDER BY n DESC, user_id) AS rn
+         |  FROM c)
+         |WHERE rn <= 3 ORDER BY ws, rn""".stripMargin,
 
     // visible-clock = publish second + the per-type backoff; truncation
     // to seconds commutes with adding whole-minute backoffs, so the

@@ -146,6 +146,16 @@ class StreamSpec extends AnyFunSuite {
     assertSameRows(streamed, Pipeline.delayedCounts(Tables.events(spark, dir)))
   }
 
+  test("windowed top-k: rank over the streamed incremental agg == batch twin") {
+    // the incremental windowed count runs as the stream (complete
+    // mode); the rank is applied to the SINK table — the foreachBatch/
+    // sink-side pattern the key's scaladoc declares
+    val counts = runFileStream(Pipeline.windowUserCounts, "win_topk_counts")
+    val streamedTopk = Pipeline.topkOfCounts(counts)
+    assertSameRows(streamedTopk,
+      SparkEntry.queries("stream_window_topk")(spark, dir))
+  }
+
   test("stream-static join: stream == batch") {
     val cust = Tables.customer(spark, dir)
     val streamed = runFileStream(Pipeline.enrich(_, cust), "enrich", mode = "append")
