@@ -87,6 +87,27 @@ object Similarity extends QueryPack {
       .where(col("id_a") < col("id_b"))
   }
 
+  /** The mutual-kNN edge table, MATERIALIZED once per (sfDir,
+    * embeddings fingerprint) — the curatePairsTable discipline applied
+    * to the graph: in production the kNN graph is a product that the
+    * graph report AND the semantic-dedup resolver both read, not a
+    * view each recomputes (the scoring pass is the expensive half of
+    * all four consumer keys). Regenerated fixtures invalidate via the
+    * fingerprint key. */
+  private def knnPairsTable(s: SparkSession, dir: String,
+      ann: Boolean): String = {
+    val kind = if (ann) "ann" else "exact"
+    val pfx = s"knn_graph_${kind}_${Tables.pathKey(dir)}_"
+    val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "embeddings"))}"
+    if (!s.catalog.tableExists(t)) {
+      Tables.dropStaleTables(s, pfx)
+      mutualTopk(if (ann) scoredAnn(s, dir) else scoredExact(s, dir))
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+    t
+  }
+
   /** Semantic-cluster keep/drop: mutual edges at cos ≥ 0.45 →
     * connected components → keep the min-id member per cluster.
     * Components run on (id, id) label pairs — tiny next to the corpus
@@ -452,7 +473,7 @@ object Similarity extends QueryPack {
     // corpus scale the candidate feed swaps to the SRP/IVF ANN path
     // (sim_lsh_ann / sim_ivf_ann) with the same mutual join on top.
     "sim_knn_graph" -> ((s, dir) =>
-      mutualTopk(scoredExact(s, dir))
+      s.table(knnPairsTable(s, dir, ann = false))
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("id_a", "id_b")),
 
@@ -467,7 +488,7 @@ object Similarity extends QueryPack {
     // SQL oracle: LlmSpec measures edge recall AND precision vs the
     // exact sim_knn_graph.
     "sim_knn_graph_ann" -> ((s, dir) =>
-      mutualTopk(scoredAnn(s, dir))
+      s.table(knnPairsTable(s, dir, ann = true))
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("id_a", "id_b")),
 
@@ -479,7 +500,7 @@ object Similarity extends QueryPack {
     // member of each semantic cluster. The exact O(n²) scoring is the
     // declared oracle-twin role; _ann below is the corpus-scale path.
     "dedup_semantic" -> ((s, dir) =>
-      semanticKeep(s, dir, mutualTopk(scoredExact(s, dir)))),
+      semanticKeep(s, dir, s.table(knnPairsTable(s, dir, ann = false)))),
 
     // corpus-scale semantic dedup: same mutual-kNN + components +
     // representative chain over SRP bucket candidates (≈ L·n²/2^(B+1)
@@ -487,7 +508,7 @@ object Similarity extends QueryPack {
     // directions, so no SQL oracle; LlmSpec gates keep-decision
     // agreement vs the exact twin.
     "dedup_semantic_ann" -> ((s, dir) =>
-      semanticKeep(s, dir, mutualTopk(scoredAnn(s, dir)))),
+      semanticKeep(s, dir, s.table(knnPairsTable(s, dir, ann = true)))),
 
     // IVF-style ANN: coarse-quantize each vector to its top-P cells
     // (learned, seeded k-means centroids — a persisted index artifact,

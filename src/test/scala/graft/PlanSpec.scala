@@ -418,6 +418,23 @@ class PlanSpec extends AnyFunSuite {
       s"weight lookup fell off the broadcast path:\n$plan")
   }
 
+  test("dedup_semantic / sim_knn_graph read the persisted kNN-graph artifact, not the scoring pass") {
+    // the curatePairsTable discipline: the graph is a materialized
+    // product; consumers must scan it, never re-run the scoring pass.
+    // dedup_semantic's FINAL plan shows checkpointed component labels
+    // (Cluster.components materializes eagerly), so the table-scan
+    // check applies to the graph report; the no-rescoring check
+    // applies to both.
+    val graphPlan = physical("sim_knn_graph")
+    assert(graphPlan.contains("knn_graph_exact"),
+      s"sim_knn_graph does not scan the persisted graph:\n$graphPlan")
+    for (key <- Seq("dedup_semantic", "sim_knn_graph")) {
+      val plan = physical(key)
+      assert(!plan.toLowerCase.contains("dotproduct"),
+        s"$key recomputes the scoring pass:\n$plan")
+    }
+  }
+
   test("join_asof_nearest: bidirectional carry is windows over ONE exchange — no join at all") {
     // nearest-as-of via a range join would enumerate |Δ| ≤ tolerance
     // pairs; the carry form unions the kinds into one sorted stream,

@@ -747,6 +747,68 @@ class StreamSpec extends AnyFunSuite {
       "replayed epoch double-applied: duplicate code rows")
   }
 
+  test("keyed-state restart: CDC state survives checkpoint resume; replayed epoch cannot corrupt it") {
+    // completes the restart-safety family for the third state shape:
+    // windowed agg (checkpoint-recovery test), persisted index
+    // (maintainer tests), and here flatMapGroupsWithState keyed state.
+    // Recipe: drain part 1 across multiple micro-batches, truncate the
+    // newest commit (state store checkpoint for that epoch survives,
+    // the commit record does not — the crash window), add part 2,
+    // resume from the same checkpoint. The restarted query must replay
+    // the uncommitted epoch against the REWOUND state version, so the
+    // final per-key state equals the batch fold over everything —
+    // update-mode emissions may duplicate (allowed), state may not.
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, dir)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val p1 = ev.where(col("event_id") % 3 =!= 0)
+    val p2 = ev.where(col("event_id") % 3 === 0)
+    val inDir = Files.createTempDirectory("graft_cdc_rst_in").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_cdc_rst").toString
+    val outDir = Files.createTempDirectory("graft_cdc_rst_out").toString
+    def runOnce(): Unit = {
+      // memory sinks cannot recover from a checkpoint; the epoch-dir
+      // foreachBatch sink (each epoch OVERWRITES its own batch=<id>
+      // dir — the idempotent-replay recipe of the checkpoint-recovery
+      // test) both recovers and makes the replayed epoch visible
+      val q = Pipeline.cdcLatestStream(Pipeline.cdcChanges(
+          spark.readStream
+            .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+            .option("maxFilesPerTrigger", "1").json(inDir)))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          ()
+        }.start()
+      q.awaitTermination()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    }
+    p1.select(cols.map(col): _*).repartition(3).write.mode("append").json(inDir)
+    runOnce()
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val latest = java.nio.file.Files.list(commits).toArray.map(_.toString)
+      .filter(_.split("/").last.forall(_.isDigit))
+      .maxBy(_.split("/").last.toLong)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(latest))
+    java.nio.file.Files.deleteIfExists(
+      commits.resolve("." + latest.split("/").last + ".crc"))
+    p2.select(cols.map(col): _*).repartition(2).write.mode("append").json(inDir)
+    runOnce()
+    // final state per key across ALL epoch emissions == batch fold
+    val emitted = spark.read
+      .option("recursiveFileLookup", "true").parquet(outDir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("last_t").desc, col("event_id").desc)
+    val finalState = emitted.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "op", "last_value", "last_t")
+    assertSameRows(finalState, Pipeline.cdcLatestBatch(ev))
+  }
+
   test("empty monitored directory: stream starts on the canonical schema before any file lands") {
     val emptyDir = Files.createTempDirectory("graft_empty_src").toString
     val st = MessageSource.fileStream(spark, emptyDir)
