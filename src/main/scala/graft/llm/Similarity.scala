@@ -492,6 +492,19 @@ object Similarity extends QueryPack {
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("id_a", "id_b")),
 
+    // the pre-flight check the semantic-dedup stability lesson
+    // prescribes (BASELINE.md): the mutual-edge cosine histogram in
+    // 0.05 bins — if mass sits AT the dedup threshold, the τ-graph
+    // percolates and component keep-decisions are unstable; a corpus
+    // owner reads this BEFORE trusting dedup_semantic at scale. Reads
+    // the persisted graph artifact; output is bin-count-sized.
+    "sim_edge_histogram" -> ((s, dir) =>
+      s.table(knnPairsTable(s, dir, ann = false))
+        .select(floor(col("cos") * 20).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_edges"))
+        .select((col("bin").cast("double") / 20).as("cos_lo"), col("n_edges"))
+        .orderBy("cos_lo")),
+
     // SemDeDup-shaped semantic dedup (Abbas et al. 2023 family): prune
     // semantically redundant embeddings, not just near-identical ones —
     // mutual-kNN edges at cos ≥ 0.45 (the dedup_embed threshold),
@@ -506,7 +519,13 @@ object Similarity extends QueryPack {
     // representative chain over SRP bucket candidates (≈ L·n²/2^(B+1)
     // scored pairs by geometry, not n²). Approximate in both
     // directions, so no SQL oracle; LlmSpec gates keep-decision
-    // agreement vs the exact twin.
+    // agreement vs the exact twin. MEASURED stability boundary
+    // (BASELINE.md "Semantic keep-decision stability"): component
+    // keep decisions are only as stable as the τ-graph is sparse —
+    // on a probe corpus whose edge-cos histogram has mass AT the
+    // threshold, the graph percolates and agreement collapses (0.64
+    // at 10×); check the histogram near τ before trusting global
+    // components at corpus scale, else resolve within IVF cells.
     "dedup_semantic_ann" -> ((s, dir) =>
       semanticKeep(s, dir, s.table(knnPairsTable(s, dir, ann = true)))),
 
@@ -678,6 +697,24 @@ object Similarity extends QueryPack {
         |FROM d x JOIN d y ON x.id_a = y.id_b AND x.id_b = y.id_a
         |WHERE x.id_a < x.id_b
         |ORDER BY x.id_a, x.id_b""".stripMargin,
+
+    "sim_edge_histogram" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_cosine_similarity(a.v, b.v) AS cos,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |                            ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+        |                                     b.vec_id) AS rn
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        |  QUALIFY rn <= 5),
+        |m AS (
+        |  SELECT x.cos
+        |  FROM d x JOIN d y ON x.id_a = y.id_b AND x.id_b = y.id_a
+        |  WHERE x.id_a < x.id_b)
+        |SELECT CAST(FLOOR(cos * 20) AS DOUBLE) / 20 AS cos_lo,
+        |       COUNT(*) AS n_edges
+        |FROM m GROUP BY 1 ORDER BY cos_lo""".stripMargin,
 
     // the knn-graph CTE + the transitive-closure component labeling of
     // the pipeline_curate_v2 oracle, applied to mutual edges at
