@@ -497,7 +497,10 @@ object Similarity extends QueryPack {
     // 0.05 bins — if mass sits AT the dedup threshold, the τ-graph
     // percolates and component keep-decisions are unstable; a corpus
     // owner reads this BEFORE trusting dedup_semantic at scale. Reads
-    // the persisted graph artifact; output is bin-count-sized.
+    // the persisted graph artifact; output is bin-count-sized. The
+    // key reads the exact artifact (its oracle-able twin role); at
+    // corpus scale the identical query runs over the ANN artifact —
+    // the graph you actually have — by swapping the table (ann=true).
     "sim_edge_histogram" -> ((s, dir) =>
       s.table(knnPairsTable(s, dir, ann = false))
         .select(floor(col("cos") * 20).cast("long").as("bin"))
