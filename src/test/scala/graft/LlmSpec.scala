@@ -358,6 +358,19 @@ class LlmSpec extends AnyFunSuite {
     val agree = exact.count { case (id, k) => ann(id) == k }.toDouble / exact.size
     info(f"semantic keep-decision agreement: $agree%.4f")
     assert(agree >= 0.95, s"keep agreement $agree < 0.95")
+    // the pre-flight condition under which this gate is MEANINGFUL
+    // (BASELINE "Semantic keep-decision stability"): component keep
+    // decisions destabilize when the τ-graph percolates — assert the
+    // fixture's edge-cos histogram is sparse at the τ = 0.45 bin, the
+    // check sim_edge_histogram exists to serve
+    val hist = q("sim_edge_histogram").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toMap
+    val atTau = hist.filter { case (lo, _) => lo >= 0.40 && lo < 0.50 }.values.sum
+    val total = hist.values.sum
+    info(s"edges near tau: $atTau of $total")
+    assert(atTau.toDouble / total < 0.2,
+      s"fixture graph has heavy mass at the threshold ($atTau/$total) — " +
+        "the agreement gate would be unstable; revisit τ or the corpus")
   }
 
   test("sample_dsir: importance-selected docs are more target-like than the corpus") {

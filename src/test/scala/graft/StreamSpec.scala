@@ -747,17 +747,17 @@ class StreamSpec extends AnyFunSuite {
       "replayed epoch double-applied: duplicate code rows")
   }
 
-  test("keyed-state restart: CDC state survives checkpoint resume; replayed epoch cannot corrupt it") {
-    // completes the restart-safety family for the third state shape:
-    // windowed agg (checkpoint-recovery test), persisted index
-    // (maintainer tests), and here flatMapGroupsWithState keyed state.
-    // Recipe: drain part 1 across multiple micro-batches, truncate the
-    // newest commit (state store checkpoint for that epoch survives,
-    // the commit record does not — the crash window), add part 2,
-    // resume from the same checkpoint. The restarted query must replay
-    // the uncommitted epoch against the REWOUND state version, so the
-    // final per-key state equals the batch fold over everything —
-    // update-mode emissions may duplicate (allowed), state may not.
+  // completes the restart-safety family for the third state shape:
+  // windowed agg (checkpoint-recovery test), persisted index
+  // (maintainer tests), and here flatMapGroupsWithState keyed state.
+  // Recipe: drain part 1 across multiple micro-batches, truncate the
+  // newest commit (state store checkpoint for that epoch survives,
+  // the commit record does not — the crash window), add part 2,
+  // resume from the same checkpoint. The restarted query must replay
+  // the uncommitted epoch against the REWOUND state version, so the
+  // final per-key state equals the batch fold over everything —
+  // update-mode emissions may duplicate (allowed), state may not.
+  private def cdcRestartScenario(): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val ev = Tables.events(spark, dir)
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
@@ -807,6 +807,24 @@ class StreamSpec extends AnyFunSuite {
       .where(col("rn") === 1)
       .select("user_id", "op", "last_value", "last_t")
     assertSameRows(finalState, Pipeline.cdcLatestBatch(ev))
+  }
+
+  test("keyed-state restart: CDC state survives checkpoint resume; replayed epoch cannot corrupt it") {
+    cdcRestartScenario()
+  }
+
+  test("keyed-state restart under RocksDB: same recovery contract on the production state store") {
+    // the provider a real cluster runs — state snapshots + changelog
+    // live in RocksDB files; the truncated-commit replay must restore
+    // the same rewound state version there too
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(conf)
+    spark.conf.set(conf, GraftSession.rocksDBProvider)
+    try cdcRestartScenario()
+    finally before match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
   }
 
   test("empty monitored directory: stream starts on the canonical schema before any file lands") {
