@@ -128,6 +128,33 @@ object RecallProbe {
       col("vec_id").as("id_b"), col("cos")),
       flagged.select(lit(0L).as("id_a"), col("vec_id").as("id_b")))
 
+    // ---- dedup_semantic_ann: planted-twin DEDUP recall — for each
+    // planted pair at most one member may survive. This is the
+    // percolation-immune metric (BASELINE "Semantic keep-decision
+    // stability"): raw exact-vs-ANN keep agreement collapses on this
+    // corpus because the spurious near-threshold tail percolates the
+    // τ-graph, but a measurement against PLANTED pairs (ScaleGen's own
+    // prescription) separates boundary placement from missed dups.
+    {
+      val keep = SparkEntry.queries("dedup_semantic_ann")(spark, scaleDir)
+        .select(col("vec_id"), col("keep"))
+      val rows = twinTruth
+        .join(keep.select(col("vec_id").as("id_a"), col("keep").as("keep_a")),
+          Seq("id_a"))
+        .join(keep.select(col("vec_id").as("id_b"), col("keep").as("keep_b")),
+          Seq("id_b"))
+        .groupBy(bandOf(col("cos")).as("band"))
+        .agg(count(lit(1)).as("truth"),
+          sum(when(col("keep_a") && col("keep_b"), 1).otherwise(0)).as("both"))
+        .orderBy(desc("band"))
+        .collect()
+      rows.foreach { r =>
+        val (t, b) = (r.getLong(1), r.getLong(2))
+        println(f"RECALL dedup_semantic_ann band=${r.getString(0)} " +
+          f"twins=$t%6d deduped=${t - b}%6d recall=${(t - b).toDouble / t}%.4f")
+      }
+    }
+
     // ---- document-side keys: the copy suffix rewrites token VALUES but
     // suffixes every token of a copy identically, so within-copy trigram
     // Jaccard is preserved exactly — base exact pairs (the oracle-green
