@@ -48,35 +48,80 @@ object Selection extends QueryPack {
   private val B_DSIR = 64
   private val B_CLS  = 32
 
+  /** Per-(doc, bucket) hashed-unigram counts — the DSIR featurizer
+    * (shared by the batch key, the incremental key, and tests). The
+    * target flag / token array project BELOW the explode (see the
+    * sample_dsir note on Generate projection collapse). */
+  private def dsirBuckets(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        (Text.qualityScore(col("text")) >= 0.75).as("tgt"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("tgt"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), (Text.tokHashS(col("tok")) % B_DSIR).as("bkt"),
+        col("tgt"))
+      .agg(count(lit(1)).as("c"))
+
+  /** The 64-row fixed-point importance table over `docs`, COMPLETE
+    * over all buckets: a bucket unseen in the census gets the
+    * smoothed neutral weight 10^6·1/1 (ratio 1 = "as likely in target
+    * as raw") — deterministic whatever the corpus covers, so an
+    * ingest-time score can never silently drop unseen-bucket tokens. */
+  private def dsirWeights(s: SparkSession, docs: DataFrame): DataFrame = {
+    val census = dsirBuckets(docs).groupBy("bkt")
+      .agg(sum(col("c")).as("r_b"),
+        sum(when(col("tgt"), col("c")).otherwise(0L)).as("t_b"))
+    s.range(B_DSIR).select(col("id").as("bkt"))
+      .join(census, Seq("bkt"), "left")
+      .select(col("bkt"),
+        expr("(1000000 * (coalesce(t_b, 0) + 1)) div (coalesce(r_b, 0) + 1)")
+          .as("w"))
+  }
+
+  /** DAY-1 importance table, persisted fingerprint-keyed (the
+    * incremental-family index convention): "yesterday's" bucket
+    * contrast is the artifact an ingest gate applies to today's crawl
+    * without rescanning the corpus. 64 rows — broadcasts anywhere. */
+  private def dsirWeightsTable(s: SparkSession, dir: String): String = {
+    val pfx = s"dsir_w_${Tables.pathKey(dir)}_"
+    val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "documents"))}"
+    if (!s.catalog.tableExists(t)) {
+      Tables.dropStaleTables(s, pfx)
+      dsirWeights(s, Tables.documents(s, dir).where(col("doc_id") % 4 =!= 0))
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+    t
+  }
+
+  /** Feature-hashed linear logits over `docs` with weight table
+    * `wtab(bkt, w)` — one definition for the batch key and the
+    * streaming ingest gate (StreamSpec asserts stream == batch). */
+  private[graft] def classifierLogits(docs: DataFrame, wtab: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bkt", Text.tokHashS(col("tok")) % B_CLS)
+      .join(broadcast(wtab), Seq("bkt"))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("logit_raw"), count(lit(1)).as("n_tok"))
+
+  /** The deterministic pseudo-weight vector (see text_classifier_score). */
+  private[graft] def classifierWeights(s: SparkSession): DataFrame =
+    s.range(B_CLS).select(col("id").as("bkt"),
+      ((Text.tokHashS(concat(lit("w"), col("id").cast("string"))) % 1001) - 500)
+        .as("w"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-(doc, bucket) counts: one explode, one shuffle keyed by
+    // (doc_id, bkt) (dsirBuckets projects the quality flag BELOW the
+    // explode — the Generate projection-collapse fix, measured
+    // 4.2 s → 0.7 s at sf0.1); the 64-row census broadcasts; top-100
+    // is a TakeOrdered.
     "sample_dsir" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(
-        col("doc_id"), col("lang"), col("source"),
-        Text.qualityScore(col("text")).as("q"))
-      // per-(doc, bucket) counts: one explode, one shuffle keyed by
-      // (doc_id, bkt). The target flag and the token array are
-      // projected in a SEPARATE select below the explode — putting the
-      // quality expression in the same select as explode() lets
-      // Catalyst place it in the post-Generate projection, evaluating
-      // the O(doc-length) score once per TOKEN instead of once per doc
-      // (measured 4.2 s → 0.7 s at sf0.1); a projection Generate
-      // cannot collapse through keeps it per-doc.
-      val bc = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          (Text.qualityScore(col("text")) >= 0.75).as("tgt"),
-          split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("tgt"), explode(col("toks")).as("tok"))
-        .groupBy(col("doc_id"), (Text.tokHashS(col("tok")) % B_DSIR).as("bkt"),
-          col("tgt"))
-        .agg(count(lit(1)).as("c"))
-      // the 64-row target-vs-raw census; target = quality-gated docs
-      // (the curate gate, shared threshold)
-      val w = bc.groupBy("bkt")
-        .agg(sum(col("c")).as("r_b"),
-          sum(when(col("tgt"), col("c")).otherwise(0L)).as("t_b"))
-        .select(col("bkt"),
-          expr(s"(1000000 * (t_b + 1)) div (r_b + 1)").as("w"))
-      val scores = bc.join(broadcast(w), Seq("bkt"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"))
+      val bc = dsirBuckets(Tables.documents(s, dir))
+      val scores = bc.join(broadcast(dsirWeights(s, Tables.documents(s, dir))),
+          Seq("bkt"))
         .groupBy("doc_id").agg(sum(col("c") * col("w")).as("imp_score"))
       scores.join(docs, Seq("doc_id"))
         .orderBy(col("imp_score").desc, col("doc_id"))
@@ -85,16 +130,28 @@ object Selection extends QueryPack {
         .orderBy(col("imp_score").desc, col("doc_id"))
     }),
 
-    "text_classifier_score" -> ((s, dir) => {
-      val wtab = s.range(B_CLS).select(col("id").as("bkt"),
-        ((Text.tokHashS(concat(lit("w"), col("id").cast("string"))) % 1001) - 500)
-          .as("w"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("bkt", Text.tokHashS(col("tok")) % B_CLS)
-        .join(broadcast(wtab), Seq("bkt"))
+    // DSIR as an INGEST GATE (the incremental-family analog): the
+    // day-1 importance table is the persisted artifact; today's crawl
+    // (the doc_id % 4 == 0 delta, the family's split convention) is
+    // featurized and scored against it — no day-1 rescan, the weight
+    // table broadcasts. Admission = per-token fixed-point importance
+    // ≥ 500 000 (half the 10^6 "perfectly target-typical" ceiling) —
+    // integer arithmetic end to end, so the gate is engine-exact.
+    "sample_dsir_incr" -> ((s, dir) => {
+      val w = s.table(dsirWeightsTable(s, dir))
+      dsirBuckets(Tables.documents(s, dir).where(col("doc_id") % 4 === 0))
+        .join(broadcast(w), Seq("bkt"))
         .groupBy("doc_id")
-        .agg(sum(col("w")).as("logit_raw"), count(lit(1)).as("n_tok"))
+        .agg(sum(col("c") * col("w")).as("imp_score"),
+          sum(col("c")).as("n_tok"))
+        .select(col("doc_id"), col("imp_score"), col("n_tok"),
+          expr("imp_score div n_tok").as("per_tok"))
+        .withColumn("admitted", col("per_tok") >= 500000L)
+        .orderBy("doc_id")
+    }),
+
+    "text_classifier_score" -> ((s, dir) =>
+      classifierLogits(Tables.documents(s, dir), classifierWeights(s))
         .select(col("doc_id"), col("logit_raw"), col("n_tok"),
           // +1e-9 pushes exact .xxxx5 quotients off the round-half
           // boundary (the qualityScore epsilon convention): integer/
@@ -104,8 +161,7 @@ object Selection extends QueryPack {
             .as("score"),
           when(col("logit_raw") > 0, lit("keep")).otherwise(lit("drop"))
             .as("label"))
-        .orderBy("doc_id")
-    })
+        .orderBy("doc_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -132,6 +188,41 @@ object Selection extends QueryPack {
          |FROM sc JOIN d USING (doc_id)
          |ORDER BY imp_score DESC, doc_id
          |LIMIT 100""".stripMargin,
+
+    "sample_dsir_incr" ->
+      s"""WITH t1 AS (
+         |  SELECT doc_id, ${Text.qualityScoreD} AS q,
+         |         unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE doc_id % 4 <> 0),
+         |b1 AS (
+         |  SELECT doc_id, q, ${Text.tokHashDOn("tok")} % $B_DSIR AS bkt,
+         |         COUNT(*) AS c
+         |  FROM t1 GROUP BY ALL),
+         |cen AS (
+         |  SELECT bkt,
+         |         CAST(SUM(c) AS BIGINT) AS r_b,
+         |         CAST(SUM(CASE WHEN q >= 0.75 THEN c ELSE 0 END) AS BIGINT) AS t_b
+         |  FROM b1 GROUP BY bkt),
+         |w AS (
+         |  SELECT CAST(gs AS BIGINT) AS bkt,
+         |         (1000000 * (COALESCE(t_b, 0) + 1)) // (COALESCE(r_b, 0) + 1) AS w
+         |  FROM generate_series(0, ${B_DSIR - 1}) g(gs)
+         |       LEFT JOIN cen ON cen.bkt = gs),
+         |t2 AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE doc_id % 4 = 0),
+         |b2 AS (
+         |  SELECT doc_id, ${Text.tokHashDOn("tok")} % $B_DSIR AS bkt,
+         |         COUNT(*) AS c
+         |  FROM t2 GROUP BY ALL),
+         |sc AS (
+         |  SELECT doc_id, CAST(SUM(c * w) AS BIGINT) AS imp_score,
+         |         CAST(SUM(c) AS BIGINT) AS n_tok
+         |  FROM b2 JOIN w USING (bkt) GROUP BY doc_id)
+         |SELECT doc_id, imp_score, n_tok,
+         |       imp_score // n_tok AS per_tok,
+         |       (imp_score // n_tok) >= 500000 AS admitted
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "text_classifier_score" ->
       s"""WITH wt AS (

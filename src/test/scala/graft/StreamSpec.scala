@@ -156,6 +156,28 @@ class StreamSpec extends AnyFunSuite {
       SparkEntry.queries("stream_window_topk")(spark, dir))
   }
 
+  test("classifier ingest gate: hashed-model scoring over a document stream == batch") {
+    // the model-based quality filter runs AT INGEST in production —
+    // the same classifierLogits definition (broadcast weight vector,
+    // doc-keyed agg) over an unbounded document source must equal the
+    // batch scoring; complete mode, state = one logit row per doc
+    import graft.llm.Selection
+    val docs = Tables.documents(spark, dir)
+    val inDir = Files.createTempDirectory("graft_cls_in").toString
+    docs.select("doc_id", "text").repartition(3).write.mode("append").json(inDir)
+    val ckpt = Files.createTempDirectory("graft_ckpt_cls").toString
+    val q = Selection.classifierLogits(
+        spark.readStream.schema("doc_id LONG, text STRING").json(inDir),
+        Selection.classifierWeights(spark))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cls_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assertSameRows(spark.table("cls_stream"),
+      Selection.classifierLogits(docs, Selection.classifierWeights(spark)))
+  }
+
   test("stream-static join: stream == batch") {
     val cust = Tables.customer(spark, dir)
     val streamed = runFileStream(Pipeline.enrich(_, cust), "enrich", mode = "append")
