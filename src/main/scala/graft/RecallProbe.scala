@@ -135,9 +135,11 @@ object RecallProbe {
     // corpus because the spurious near-threshold tail percolates the
     // τ-graph, but a measurement against PLANTED pairs (ScaleGen's own
     // prescription) separates boundary placement from missed dups.
-    {
-      val keep = SparkEntry.queries("dedup_semantic_ann")(spark, scaleDir)
-        .select(col("vec_id"), col("keep"))
+    for (semKey <- Seq("dedup_semantic_ann", "dedup_semantic_cells")) {
+      val out = SparkEntry.queries(semKey)(spark, scaleDir)
+        .select(col("vec_id"), col("cluster_id"), col("keep"))
+        .localCheckpoint()
+      val keep = out.select("vec_id", "keep")
       val rows = twinTruth
         .join(keep.select(col("vec_id").as("id_a"), col("keep").as("keep_a")),
           Seq("id_a"))
@@ -150,9 +152,14 @@ object RecallProbe {
         .collect()
       rows.foreach { r =>
         val (t, b) = (r.getLong(1), r.getLong(2))
-        println(f"RECALL dedup_semantic_ann band=${r.getString(0)} " +
+        println(f"RECALL $semKey%-20s band=${r.getString(0)} " +
           f"twins=$t%6d deduped=${t - b}%6d recall=${(t - b).toDouble / t}%.4f")
       }
+      // blast radius: the stability number the cell bound exists for
+      val comp = out.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .agg(max(col("sz")).as("mx")).head().getLong(0)
+      val dropped = out.where(!col("keep")).count()
+      println(s"STABILITY $semKey max_component=$comp dropped=$dropped of ${out.count()}")
     }
 
     // ---- document-side keys: the copy suffix rewrites token VALUES but

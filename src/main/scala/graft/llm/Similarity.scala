@@ -508,6 +508,51 @@ object Similarity extends QueryPack {
         .select((col("bin").cast("double") / 20).as("cos_lo"), col("n_edges"))
         .orderBy("cos_lo")),
 
+    // the CELL-BOUNDED semantic resolver — SemDeDup's actual form
+    // (Abbas et al. 2023 resolve within k-means clusters, not
+    // globally) and the remedy the measured stability boundary
+    // prescribes: mutual-kNN edges are kept only when both endpoints
+    // share their learned IVF home cell, so a component can never
+    // outgrow a cell population (blast radius bounded by
+    // construction) and threshold-percolation cannot chain keep
+    // decisions across the corpus. True duplicates co-locate (a
+    // near-identical pair lands in the same nearest-centroid cell
+    // with high probability — measured: planted-twin dedup recall at
+    // 10× in BASELINE), so the bound costs little recall where it
+    // matters. Approximate twice over (ANN edges + learned cells) —
+    // no SQL oracle; LlmSpec gates agreement vs the global resolver
+    // on the non-percolated fixture AND the structural bound.
+    "dedup_semantic_cells" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val n = Tables.embeddings(s, dir).count()
+      val k = ivfCells(n)
+      // P = 2 multi-probe assignment: an edge survives if the
+      // endpoints share ANY of their top-2 cells. P = 1 home cells
+      // bound components hardest but cut true pairs straddling a cell
+      // boundary (measured at 10×: twin recall 0.81 in the 0.90-0.95
+      // band); the second probe recovers the boundary pairs while the
+      // blast radius stays cell-local (BASELINE stability table).
+      val cells = assignCells(e, learnedCentroids(s, dir, k), 2,
+        assignViaBroadcast(k))
+      val m = s.table(knnPairsTable(s, dir, ann = true))
+        .where(col("cos") >= 0.45).select("id_a", "id_b")
+      val mcell = m
+        .join(cells.select(col("vec_id").as("id_a"), col("cell")), Seq("id_a"))
+        .join(cells.select(col("vec_id").as("id_b"), col("cell")),
+          Seq("id_b", "cell"))
+        .select("id_a", "id_b").distinct()
+      val edges = mcell.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(mcell.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val labels = Cluster.components(edges)
+      Tables.embeddings(s, dir).select(col("vec_id"))
+        .join(labels.select(col("node").as("vec_id"), col("lbl")),
+          Seq("vec_id"), "left")
+        .withColumn("cluster_id", coalesce(col("lbl"), col("vec_id")))
+        .select(col("vec_id"), col("cluster_id"),
+          (col("vec_id") === col("cluster_id")).as("keep"))
+        .orderBy("vec_id")
+    }),
+
     // SemDeDup-shaped semantic dedup (Abbas et al. 2023 family): prune
     // semantically redundant embeddings, not just near-identical ones —
     // mutual-kNN edges at cos ≥ 0.45 (the dedup_embed threshold),

@@ -373,6 +373,28 @@ class LlmSpec extends AnyFunSuite {
         "the agreement gate would be unstable; revisit τ or the corpus")
   }
 
+  test("dedup_semantic_cells: agrees with the global resolver on the sparse fixture; blast radius bounded") {
+    // on a NON-percolated graph (the fixture — the histogram gate
+    // above) cell-cutting should barely change decisions; and by
+    // construction no component may outgrow its cell population
+    val global = q("dedup_semantic_ann")
+      .select("vec_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val cells = q("dedup_semantic_cells")
+      .select("vec_id", "cluster_id", "keep").collect()
+    val cellKeep = cells.map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    val agree = global.count { case (id, k) => cellKeep(id) == k }.toDouble / global.size
+    info(f"cells-vs-global keep agreement: $agree%.4f")
+    assert(agree >= 0.95, s"cell bound changed too many decisions on a sparse graph: $agree")
+    // structural blast-radius bound: largest component ≤ largest cell
+    val maxComponent = cells.groupBy(_.getLong(1)).map(_._2.size).max
+    val n = cells.length.toLong
+    val k = graft.llm.Similarity.ivfCells(n)
+    info(s"max component=$maxComponent cells=$k n=$n")
+    assert(maxComponent <= math.max(1, 4 * n / k),
+      s"component $maxComponent exceeds ~4x mean cell population (${n / k})")
+  }
+
   test("sample_dsir: importance-selected docs are more target-like than the corpus") {
     // the whole point of importance resampling: the selected set's mean
     // quality (the target-defining signal) must exceed the corpus mean —
