@@ -445,21 +445,7 @@ object Dedup extends QueryPack {
     * its same-length-band combinations to the distinct. */
   private[graft] def editChunkCandidates(docs: DataFrame, p: Int, dfCap: Int,
       maxLenDiff: Int): DataFrame = {
-    val toks = split(col("text"), " ")
-    val isBnd = (i: Column) =>
-      pmod(xxhash64(element_at(toks, i + 1)), lit(p)) === 0
-    val starts = concat(array(lit(0)),
-      filter(sequence(lit(1), size(toks) - 1), i => isBnd(i)))
-    val ends = concat(slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
-      array(size(toks)))
-    val chunks = zip_with(starts, ends,
-      (st, en) => concat_ws(" ", slice(toks, st + 1, en - st)))
-    val ck = docs
-      .select(col("doc_id"), col("n_chars"),
-        explode(array_distinct(chunks)).as("chunk"))
-      .select(col("doc_id"), col("n_chars"),
-        xxhash64(lit(0), col("chunk")).as("g1"),
-        xxhash64(lit(1), col("chunk")).as("g2"))
+    val ck = chunkKeys(docs, p)
     val posting = ck.groupBy("g1", "g2")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_chars"))))
         .as("ds"))
@@ -474,6 +460,33 @@ object Dedup extends QueryPack {
           pr => pr.getField("ld") <= maxLenDiff)))).as("pr"))
       .select(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
       .distinct()
+  }
+
+  /** The content-defined chunk keys of `docs` (doc_id, text, n_chars):
+    * one (doc_id, n_chars, g1, g2) row per distinct chunk, where chunks
+    * are token runs cut at hash-selected boundary tokens
+    * (xxhash64(tok) % p == 0) and (g1, g2) is the 128-bit chunk key
+    * (two seeded xxhash64 halves). Pure map-side higher-order-function
+    * work on the token array — no shuffle until the caller groups.
+    * Shared by the batch pair miner (editChunkCandidates) and the
+    * incremental chunk-postings index (Incremental.editChunkIndex) so
+    * build and probe can never chunk differently. */
+  private[graft] def chunkKeys(docs: DataFrame, p: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val isBnd = (i: Column) =>
+      pmod(xxhash64(element_at(toks, i + 1)), lit(p)) === 0
+    val starts = concat(array(lit(0)),
+      filter(sequence(lit(1), size(toks) - 1), i => isBnd(i)))
+    val ends = concat(slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+      array(size(toks)))
+    val chunks = zip_with(starts, ends,
+      (st, en) => concat_ws(" ", slice(toks, st + 1, en - st)))
+    docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(array_distinct(chunks)).as("chunk"))
+      .select(col("doc_id"), col("n_chars"),
+        xxhash64(lit(0), col("chunk")).as("g1"),
+        xxhash64(lit(1), col("chunk")).as("g2"))
   }
 
   val oracleSql: Map[String, String] = Map(

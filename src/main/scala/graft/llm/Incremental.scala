@@ -185,6 +185,38 @@ object Incremental extends QueryPack {
     (st, vt, tables, bits)
   }
 
+  /** Day-1 content-defined CHUNK postings for edit-distance probing —
+    * the 100 TB sibling of editIndex (VERDICT r07 next item 1): one
+    * (g1, g2, idx_id, ln) row per distinct day-1 chunk (Dedup.chunkKeys,
+    * p = 4 — the same boundary-token chunking as dedup_edit_banded, so
+    * the shift-invariance argument carries over unchanged), with
+    * postings hotter than df ≤ 100 dropped AT BUILD (this index is
+    * write-once per fingerprint, like jaccardIndex's pre-prune — the
+    * cap-at-read rule only matters for streaming-maintained stores
+    * whose df drifts). Bucketed on the chunk key, so delta probes join
+    * bucket-to-bucket and only the delta side shuffles; fan-out per
+    * delta chunk is bounded at df, never Θ(corpus/|bands|) — the bound
+    * the length-band editIndex admission lacks. Ids only: candidate
+    * TEXT for the exact verify is fetched per-candidate from editIndex,
+    * so the postings stay bytes-per-chunk regardless of doc length. */
+  private[llm] def editChunkIndex(s: SparkSession, dir: String): String = {
+    val t = s"dedup_eckidx_${key(dir)}_${key(Tables.fingerprint(dir, "documents"))}"
+    if (!s.catalog.tableExists(t)) {
+      Tables.dropStaleTables(s, s"dedup_eckidx_${key(dir)}_")
+      val ck = Dedup.chunkKeys(
+        day1(s, dir).select("doc_id", "text", "n_chars"), p = 4)
+      val keep = ck.groupBy("g1", "g2").agg(count(lit(1)).as("dfreq"))
+        .where(col("dfreq") <= 100).select("g1", "g2")
+      ck.join(keep, Seq("g1", "g2"))
+        .select(col("g1"), col("g2"), col("doc_id").as("idx_id"),
+          col("n_chars").as("ln"))
+        .write.mode("overwrite")
+        .bucketBy(16, "g1", "g2").sortBy("g1", "g2")
+        .format("parquet").saveAsTable(t)
+    }
+    t
+  }
+
   /** Streaming maintenance of a SimHash band-store index (VERDICT r04
     * next item 6): each micro-batch of newly ingested documents is
     * signed and its band rows APPENDED to the bucketed index table via
@@ -452,11 +484,9 @@ object Incremental extends QueryPack {
     // oracle-able, no recall exemption needed. Same admission as
     // dedup_edit_near: candidates are delta_band × day1_band —
     // quadratic within a length band (measured ~8 s at 10×) — so its
-    // declared role is the exact probe / oracle twin; the 100 TB
-    // upgrade is content-defined chunk blocking over the same
-    // band-bucketed text layout (the dedup_edit_banded candidates with
-    // this key's verify), which trades recall-certainty for the
-    // df-capped postings bound.
+    // declared role is the exact probe / oracle twin of
+    // dedup_incr_edit_banded below, mirroring the batch
+    // dedup_edit_near / dedup_edit_banded pair.
     "dedup_incr_edit" -> ((s, dir) => {
       val k = 12
       val idx = s.table(editIndex(s, dir))
@@ -468,6 +498,47 @@ object Incremental extends QueryPack {
           floor(col("ld") / w), floor(col("ld") / w) + 1)))
       d.join(idx, Seq("bkt"))
         .where(abs(col("ld") - col("ln")) <= k)
+        .withColumn("dist", levenshtein(col("td"), col("tx"), k).cast("long"))
+        .where(col("dist") >= 0)
+        .select(col("delta_id"), col("idx_id"), col("dist"))
+        .orderBy("delta_id", "idx_id")
+    }),
+
+    // The 100 TB ingest gate for edit-distance dedup (VERDICT r07 item
+    // 1 — clears dedup_incr_edit's quadratic-within-band admission):
+    // delta docs are chunked map-side (Dedup.chunkKeys — the same
+    // shift-invariant boundary-token chunking as dedup_edit_banded)
+    // and probe the PERSISTED day-1 chunk-postings index
+    // (editChunkIndex, bucketed on the chunk key, df ≤ 100 capped at
+    // build). Candidates ∝ delta chunks × df-cap — bounded fan-out,
+    // never delta × Θ(corpus/|bands|) — and only the delta side
+    // shuffles. Candidate text is then fetched per-candidate (delta
+    // text from the delta itself, day-1 text from editIndex) for the
+    // EXACT thresholded-levenshtein verify — unchanged from
+    // dedup_incr_edit, so false positives are impossible.
+    // Candidates-then-verify is the right shape HERE (unlike the batch
+    // key's measured fused preference): the index stores ids only —
+    // carrying text on every chunk row would multiply index bytes by
+    // chunks/doc — and the text joins touch only candidate rows, which
+    // the df cap keeps ≈ delta-sized. Probabilistic RECALL only (a
+    // pair editing every shared chunk, or all-hot chunks, is missed):
+    // no SQL oracle; LlmSpec measures recall ≥ 0.95 vs the exact
+    // dedup_incr_edit and asserts the subset property.
+    "dedup_incr_edit_banded" -> ((s, dir) => {
+      val k = 12
+      val cidx = s.table(editChunkIndex(s, dir))
+      val dck = Dedup.chunkKeys(
+          delta(s, dir).select("doc_id", "text", "n_chars"), p = 4)
+        .select(col("doc_id").as("delta_id"), col("n_chars").as("ld"),
+          col("g1"), col("g2"))
+      val cand = dck.join(cidx, Seq("g1", "g2"))
+        .where(abs(col("ld") - col("ln")) <= k)
+        .select("delta_id", "idx_id").distinct()
+      val dtext = delta(s, dir)
+        .select(col("doc_id").as("delta_id"), col("text").as("td"))
+      cand.join(dtext, Seq("delta_id"))
+        .join(s.table(editIndex(s, dir)).select(col("idx_id"), col("tx")),
+          Seq("idx_id"))
         .withColumn("dist", levenshtein(col("td"), col("tx"), k).cast("long"))
         .where(col("dist") >= 0)
         .select(col("delta_id"), col("idx_id"), col("dist"))

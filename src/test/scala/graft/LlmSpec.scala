@@ -165,6 +165,20 @@ class LlmSpec extends AnyFunSuite {
     assert(banded.subsetOf(exact), "banded pairs must pass the exact verify")
   }
 
+  test("dedup_incr_edit_banded: recall >= 0.95 vs exact dedup_incr_edit, zero false positives") {
+    val exact = q("dedup_incr_edit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain cross-day edit near-dups")
+    val banded = q("dedup_incr_edit_banded").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val recall = exact.count(banded.contains).toDouble / exact.size
+    assert(recall >= 0.95,
+      s"chunk-blocked incr recall $recall < 0.95 (exact=${exact.size}, banded=${banded.size})")
+    // false positives impossible by construction (exact thresholded
+    // levenshtein verify over the fetched texts)
+    assert(banded.subsetOf(exact), "banded incr pairs must pass the exact verify")
+  }
+
   test("dedup_incr_embed: recall >= 0.9 vs exact delta-x-day1 pairs, zero false positives") {
     import org.apache.spark.sql.functions._
     import graft.functions.DotProduct.dot
