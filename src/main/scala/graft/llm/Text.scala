@@ -20,7 +20,7 @@ object Text extends QueryPack {
     * with the data-selection keys (Selection.scala) and the Key_Shared
     * router, which hash over other expressions — hence the
     * parameterized DuckDB form. */
-  private[llm] def tokHashS(tok: Column): Column =
+  private[graft] def tokHashS(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
 
   /** DuckDB twin over an arbitrary SQL expression `e`. */

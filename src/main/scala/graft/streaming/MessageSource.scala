@@ -43,8 +43,11 @@ object MessageSource {
     case _ => df
   }
 
-  /** Unbounded file stream over a directory of events parquet. */
-  def fileStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Unbounded file stream over a directory of events parquet.
+    * `options` are SOURCE options (e.g. maxFilesPerTrigger — a reader
+    * option, silently ignored if set on the sink). */
+  def fileStream(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Streaming sources need a declared schema; derive it from the
     // directory's parquet footers (driver-side, bounded by file count)
@@ -56,7 +59,7 @@ object MessageSource {
     val footer =
       try spark.read.parquet(dir).schema
       catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
-    normalize(spark.readStream.schema(footer).parquet(dir))
+    normalize(spark.readStream.schema(footer).options(options).parquet(dir))
   }
 
   /** Synthetic rate source mapped onto the message shape (tests/demos). */

@@ -297,8 +297,12 @@ object Pipeline {
     ("consumer-0", 21846L), ("consumer-1", 43691L), ("consumer-2", 65536L))
 
   def keySharedRoute(events: DataFrame): DataFrame = {
-    val slot = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % keySharedSlots
+    // single definition of the portable slot hash (ADVICE r07): the
+    // Spark side IS Text.tokHashS, whose DuckDB twin (tokHashDOn)
+    // the filter_keyshared oracle builds — one formula, two engines,
+    // no third inlined copy to drift
+    val slot = graft.llm.Text.tokHashS(col("user_id").cast("string")) %
+      keySharedSlots
     val consumer = keySharedRanges.init.foldRight(
       lit(keySharedRanges.last._1)) { case ((name, hi), rest) =>
       when(slot < hi, name).otherwise(rest)
@@ -323,16 +327,44 @@ object Pipeline {
     * 'error' events back off 15 minutes (retry-after-transient-fault),
     * 'signup' events 5 minutes (welcome-flow delay), everything else
     * delivers immediately — deterministic, so the batch twin is
-    * closed-form oracle-able. Map-only shift of the event-time column:
-    * in streaming mode the watermark runs on deliver_at, so windows
-    * emit when the DELIVERY clock passes, which is exactly the broker
-    * behavior (the message participates in downstream time at its
-    * visible time, not its publish time). */
+    * closed-form oracle-able. Map-only shift of the event-time column.
+    *
+    * STREAMING WATERMARK CONTRACT (ADVICE r07): when the watermark
+    * runs on deliver_at, the delay budget must absorb the MAXIMUM
+    * backoff on top of the source's own lateness allowance — a delayed
+    * error arriving on time advances max(deliver_at) 15 minutes ahead
+    * of the undelayed clock, so a watermark of only 10 minutes on
+    * deliver_at would let that single error expire windows that
+    * on-time undelayed events (up to 5 minutes behind) still need,
+    * silently dropping them and diverging from the batch twin. Use
+    * delayedWatermark (= max backoff 15 m + 10 m lateness) via
+    * delayedCountsStream; StreamSpec replays a crafted corpus one file
+    * per micro-batch and asserts both that the safe delay keeps every
+    * on-time event and that the naive 10-minute delay demonstrably
+    * drops one. */
   def delayedDeliver(events: DataFrame): DataFrame =
     events.withColumn("deliver_at",
       when(col("event_type") === "error", col("ts") + expr("INTERVAL 15 MINUTES"))
         .when(col("event_type") === "signup", col("ts") + expr("INTERVAL 5 MINUTES"))
         .otherwise(col("ts")))
+
+  /** The safe deliver-at watermark: max backoff (15 m) + the 10 m
+    * lateness allowance the undelayed pipeline uses. */
+  val delayedWatermark = "25 minutes"
+
+  /** The canonical STREAMING form of delayedCounts: watermark on the
+    * visible clock sized by delayedWatermark (see delayedDeliver's
+    * contract), then the same 5-min tumbling count. */
+  def delayedCountsStream(events: DataFrame): DataFrame =
+    delayedDeliver(events)
+      .withColumn("da_sec", date_trunc("second", col("deliver_at")))
+      // the watermark must ride the SAME column the window groups on —
+      // a watermark on deliver_at does not propagate through the
+      // date_trunc projection, and append mode then rejects the agg
+      .withWatermark("da_sec", delayedWatermark)
+      .groupBy(window(col("da_sec"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("n"))
 
   /** 5-min tumbling counts on the VISIBLE (deliver-at) clock. */
   def delayedCounts(events: DataFrame): DataFrame =

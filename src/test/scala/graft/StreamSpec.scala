@@ -134,16 +134,101 @@ class StreamSpec extends AnyFunSuite {
   test("delayed delivery: stream (watermark on deliver_at) == batch") {
     // the watermark runs on the VISIBLE clock — the deliver-at shift is
     // a map-side column, so late-data accounting follows delivery time
-    // exactly as a broker's delayed-message tracker does
-    val streamed = runFileStream(
-      ev => Pipeline.delayedDeliver(ev)
-        .withWatermark("deliver_at", "10 minutes")
+    // exactly as a broker's delayed-message tracker does; the delay is
+    // delayedWatermark (>= max backoff + lateness — see delayedDeliver's
+    // streaming contract and the multi-micro-batch test below)
+    val streamed = runFileStream(Pipeline.delayedCountsStream, "delayed")
+    assertSameRows(streamed, Pipeline.delayedCounts(Tables.events(spark, dir)))
+  }
+
+  test("delayed delivery multi-micro-batch: safe watermark keeps on-time events, naive 10m drops them") {
+    // ADVICE r07: a single-micro-batch replay never fires the
+    // watermark, so the unsafe interaction (a delayed error advances
+    // max(deliver_at) past on-time undelayed events) went unexercised.
+    // Crafted corpus, one file per micro-batch (maxFilesPerTrigger=1):
+    //   f1: error @10:01 → deliver_at 10:16. Under a naive 10 m delay
+    //       the watermark jumps to 10:06 although the UNDELAYED clock
+    //       has only reached 10:01.
+    //   f2: error @10:05 → deliver_at 10:20 (naive wm → 10:10). Spark
+    //       filters late events with the PREVIOUS batch's watermark,
+    //       so the victim must arrive ≥ 2 batches after the first
+    //       error for the 10:06 watermark to be in force.
+    //   f3: browse @10:02 — only 3 min behind the raw clock (max raw
+    //       ts seen = 10:05), yet its window [10:00, 10:05) is already
+    //       expired under the naive delay → dropped
+    //   f4: browse @11:00 (advances the final watermark so windows emit)
+    import java.sql.Timestamp
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def mkEvents(rows: Seq[(Long, Timestamp, Long, String)]) =
+      spark.createDataFrame(rows.map { case (id, ts, uid, et) =>
+        (id, ts, uid, et, 1.0, "{}") })
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val streamDir = Files.createTempDirectory("graft_stream_delayed_mb")
+    def land(name: String, mtime: Long,
+        rows: Seq[(Long, Timestamp, Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_delayed_mb_$name").toString
+      mkEvents(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = streamDir.resolve(s"$name.parquet")
+      Files.move(part.toPath, dst)
+      // FileStreamSource admits files in modification-time order; pin
+      // distinct mtimes so the three micro-batches replay f1 → f2 → f3
+      dst.toFile.setLastModified(mtime)
+      ()
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    land("f1", t0, Seq((1L, t("10:01"), 1L, "error")))
+    land("f2", t0 + 10000, Seq((2L, t("10:05"), 2L, "error")))
+    land("f3", t0 + 20000, Seq((3L, t("10:02"), 3L, "browse")))
+    land("f4", t0 + 30000, Seq((4L, t("11:00"), 4L, "browse")))
+    def run(name: String, delay: String): Map[(Long, String), Long] = {
+      val ckpt = Files.createTempDirectory(s"graft_ckpt_$name").toString
+      val src = MessageSource.fileStream(spark, streamDir.toString,
+        Map("maxFilesPerTrigger" -> "1"))
+      val q = Pipeline.delayedDeliver(src)
         .withColumn("da_sec", date_trunc("second", col("deliver_at")))
+        .withWatermark("da_sec", delay)
         .groupBy(window(col("da_sec"), "5 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-        .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("n")),
-      "delayed")
-    assertSameRows(streamed, Pipeline.delayedCounts(Tables.events(spark, dir)))
+        .select(unix_timestamp(col("w.start")).as("ws"), col("event_type"), col("n"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    }
+    // files are admitted in modification-time order; maxFilesPerTrigger=1
+    // makes each file its own micro-batch so the watermark advances
+    // between them. Final watermark (safe) = 11:00 - 25m = 10:35 →
+    // append mode emits exactly the windows ending <= 10:35.
+    val safe = run("delayed_mb_safe", Pipeline.delayedWatermark)
+    val ws = (hhmm: String) => t(hhmm).getTime / 1000
+    assert(safe === Map(
+      (ws("10:00"), "browse") -> 1L, // the on-time 10:02 row SURVIVED
+      (ws("10:15"), "error") -> 1L,
+      (ws("10:20"), "error") -> 1L))
+    // and the emitted windows equal the batch twin restricted to the
+    // closed-form final watermark (the stream_dlq_ageout precedent):
+    // final wm = 11:00 - 25 m = 10:35 → windows ending <= 10:35
+    val batch = Pipeline.delayedCounts(mkEvents(Seq(
+        (1L, t("10:01"), 1L, "error"), (2L, t("10:05"), 2L, "error"),
+        (3L, t("10:02"), 3L, "browse"), (4L, t("11:00"), 4L, "browse"))))
+      .where(col("ws") + 300 <= ws("10:35"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(safe === batch)
+    // the naive 10-minute delay: the delayed errors push the watermark
+    // 5+ minutes PAST the undelayed clock, so the on-time 10:02 browse
+    // is DROPPED — the divergence the contract exists to prevent,
+    // actually exercised
+    val naive = run("delayed_mb_naive", "10 minutes")
+    assert(!naive.contains((ws("10:00"), "browse")),
+      "naive 10m watermark should have dropped the on-time 10:02 event")
+    assert(naive === Map(
+      (ws("10:15"), "error") -> 1L,
+      (ws("10:20"), "error") -> 1L))
   }
 
   test("windowed top-k: rank over the streamed incremental agg == batch twin") {
