@@ -271,6 +271,53 @@ object Pipeline {
         unix_timestamp(col("p_ts")).as("p_t"), unix_timestamp(col("c_ts")).as("c_t"))
   }
 
+  /** Stream-stream LEFT OUTER interval join (VERDICT r07 item 2) —
+    * the standard attribution shape: every purchase emits; one with no
+    * same-user click in the preceding 30 minutes emits a null click
+    * side. In streaming mode both sides carry watermarks and Spark
+    * emits the null row exactly once, when the watermark passes the
+    * purchase's match window (no click can arrive anymore); matched
+    * rows emit as they join, like the inner form. */
+  def purchaseClickOuter(purchases: DataFrame, clicks: DataFrame,
+      delaySec: Long = 7200): DataFrame = {
+    // the watermark must ride the very columns of the range condition
+    // (the outer join's null-emission analysis rejects a watermark
+    // stranded behind the date_trunc projection), so it is applied
+    // HERE, post-projection — a no-op on batch inputs, which is what
+    // lets one definition serve both modes
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("p_ts"))
+      .withWatermark("p_ts", s"$delaySec seconds")
+    val c = clicks.select(col("event_id").as("c_id"),
+        col("user_id").as("c_user"), date_trunc("second", col("ts")).as("c_ts"))
+      .withWatermark("c_ts", s"$delaySec seconds")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"), "left_outer")
+      .select(col("p_id"), col("c_id"), col("user_id"),
+        unix_timestamp(col("p_ts")).as("p_t"), unix_timestamp(col("c_ts")).as("c_t"))
+  }
+
+  /** The BATCH twin of the streaming outer join, restricted to the
+    * closed-form final watermark (the dlqAgeOutBatch precedent): a
+    * terminated stream has emitted every matched row, but an UNMATCHED
+    * purchase only if the final watermark — min(max event time per
+    * side) − the 2 h delay — passed its match window (till then the
+    * runtime must hold it open for a possible click). Matched rows are
+    * kept unconditionally; null rows where p_t < final watermark. */
+  def purchaseClickOuterBatch(purchases: DataFrame, clicks: DataFrame,
+      delaySec: Long = 7200): DataFrame = {
+    val wm = purchases.agg(unix_timestamp(date_trunc("second",
+        max(col("ts")))).as("pmx"))
+      .crossJoin(clicks.agg(unix_timestamp(date_trunc("second",
+        max(col("ts")))).as("cmx")))
+      .select((least(col("pmx"), col("cmx")) - delaySec).as("wm"))
+    purchaseClickOuter(purchases, clicks, delaySec).crossJoin(broadcast(wm))
+      .where(col("c_id").isNotNull || col("p_t") < col("wm"))
+      .select("p_id", "c_id", "user_id", "p_t", "c_t")
+  }
+
   /** Union of two event streams into one windowed aggregate — the
     * multi-source fan-in every broker-consumer topology needs (N topics
     * → one pipeline). unionByName keeps the merge schema-safe; in

@@ -44,6 +44,22 @@ object Streams extends QueryPack {
         .orderBy("p_id", "c_id")
     }),
 
+    // stream-stream LEFT OUTER interval join (attribution shape):
+    // judged via the batch twin restricted to the closed-form final
+    // watermark — a terminated stream emits a null row for an
+    // unmatched purchase only once the watermark passed its match
+    // window (min(max per-side event time) − 2 h). The watermarked
+    // two-stream execution, including a crafted-late-row null-emission
+    // case, is verified in StreamSpec.
+    "stream_stream_outer" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Pipeline.purchaseClickOuterBatch(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") === "click"))
+        // null c_id rows sort FIRST on both engines (Spark asc default)
+        .orderBy(col("p_id"), col("c_id").asc_nulls_first)
+    }),
+
     // multi-source fan-in: two filtered streams unioned into one
     // windowed aggregate, judged via the batch form; the two-file-stream
     // execution is verified in StreamSpec
@@ -216,6 +232,19 @@ object Streams extends QueryPack {
          |FROM p JOIN c ON p.user_id = c.user_id
          |  AND c_t >= p_t - 1800 AND c_t <= p_t
          |ORDER BY p_id, c_id""".stripMargin,
+
+    "stream_stream_outer" ->
+      s"""WITH p AS (SELECT event_id AS p_id, user_id, $epochSec AS p_t
+         |           FROM events WHERE event_type = 'purchase'),
+         |     c AS (SELECT event_id AS c_id, user_id, $epochSec AS c_t
+         |           FROM events WHERE event_type = 'click'),
+         |     wm AS (SELECT least((SELECT max(p_t) FROM p),
+         |                         (SELECT max(c_t) FROM c)) - 7200 AS w)
+         |SELECT p_id, c_id, p.user_id, p_t, c_t
+         |FROM p LEFT JOIN c ON p.user_id = c.user_id
+         |  AND c_t >= p_t - 1800 AND c_t <= p_t
+         |WHERE c_id IS NOT NULL OR p_t < (SELECT w FROM wm)
+         |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
 
     "stream_union" ->
       s"""SELECT ($epochSec // 600) * 600 AS ws, event_type, COUNT(*) AS n

@@ -356,6 +356,93 @@ class StreamSpec extends AnyFunSuite {
     assertSameRows(spark.table("ssjoin"), batch)
   }
 
+  test("stream-stream LEFT OUTER join: stream == watermark-restricted batch twin") {
+    val streamDir = Files.createTempDirectory("graft_stream_sso")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    def src() = MessageSource.fileStream(spark, streamDir.toString)
+    val joined = Pipeline.purchaseClickOuter(
+      src().where(col("event_type") === "purchase"),
+      src().where(col("event_type") === "click"))
+    val ckpt = Files.createTempDirectory("graft_ckpt_sso").toString
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssouter")
+      .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ev = Tables.events(spark, dir)
+    // the batch twin = the key: matched rows unconditionally, null rows
+    // only where the closed-form final watermark passed the purchase
+    val batch = Pipeline.purchaseClickOuterBatch(
+      ev.where(col("event_type") === "purchase"),
+      ev.where(col("event_type") === "click"))
+    assertSameRows(spark.table("ssouter"), batch)
+    // and the null rows genuinely exist (the outer form is exercised)
+    assert(spark.table("ssouter").where(col("c_id").isNull).count() > 0)
+  }
+
+  test("stream-stream outer join multi-batch: null row emits exactly once after watermark expiry") {
+    // crafted corpus, one file per micro-batch: p1 (no click) must stay
+    // OPEN until the watermark passes its match window, then emit its
+    // null row exactly once; the matched pair emits as it joins
+    import java.sql.Timestamp
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def mkEvents(rows: Seq[(Long, Timestamp, Long, String)]) =
+      spark.createDataFrame(rows.map { case (id, ts, uid, et) =>
+        (id, ts, uid, et, 1.0, "{}") })
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val streamDir = Files.createTempDirectory("graft_stream_sso_mb")
+    def land(name: String, mtime: Long,
+        rows: Seq[(Long, Timestamp, Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_sso_mb_$name").toString
+      mkEvents(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = streamDir.resolve(s"$name.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+      ()
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    // f1: p1 @10:00 (user 1, never clicks), click @10:10 + purchase
+    //     @10:20 for user 2 (the matched pair)
+    land("f1", t0, Seq(
+      (1L, t("10:00"), 1L, "purchase"),
+      (2L, t("10:10"), 2L, "click"),
+      (3L, t("10:20"), 2L, "purchase")))
+    // f2: both sides advance to 14:00 → final watermark 13:00 (1 h
+    //     delay) passes p1's window; the 14:00 purchase itself stays
+    //     open (watermark never passes it) and must NOT emit
+    land("f2", t0 + 10000, Seq(
+      (4L, t("14:00"), 3L, "purchase"),
+      (5L, t("14:00"), 4L, "click")))
+    val src = MessageSource.fileStream(spark, streamDir.toString,
+      Map("maxFilesPerTrigger" -> "1"))
+    val joined = Pipeline.purchaseClickOuter(
+      src.where(col("event_type") === "purchase"),
+      src.where(col("event_type") === "click"), delaySec = 3600)
+    val ckpt = Files.createTempDirectory("graft_ckpt_sso_mb").toString
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssouter_mb")
+      .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ssouter_mb").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq.sorted
+    // exactly one null row for p1 (exactly-once emission), the matched
+    // pair, and nothing for the still-open 14:00 purchase
+    assert(got === Seq((1L, -1L), (3L, 2L)))
+    // and the crafted run equals the closed-form batch twin at the
+    // same delay — the contract the fixture-level test asserts at 2 h
+    val all = mkEvents(Seq(
+      (1L, t("10:00"), 1L, "purchase"), (2L, t("10:10"), 2L, "click"),
+      (3L, t("10:20"), 2L, "purchase"), (4L, t("14:00"), 3L, "purchase"),
+      (5L, t("14:00"), 4L, "click")))
+    val batch = Pipeline.purchaseClickOuterBatch(
+      all.where(col("event_type") === "purchase"),
+      all.where(col("event_type") === "click"), delaySec = 3600)
+    assertSameRows(spark.table("ssouter_mb"), batch)
+  }
+
   test("foreachBatch parquet sink: streamed flagship output == batch output") {
     val streamDir = Files.createTempDirectory("graft_stream_sink")
     Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
