@@ -75,12 +75,51 @@ object MessageSource {
         (col("value") % 327).cast("double").as("value"),
         concat(lit("{\"k\": "), col("value") % 100, lit("}")).as("props"))
 
+  /** The column contract a Pulsar connector frame carries
+    * (pulsar-spark-connector reader schema: binary payload `value`,
+    * string-string `__messageProperties`, `__eventTime`, routing
+    * `__key`, `__topic`). fromPulsarShape binds any frame of THIS
+    * shape — batch or streaming — to the canonical message schema, so
+    * the whole pipeline downstream of it never knows the broker. */
+  val pulsarShape: StructType = StructType(Seq(
+    StructField("__key", StringType),
+    StructField("__topic", StringType),
+    StructField("__eventTime", TimestampType),
+    StructField("__messageProperties", MapType(StringType, StringType)),
+    StructField("value", BinaryType)))
+
+  private val pulsarBody: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Adapter from a Pulsar-connector-shaped frame (pulsarShape) to the
+    * canonical six-column message shape: the JSON payload bytes decode
+    * to the typed body, `__eventTime` becomes `ts`, and the properties
+    * map re-serializes to the `props` JSON bag the selector grammar
+    * addresses (`props.k`). Pure map-side column work — legal on a
+    * stream, no state, no shuffle — so a real connector binds the
+    * flagship pipeline UNCHANGED: readStream.format("pulsar") →
+    * fromPulsarShape → Pipeline.filterPipeline. The StreamSpec
+    * contract test drives exactly that chain over a stub source of
+    * this shape and asserts results equal the file-source run. */
+  def fromPulsarShape(df: DataFrame): DataFrame =
+    df.select(col("__eventTime").as("ts"),
+        from_json(col("value").cast("string"), pulsarBody).as("body"),
+        to_json(col("__messageProperties")).as("props"))
+      .select(col("body.event_id").as("event_id"), col("ts"),
+        col("body.user_id").as("user_id"),
+        col("body.event_type").as("event_type"),
+        col("body.value").as("value"), col("props"))
+
   /** Pulsar binding stub: compiles the intent without the connector jar.
     * With `pulsar-spark-connector` on the classpath this becomes
-    * spark.readStream.format("pulsar").option("service.url", url)... —
-    * the returned frame must carry the same six columns. */
+    * spark.readStream.format("pulsar").option("service.url", url)
+    * .option("topic", topic).load() piped through fromPulsarShape —
+    * the contract test proves that frame shape binds unchanged. */
   def pulsarStream(spark: SparkSession, serviceUrl: String, topic: String): DataFrame =
     throw new UnsupportedOperationException(
       "no pulsar connector jar in this offline environment; " +
-        "bind format(\"pulsar\") here when one is on the classpath")
+        "bind format(\"pulsar\") |> fromPulsarShape here when one is on the classpath")
 }
