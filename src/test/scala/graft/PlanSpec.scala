@@ -352,6 +352,19 @@ class PlanSpec extends AnyFunSuite {
       s"buffering percentile aggregate leaked into the bufferless twin:\n$plan")
   }
 
+  test("sql_tpch_q2/q11 read the persisted derived-partsupp artifact, never lineitem") {
+    // VERDICT r07 item 4: Catalyst re-derived the partsupp CTE per
+    // reference (2 lineitem aggregations per query); both consumers
+    // must now scan the bucketed tpch_ps_ table exclusively
+    for (key <- Seq("sql_tpch_q2", "sql_tpch_q11")) {
+      val plan = physical(key)
+      assert(plan.contains("tpch_ps_"),
+        s"$key does not scan the persisted partsupp artifact:\n$plan")
+      assert(!plan.contains("lineitem"),
+        s"$key still aggregates lineitem per consumer:\n$plan")
+    }
+  }
+
   test("pipeline_curate_v2 reads the persisted curated-reps artifact, not the curate chain") {
     val plan = physical("pipeline_curate_v2")
     assert(plan.contains("curate_reps_"),
