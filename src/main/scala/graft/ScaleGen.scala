@@ -53,6 +53,36 @@ import org.apache.spark.sql.functions._
   * Usage: tools/run.sh graft.ScaleGen <srcSfDir> <outDir> <copies> [twins]
   */
 object ScaleGen {
+
+  /** The rotated-copy embedding replication (header notes on the
+    * isometries and the documented near-threshold cross-copy tail),
+    * factored out so main() and the percolation-guard test build the
+    * SAME corpus: at enough copies the O(n) spurious tail percolates
+    * the τ = 0.45 graph — the regime the guard exists to catch. */
+  def embeddingCopies(emb: DataFrame, n: Int, plantTwins: Boolean): DataFrame = {
+    val embCopies = (0 until n).map { c =>
+      val rot = c % 64
+      val rotated = if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, 64 - rot), slice(col("embedding"), 1, rot))
+      val signed = if ((c / 64) % 2 == 0) rotated
+        else transform(rotated, (x, i) => when(i % 2 === 0, -x).otherwise(x))
+      emb.select((col("vec_id") + c * 10000000L).as("vec_id"),
+        signed.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+    if (!plantTwins) embCopies else {
+      val delta = element_at(
+        array(lit(0.088), lit(0.142), lit(0.21)),
+        (pmod(col("vec_id"), lit(3)) + 1).cast("int"))
+      val twins = embCopies.where(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 5000000L).as("vec_id"),
+          transform(col("embedding").cast("array<double>"), (x, i) =>
+            x + delta * (pmod(xxhash64(col("vec_id"), i), lit(100000L)) / 100000.0 - 0.5))
+            .cast("array<float>").as("embedding"),
+          col("label"))
+      embCopies.unionByName(twins)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val (src, out, nStr) = (args(0), args(1), args(2))
     val plantTwins = args.length > 3 && args(3) == "twins"
@@ -76,28 +106,8 @@ object ScaleGen {
     }.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val embCopies = copies { c =>
-      val rot = c % 64
-      val rotated = if (rot == 0) col("embedding")
-        else concat(slice(col("embedding"), rot + 1, 64 - rot), slice(col("embedding"), 1, rot))
-      val signed = if ((c / 64) % 2 == 0) rotated
-        else transform(rotated, (x, i) => when(i % 2 === 0, -x).otherwise(x))
-      emb.select((col("vec_id") + c * 10000000L).as("vec_id"),
-        signed.as("embedding"), col("label"))
-    }
-    val embOut = if (!plantTwins) embCopies else {
-      val delta = element_at(
-        array(lit(0.088), lit(0.142), lit(0.21)),
-        (pmod(col("vec_id"), lit(3)) + 1).cast("int"))
-      val twins = embCopies.where(pmod(col("vec_id"), lit(10)) === 0)
-        .select((col("vec_id") + 5000000L).as("vec_id"),
-          transform(col("embedding").cast("array<double>"), (x, i) =>
-            x + delta * (pmod(xxhash64(col("vec_id"), i), lit(100000L)) / 100000.0 - 0.5))
-            .cast("array<float>").as("embedding"),
-          col("label"))
-      embCopies.unionByName(twins)
-    }
-    embOut.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    embeddingCopies(emb, n, plantTwins)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // via Tables.events: the ns-timestamp column normalizes to µs
     // TimestampType (raw read refuses TIMESTAMP(NANOS)); the copy is

@@ -108,12 +108,45 @@ object Similarity extends QueryPack {
     t
   }
 
+  /** Percolation guard (VERDICT r07 item 7 — the deployment rule the
+    * round-7 stability measurement derived, now ENFORCED, not just
+    * documented): global component keep-decisions are trustworthy only
+    * while the τ-graph is sparse. The statistic is the mean τ-degree,
+    * 2·|mutual edges at cos ≥ τ| / n — two aggregates over the
+    * persisted graph artifact and the embeddings footer, never the
+    * corpus. Measured values (graft.DebugGuard, round 8): healthy
+    * fixtures 0.028 (sf0.001) / 0.142 (sf0.1); the rotated-copy probe
+    * corpus where exact-vs-ANN keep agreement collapsed to 0.64 and
+    * the resolver over-dropped 39 % measured **0.818**. The guard
+    * trips at 0.5 — half the random-graph giant-component onset (mean
+    * degree 1), 3.5× above the worst healthy measurement and well
+    * below the measured-unstable one — and names the remedy
+    * (dedup_semantic_cells) rather than silently switching semantics:
+    * the semantic keys' OUTPUT is defined as global components, so an
+    * auto-switch would be a silent answer change. */
+  val percolationMeanDegreeMax = 0.5
+  private def percolationGuard(s: SparkSession, dir: String,
+      mutual: DataFrame): Unit = {
+    val n = Tables.embeddings(s, dir).count()
+    val e = mutual.where(col("cos") >= 0.45).count()
+    val deg = 2.0 * e / n
+    require(deg < percolationMeanDegreeMax,
+      f"semantic-dedup percolation guard: mean tau-degree $deg%.3f >= " +
+        f"$percolationMeanDegreeMax%.1f (edges at tau: $e, n: $n) — the " +
+        "tau=0.45 graph percolates, so global component keep-decisions " +
+        "are unstable (measured on the rotated-copy probe: agreement " +
+        "0.64, over-drop 39% at mean degree 0.82); resolve within cells " +
+        "instead (dedup_semantic_cells) or re-check sim_edge_histogram")
+  }
+
   /** Semantic-cluster keep/drop: mutual edges at cos ≥ 0.45 →
     * connected components → keep the min-id member per cluster.
     * Components run on (id, id) label pairs — tiny next to the corpus
-    * (the pipeline_curate_v2 posture). */
+    * (the pipeline_curate_v2 posture). Guarded: refuses to resolve a
+    * percolated graph (percolationGuard above). */
   private def semanticKeep(s: SparkSession, dir: String,
       mutual: DataFrame): DataFrame = {
+    percolationGuard(s, dir, mutual)
     val m = mutual.where(col("cos") >= 0.45).select(col("id_a"), col("id_b"))
     val edges = m.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(m.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -572,8 +605,9 @@ object Similarity extends QueryPack {
     // keep decisions are only as stable as the τ-graph is sparse —
     // on a probe corpus whose edge-cos histogram has mass AT the
     // threshold, the graph percolates and agreement collapses (0.64
-    // at 10×); check the histogram near τ before trusting global
-    // components at corpus scale, else resolve within IVF cells.
+    // at 10×); the check is ENFORCED — percolationGuard (round 8)
+    // refuses to resolve a graph whose mean τ-degree crosses the
+    // measured boundary and names the cell-bounded remedy.
     "dedup_semantic_ann" -> ((s, dir) =>
       semanticKeep(s, dir, s.table(knnPairsTable(s, dir, ann = true)))),
 

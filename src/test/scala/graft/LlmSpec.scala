@@ -14,6 +14,7 @@ class LlmSpec extends AnyFunSuite {
   private lazy val spark: SparkSession = GraftSession.local("4")
 
   private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+  private def q2(name: String, d: String) = SparkEntry.queries(name)(spark, d)
 
   test("dedup_ngram_jaccard minhash prefilter reproduces the postings path exactly") {
     val pre = q("dedup_ngram_jaccard")
@@ -385,6 +386,33 @@ class LlmSpec extends AnyFunSuite {
     assert(atTau.toDouble / total < 0.2,
       s"fixture graph has heavy mass at the threshold ($atTau/$total) — " +
         "the agreement gate would be unstable; revisit τ or the corpus")
+  }
+
+  test("percolation guard: trips on the rotated-copy percolated corpus, names the remedy; fixture passes") {
+    // VERDICT r07 item 7: the pre-flight is now ENFORCED inside the
+    // semantic keys, not just available as a side key. Build the
+    // percolated corpus with the SAME construction ScaleGen uses (24
+    // rotated copies of the fixture embeddings — measured mean
+    // τ-degree 0.61, past the 0.5 boundary; the fixture itself sits at
+    // 0.028 and must keep passing, which the agreement test above
+    // already exercises end-to-end).
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_percolated").toString
+    graft.ScaleGen.embeddingCopies(
+        spark.read.parquet(s"$dir/embeddings.parquet"), 24, plantTwins = false)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      q2("dedup_semantic_ann", out).collect()
+    }
+    assert(ex.getMessage.contains("percolation guard"),
+      s"guard message missing: ${ex.getMessage}")
+    assert(ex.getMessage.contains("dedup_semantic_cells"),
+      "the guard must name the remedy")
+    // and the remedy itself RESOLVES the same percolated corpus: the
+    // cell-bounded resolver is exactly the path the guard points at
+    val cells = q2("dedup_semantic_cells", out)
+      .where(!col("keep")).count()
+    assert(cells > 0, "the cell-bounded resolver should run and drop dups")
   }
 
   test("dedup_semantic_cells: agrees with the global resolver on the sparse fixture; blast radius bounded") {
