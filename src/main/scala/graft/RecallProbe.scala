@@ -135,6 +135,10 @@ object RecallProbe {
     // corpus because the spurious near-threshold tail percolates the
     // τ-graph, but a measurement against PLANTED pairs (ScaleGen's own
     // prescription) separates boundary placement from missed dups.
+    // the probe corpus is percolated BY CONSTRUCTION (the documented
+    // cross-era tail) — scoring the global resolver on it is the whole
+    // point, so override the enforce-mode guard for the measurement
+    spark.conf.set("graft.semantic.percolationGuard", "warn")
     for (semKey <- Seq("dedup_semantic_ann", "dedup_semantic_cells")) {
       val out = SparkEntry.queries(semKey)(spark, scaleDir)
         .select(col("vec_id"), col("cluster_id"), col("keep"))
