@@ -100,18 +100,28 @@ object Embeddings extends QueryPack {
     // 16 probe groups (probe-sized, not corpus-sized).
     "embed_truncate_eval" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // ADVICE r07: (a) vectors whose 16-dim PREFIX has zero norm are
+      // EXCLUDED on both engines by definition (a zero prefix has no
+      // truncated direction; Spark would sort its NULL cos16 last,
+      // DuckDB its NaN first — an explicit exclusion instead of an
+      // engine-dependent rank); (b) both rank windows order on
+      // round(cos, 12) — sub-noise for 64-dim unit vectors, but it
+      // pins the top-5 CUT to the same value on both engines' FP
+      // evaluation orders (the 1-ulp boundary risk the sim_range
+      // threshold already guards the same way).
       val e = vecs(s, dir)
         .repartition(col("vec_id"))
         .withColumn("v16", slice(col("v"), 1, 16))
         .withColumn("n64", norm(col("v")))
-        .withColumn("n16", nullif(sqrt(dot(col("v16"), col("v16"))), lit(0.0)))
+        .withColumn("n16", sqrt(dot(col("v16"), col("v16"))))
+        .where(col("n16") > 0)
       val q = e.where(col("vec_id") < 16)
         .select(col("vec_id").as("id_q"), col("v").as("vq"),
           col("v16").as("vq16"), col("n64").as("nq64"), col("n16").as("nq16"))
       val sc = e.join(broadcast(q), col("id_q") =!= col("vec_id"))
         .select(col("id_q"), col("vec_id").as("id_b"),
-          (dot(col("vq"), col("v")) / (col("nq64") * col("n64"))).as("cos64"),
-          (dot(col("vq16"), col("v16")) / (col("nq16") * col("n16"))).as("cos16"))
+          round(dot(col("vq"), col("v")) / (col("nq64") * col("n64")), 12).as("cos64"),
+          round(dot(col("vq16"), col("v16")) / (col("nq16") * col("n16")), 12).as("cos16"))
       val w64 = Window.partitionBy("id_q").orderBy(col("cos64").desc, col("id_b"))
       val w16 = Window.partitionBy("id_q").orderBy(col("cos16").desc, col("id_b"))
       val t64 = sc.withColumn("rn", row_number().over(w64))
@@ -144,12 +154,13 @@ object Embeddings extends QueryPack {
   val oracleSql: Map[String, String] = Map(
     "embed_truncate_eval" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |x AS (SELECT vec_id, v, v[1:16] AS v16 FROM e),
+        |x AS (SELECT vec_id, v, v[1:16] AS v16 FROM e
+        |      WHERE list_dot_product(v[1:16], v[1:16]) > 0),
         |q AS (SELECT vec_id AS id_q, v AS vq, v16 AS vq16 FROM x WHERE vec_id < 16),
         |sc AS (
         |  SELECT id_q, x.vec_id AS id_b,
-        |         list_cosine_similarity(vq, x.v) AS cos64,
-        |         list_cosine_similarity(vq16, x.v16) AS cos16
+        |         ROUND(list_cosine_similarity(vq, x.v), 12) AS cos64,
+        |         ROUND(list_cosine_similarity(vq16, x.v16), 12) AS cos16
         |  FROM q JOIN x ON id_q <> x.vec_id),
         |t64 AS (
         |  SELECT id_q, id_b FROM sc

@@ -199,7 +199,7 @@ object Incremental extends QueryPack {
     * the length-band editIndex admission lacks. Ids only: candidate
     * TEXT for the exact verify is fetched per-candidate from editIndex,
     * so the postings stay bytes-per-chunk regardless of doc length. */
-  private[llm] def editChunkIndex(s: SparkSession, dir: String): String = {
+  private[graft] def editChunkIndex(s: SparkSession, dir: String): String = {
     val t = s"dedup_eckidx_${key(dir)}_${key(Tables.fingerprint(dir, "documents"))}"
     if (!s.catalog.tableExists(t)) {
       Tables.dropStaleTables(s, s"dedup_eckidx_${key(dir)}_")
@@ -299,6 +299,56 @@ object Incremental extends QueryPack {
         ()
       }
       .start()
+
+  /** Streaming maintenance of the CDC chunk-postings index (round 8 —
+    * completes the maintainer family: sha/postings/SimHash/SRP/IVF and
+    * now the edit-dedup chunk store): each micro-batch of accepted
+    * docs appends its (g1, g2, idx_id, ln) chunk rows under the same
+    * bucketed spec. Like the trigram store, the maintained table is
+    * UNPRUNED — the df ≤ 100 cap is applied at read (prunedChunks)
+    * from the always-current counts, because an append can push a
+    * chunk key past the cap retroactively. Restart-safe via the
+    * shared epoch-partition contract (epochInsert). */
+  def maintainChunkIndex(streamingDocs: DataFrame, table: String,
+      ckpt: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingDocs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        epochInsert(Dedup.chunkKeys(
+            batch.select(col("doc_id"), col("text"),
+              length(col("text")).cast("long").as("n_chars")), p = 4)
+          .select(col("g1"), col("g2"), col("doc_id").as("idx_id"),
+            col("n_chars").as("ln")), table, id)
+        ()
+      }
+      .start()
+
+  /** Batch-build the epoch-partitioned UNPRUNED chunk store layout the
+    * maintainer appends to (bulk = epoch -1); the write-once
+    * editChunkIndex pre-prunes instead because it is never appended. */
+  private[graft] def buildChunkIndex(docs: DataFrame, table: String): Unit =
+    Dedup.chunkKeys(docs.select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars")), p = 4)
+      .select(col("g1"), col("g2"), col("doc_id").as("idx_id"),
+        col("n_chars").as("ln"), lit(-1L).as("epoch"))
+      .write.mode("overwrite")
+      .partitionBy("epoch")
+      .bucketBy(16, "g1", "g2").sortBy("g1", "g2")
+      .format("parquet").saveAsTable(table)
+
+  /** Read-side df ≤ 100 cap over a raw maintained chunk store — equal
+    * by construction to a from-scratch editChunkIndex build on the
+    * same docs (asserted in StreamSpec). */
+  private[graft] def prunedChunks(s: SparkSession, table: String): DataFrame = {
+    val ck = s.table(table).select("g1", "g2", "idx_id", "ln")
+    ck.join(ck.groupBy("g1", "g2").agg(count(lit(1)).as("dfreq"))
+        .where(col("dfreq") <= 100).select("g1", "g2"), Seq("g1", "g2"))
+      .select("g1", "g2", "idx_id", "ln")
+  }
 
   /** Read-side derivation of the probe-facing rows (ng, idx_id, nb)
     * from a raw maintained posting store: df ≤ 20 cap plus per-doc

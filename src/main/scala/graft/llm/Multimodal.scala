@@ -173,6 +173,57 @@ object Multimodal extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // the audio sibling of multimodal_image_dims: canonical 44-byte
+    // RIFF/WAVE headers (PCM fmt chunk) synthesized around the text
+    // payload as the "sample data", then audio metadata recovered from
+    // the bytes alone — RIFF+WAVE+fmt signature checks, LITTLE-endian
+    // field decode (per-byte place-value sums — the endian mirror of
+    // the PNG parser's big-endian conv), and the data-chunk size
+    // cross-checked against the actual payload length. Same honest-
+    // byte-op posture: this is the header sniff an audio ingest runs.
+    "multimodal_audio_meta" -> ((s, dir) => {
+      // little-endian byte writers: value -> `n` bytes, LSB first
+      def le(c: Column, n: Int): Column = concat((0 until n).map(i =>
+        unhex(lpad(hex(pmod(floor(c / math.pow(256, i).toLong), lit(256))
+          .cast("long")), 2, "0"))): _*)
+      // little-endian reader: `n` bytes at 1-based byte offset `off`
+      def rdLe(off: Int, n: Int): Column = (0 until n).map(i =>
+        conv(hex(substring(col("bytes"), off + i, 1)), 16, 10).cast("long") *
+          (1L << (8 * i)): Column).reduce(_ + _)
+      val dataLen = length(col("text")).cast("long")
+      val chan = (col("doc_id") % 2 + 1).cast("long")
+      val rate = (lit(8000L) + (col("doc_id") % 8) * 4000L).cast("long")
+      val bits = lit(16L)
+      val byteRate = rate * chan * (bits / 8)
+      val wav = concat(
+        encode(lit("RIFF"), "utf-8"), le(dataLen + 36L, 4),
+        encode(lit("WAVE"), "utf-8"),
+        encode(lit("fmt "), "utf-8"), le(lit(16L), 4),
+        le(lit(1L), 2),                    // PCM
+        le(chan, 2), le(rate, 4), le(byteRate, 4),
+        le(chan * (bits / 8), 2), le(bits, 2),
+        encode(lit("data"), "utf-8"), le(dataLen, 4),
+        encode(col("text"), "utf-8"))
+      Tables.documents(s, dir)
+        .withColumn("bytes",
+          when(col("doc_id") % 3 === 1, wav)
+            .otherwise(encode(col("text"), "utf-8")))
+        .withColumn("is_wav",
+          substring(col("bytes"), 1, 4) === encode(lit("RIFF"), "utf-8") &&
+            substring(col("bytes"), 9, 8) === encode(lit("WAVEfmt "), "utf-8") &&
+            substring(col("bytes"), 37, 4) === encode(lit("data"), "utf-8"))
+        .where(col("is_wav"))
+        .select(col("doc_id"),
+          rdLe(23, 2).as("channels"),
+          rdLe(25, 4).as("sample_rate"),
+          rdLe(35, 2).as("bits_per_sample"),
+          rdLe(41, 4).as("data_bytes"),
+          // header-vs-payload consistency: the sniff a validator does
+          (rdLe(41, 4) === octet_length(col("bytes")) - 44)
+            .as("size_consistent"))
+        .orderBy("doc_id")
+    }),
+
     // partition-wise feature extraction through the typed boundary;
     // the byte-histogram fake is portable enough to oracle-check in SQL
     "multimodal_features" -> ((s, dir) => {
@@ -196,6 +247,20 @@ object Multimodal extends QueryPack {
   private def hexIntD(e: String, digits: Int): String =
     (0 until digits).map(d =>
       s"(instr('0123456789abcdef', substring($e, ${d + 1}, 1)) - 1) * ${1L << (4 * (digits - 1 - d))}")
+      .mkString("(", " + ", ")")
+
+  /** DuckDB little-endian hex writer: SQL int expression `e` → `n`
+    * bytes as lowercase hex, LSB first. */
+  private def leHexD(e: String, n: Int): String =
+    (0 until n).map(i =>
+      s"lpad(to_hex((($e) // ${1L << (8 * i)}) % 256), 2, '0')")
+      .mkString(" || ")
+
+  /** DuckDB little-endian reader over the `hx` hex column: `n` bytes
+    * at 1-based BYTE offset `off`. */
+  private def leIntD(off: Int, n: Int): String =
+    (0 until n).map(i =>
+      s"${hexIntD(s"substring(hx, ${2 * (off + i - 1) + 1}, 2)", 2)} * ${1L << (8 * i)}")
       .mkString("(", " + ", ")")
 
   val oracleSql: Map[String, String] = Map(
@@ -278,6 +343,33 @@ object Multimodal extends QueryPack {
          |    AS BIGINT) AS height
          |FROM q WHERE is_png OR is_jpeg
          |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_audio_meta" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    lower(CASE WHEN doc_id % 3 = 1 THEN
+         |      hex(encode('RIFF')) || ${leHexD("length(text) + 36", 4)} ||
+         |      hex(encode('WAVEfmt ')) || ${leHexD("16", 4)} ||
+         |      ${leHexD("1", 2)} || ${leHexD("doc_id % 2 + 1", 2)} ||
+         |      ${leHexD("8000 + (doc_id % 8) * 4000", 4)} ||
+         |      ${leHexD("(8000 + (doc_id % 8) * 4000) * (doc_id % 2 + 1) * 2", 4)} ||
+         |      ${leHexD("(doc_id % 2 + 1) * 2", 2)} || ${leHexD("16", 2)} ||
+         |      hex(encode('data')) || ${leHexD("length(text)", 4)} ||
+         |      hex(encode(text))
+         |    ELSE hex(encode(text)) END) AS hx
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, hx FROM m
+         |  WHERE substring(hx, 1, 8) = '52494646'
+         |    AND substring(hx, 17, 16) = '57415645666d7420'
+         |    AND substring(hx, 73, 8) = '64617461')
+         |SELECT doc_id,
+         |  CAST(${leIntD(23, 2)} AS BIGINT) AS channels,
+         |  CAST(${leIntD(25, 4)} AS BIGINT) AS sample_rate,
+         |  CAST(${leIntD(35, 2)} AS BIGINT) AS bits_per_sample,
+         |  CAST(${leIntD(41, 4)} AS BIGINT) AS data_bytes,
+         |  ${leIntD(41, 4)} = length(hx) // 2 - 44 AS size_consistent
+         |FROM w ORDER BY doc_id""".stripMargin,
 
     "multimodal_features" ->
       s"""SELECT doc_id,

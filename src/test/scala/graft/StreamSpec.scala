@@ -735,6 +735,29 @@ class StreamSpec extends AnyFunSuite {
     assert(before == after, "replayed epochs changed the maintained store")
   }
 
+  test("streaming chunk-index maintenance: read-derived df-capped rows == batch editChunkIndex") {
+    import graft.llm.Incremental
+    // round 8: the edit-dedup chunk store joins the maintainer family —
+    // half of day 1 is bulk-built, the rest arrives as a stream; the
+    // read-side capped view must equal the write-once pre-pruned build
+    // on the same docs (same equality contract as the postings store)
+    val day1 = Tables.documents(spark, dir).where(col("doc_id") % 4 =!= 0)
+    val initial = day1.where(pmod(col("doc_id"), lit(2)) === 1)
+    val arriving = day1.where(pmod(col("doc_id"), lit(2)) === 0)
+    val streamed = "eckidx_streamed_test"
+    Tables.dropStaleTables(spark, streamed)
+    Incremental.buildChunkIndex(initial, streamed)
+    val inDir = Files.createTempDirectory("graft_eckidx_in").toString
+    arriving.select("doc_id", "text").write.mode("append").json(inDir)
+    val ckpt = Files.createTempDirectory("graft_ckpt_eckidx").toString
+    Incremental.maintainChunkIndex(
+      spark.readStream.schema("doc_id LONG, text STRING").json(inDir),
+      streamed, ckpt).awaitTermination()
+    val batchTable = Incremental.editChunkIndex(spark, dir)
+    assertSameRows(Incremental.prunedChunks(spark, streamed),
+      spark.table(batchTable).select("g1", "g2", "idx_id", "ln"))
+  }
+
   test("streaming PQ codes maintenance: maintained codes == batch-encoded; drift trigger") {
     import graft.llm.Quantize
     val emb = Tables.embeddings(spark, dir)
