@@ -573,13 +573,20 @@ object Similarity extends QueryPack {
       val e = vecs(s, dir)
       val n = Tables.embeddings(s, dir).count()
       val k = ivfCells(n)
-      // P = 2 multi-probe assignment: an edge survives if the
-      // endpoints share ANY of their top-2 cells. P = 1 home cells
-      // bound components hardest but cut true pairs straddling a cell
+      // Multi-probe assignment: an edge survives if the endpoints
+      // share ANY of their top-P cells. P = 1 home cells bound
+      // components hardest but cut true pairs straddling a cell
       // boundary (measured at 10×: twin recall 0.81 in the 0.90-0.95
-      // band); the second probe recovers the boundary pairs while the
-      // blast radius stays cell-local (BASELINE stability table).
-      val cells = assignCells(e, learnedCentroids(s, dir, k), 2,
+      // band); extra probes recover boundary pairs while the blast
+      // radius stays cell-local. Default P = 3 from the measured
+      // 100× ladder (BASELINE round-8 table: at 470 cells / 220 k
+      // vectors, P=2 twin recall fell to 0.958/0.866/0.772 per band;
+      // P=3 recovers 0.994/0.960/0.906 — round-7 10× quality — with
+      // max component 17 vs 12, still cell-sized, while P=4 buys
+      // 0.999/0.987/0.958 at max 26). Overridable for measurement
+      // via graft.semantic.cellsProbes (DebugCells runs the ladder).
+      val pProbes = s.conf.get("graft.semantic.cellsProbes", "3").toInt
+      val cells = assignCells(e, learnedCentroids(s, dir, k), pProbes,
         assignViaBroadcast(k))
       val m = s.table(knnPairsTable(s, dir, ann = true))
         .where(col("cos") >= 0.45).select("id_a", "id_b")
