@@ -165,14 +165,19 @@ object Incremental extends QueryPack {
     val (tables, bits) = Similarity.srpGeometry(Tables.embeddings(s, dir).count())
     val fp = key(Tables.fingerprint(dir, "embeddings"))
     val (st, vt) = (s"${tag}_sig_${key(dir)}_$fp", s"${tag}_vec_${key(dir)}_$fp")
-    if (!s.catalog.tableExists(st)) {
+    // rebuild-if-missing OR if the artifact predates the round-8 schema
+    // (the vector store now carries the filter column — see
+    // ann_query_filtered: a metadata predicate is served by pushdown
+    // into the index fetch, so the column must ride the artifact)
+    if (!s.catalog.tableExists(st) || !s.table(vt).columns.contains("label")) {
       Tables.dropStaleTables(s, s"${tag}_sig_${key(dir)}_")
       Tables.dropStaleTables(s, s"${tag}_vec_${key(dir)}_")
       val base = pred.foldLeft(Tables.embeddings(s, dir))(_.where(_))
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
       import graft.functions.DotProduct.dot
       base.select(col("vec_id").as("idx_id"), col("v"),
-        sqrt(dot(col("v"), col("v"))).as("nrm"))
+        sqrt(dot(col("v"), col("v"))).as("nrm"), col("label"))
         .write.mode("overwrite")
         .bucketBy(16, "idx_id").sortBy("idx_id")
         .format("parquet").saveAsTable(vt)

@@ -460,10 +460,11 @@ object Similarity extends QueryPack {
     * candidates against the bucketed vector store, fused map-side
     * top-5 per probe. */
   private def rerankTopK(s: SparkSession, cand: DataFrame, pv: DataFrame,
-      vt: String): DataFrame = {
+      vt: String, filter: Option[Column] = None): DataFrame = {
     import graft.functions.TopKByScore.topk
-    cand.join(broadcast(pv), Seq("id_q"))
-      .join(s.table(vt), Seq("idx_id"))
+    filter.foldLeft(
+        cand.join(broadcast(pv), Seq("id_q")).join(s.table(vt), Seq("idx_id")))(
+        _.where(_))
       .select(col("id_q"),
         (dot(col("vq"), col("v")) / (col("nq") * col("nrm"))).as("cos"),
         col("idx_id"))
@@ -705,6 +706,27 @@ object Similarity extends QueryPack {
       val pv = probes.select(col("vec_id").as("id_q"), col("v").as("vq"),
         col("nrm").as("nq"))
       rerankTopK(s, cand, pv, vt)
+    }),
+
+    // FILTERED kNN serving (round 8): top-5 among corpus vectors
+    // matching a per-query metadata predicate (label = id_q % 10 —
+    // each probe carries its own filter), the standard production
+    // vector-search shape ("nearest docs in MY collection"). Served
+    // as post-filter ANN: the filter column RIDES the vector-store
+    // artifact (round-8 schema — predicate evaluated during the
+    // bucketed candidate fetch, a pushdown, never a corpus join), and
+    // the candidate head is the WIDE probe ring (radius 3, the range-
+    // serving ring) because a ~10%-selective predicate decimates the
+    // pool a top-5 needs — the standard over-retrieve trade of
+    // post-filtered ANN. Exempt (candidates can miss) — LlmSpec
+    // asserts recall ≥ 0.9 vs the exact filtered top-5 and the
+    // predicate itself on every served row.
+    "ann_query_filtered" -> ((s, dir) => {
+      val (cand, probes, vt) = servingCandidates(s, dir, radius = 3)
+      val pv = probes.select(col("vec_id").as("id_q"), col("v").as("vq"),
+        col("nrm").as("nq"))
+      rerankTopK(s, cand, pv, vt,
+        filter = Some(col("label") === col("id_q") % 10))
     }),
 
     // radius-search SERVING — the range twin of ann_query_topk over the

@@ -328,6 +328,42 @@ class LlmSpec extends AnyFunSuite {
     assert(c1.values.forall(_.split(",").length == 8), "every vector must carry M=8 codes")
   }
 
+  test("ann_query_filtered: recall >= 0.9 vs exact label-filtered top-5; predicate holds on every row") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.DotProduct.dot
+    import graft.functions.TopKByScore.topk
+    // exact filtered ground truth: brute-force top-5 per pinned probe
+    // among corpus vectors with label = id_q % 10
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label").cast("long").as("label"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val probes = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("id_q"), col("v").as("vq"), col("nrm").as("nq"))
+    val exact = e.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("id_q") &&
+        col("label") === col("id_q") % 10)
+      .select(col("id_q"),
+        (dot(col("vq"), col("v")) / (col("nq") * col("nrm"))).as("cos"),
+        col("vec_id"))
+      .groupBy("id_q").agg(topk(col("cos"), col("vec_id"), 5).as("top"))
+      .select(col("id_q"), explode(col("top.payload")).as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 16 * 5, "every probe has >= 5 same-label vectors")
+    val served = q("ann_query_filtered").collect()
+    // the predicate holds on EVERY served row (post-filter correctness)
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    served.foreach { r =>
+      assert(labels(r.getLong(2)) == r.getLong(0) % 10,
+        s"served neighbor ${r.getLong(2)} violates the label predicate")
+    }
+    val ann = served.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    info(f"filtered serving recall: $recall%.4f")
+    assert(recall >= 0.9, s"filtered recall $recall < 0.9 (ann=${ann.size})")
+  }
+
   test("ann_query_pq: ADC-over-codes serving recalls >= 0.9 of exact sim_topk") {
     val exact = q("sim_topk")
       .where("id_a < 16")
