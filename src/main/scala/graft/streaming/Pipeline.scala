@@ -318,6 +318,46 @@ object Pipeline {
       .select("p_id", "c_id", "user_id", "p_t", "c_t")
   }
 
+  /** FULL outer form of the watermarked interval join: unmatched rows
+    * of BOTH sides emit nulls — a purchase once the watermark passes
+    * its match window, a click once the watermark passes c_ts + 30 min
+    * (the last purchase instant that could still claim it). Same
+    * post-projection watermark discipline as purchaseClickOuter. */
+  def purchaseClickFullOuter(purchases: DataFrame, clicks: DataFrame,
+      delaySec: Long = 7200): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("p_ts"))
+      .withWatermark("p_ts", s"$delaySec seconds")
+    val c = clicks.select(col("event_id").as("c_id"),
+        col("user_id").as("c_user"), date_trunc("second", col("ts")).as("c_ts"))
+      .withWatermark("c_ts", s"$delaySec seconds")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"), "full_outer")
+      .select(col("p_id"), col("c_id"),
+        coalesce(col("user_id"), col("c_user")).as("user_id"),
+        unix_timestamp(col("p_ts")).as("p_t"), unix_timestamp(col("c_ts")).as("c_t"))
+  }
+
+  /** Batch twin with the closed-form final watermark on BOTH null
+    * sides: matched rows unconditionally; purchase-nulls where the
+    * watermark passed p_t; click-nulls where it passed c_t + 30 min. */
+  def purchaseClickFullOuterBatch(purchases: DataFrame, clicks: DataFrame,
+      delaySec: Long = 7200): DataFrame = {
+    val wm = purchases.agg(unix_timestamp(date_trunc("second",
+        max(col("ts")))).as("pmx"))
+      .crossJoin(clicks.agg(unix_timestamp(date_trunc("second",
+        max(col("ts")))).as("cmx")))
+      .select((least(col("pmx"), col("cmx")) - delaySec).as("wm"))
+    purchaseClickFullOuter(purchases, clicks, delaySec)
+      .crossJoin(broadcast(wm))
+      .where((col("p_id").isNotNull && col("c_id").isNotNull) ||
+        (col("c_id").isNull && col("p_t") < col("wm")) ||
+        (col("p_id").isNull && col("c_t") + 1800 < col("wm")))
+      .select("p_id", "c_id", "user_id", "p_t", "c_t")
+  }
+
   /** Union of two event streams into one windowed aggregate — the
     * multi-source fan-in every broker-consumer topology needs (N topics
     * → one pipeline). unionByName keeps the merge schema-safe; in

@@ -60,6 +60,19 @@ object Streams extends QueryPack {
         .orderBy(col("p_id"), col("c_id").asc_nulls_first)
     }),
 
+    // FULL outer interval join: both sides emit watermark-gated nulls
+    // (unmatched purchases AND unmatched clicks) — the recompute-free
+    // attribution ledger. Same closed-form final-watermark batch twin,
+    // applied per side; the streaming execution is verified in
+    // StreamSpec.
+    "stream_stream_outer_full" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Pipeline.purchaseClickFullOuterBatch(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") === "click"))
+        .orderBy(col("p_id").asc_nulls_first, col("c_id").asc_nulls_first)
+    }),
+
     // multi-source fan-in: two filtered streams unioned into one
     // windowed aggregate, judged via the batch form; the two-file-stream
     // execution is verified in StreamSpec
@@ -245,6 +258,22 @@ object Streams extends QueryPack {
          |  AND c_t >= p_t - 1800 AND c_t <= p_t
          |WHERE c_id IS NOT NULL OR p_t < (SELECT w FROM wm)
          |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
+
+    "stream_stream_outer_full" ->
+      s"""WITH p AS (SELECT event_id AS p_id, user_id, $epochSec AS p_t
+         |           FROM events WHERE event_type = 'purchase'),
+         |     c AS (SELECT event_id AS c_id, user_id, $epochSec AS c_t
+         |           FROM events WHERE event_type = 'click'),
+         |     wm AS (SELECT least((SELECT max(p_t) FROM p),
+         |                         (SELECT max(c_t) FROM c)) - 7200 AS w)
+         |SELECT p_id, c_id, coalesce(p.user_id, c.user_id) AS user_id,
+         |       p_t, c_t
+         |FROM p FULL JOIN c ON p.user_id = c.user_id
+         |  AND c_t >= p_t - 1800 AND c_t <= p_t
+         |WHERE (p_id IS NOT NULL AND c_id IS NOT NULL)
+         |   OR (c_id IS NULL AND p_t < (SELECT w FROM wm))
+         |   OR (p_id IS NULL AND c_t + 1800 < (SELECT w FROM wm))
+         |ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""".stripMargin,
 
     "stream_union" ->
       s"""SELECT ($epochSec // 600) * 600 AS ws, event_type, COUNT(*) AS n

@@ -415,6 +415,29 @@ class StreamSpec extends AnyFunSuite {
     assert(spark.table("ssouter").where(col("c_id").isNull).count() > 0)
   }
 
+  test("stream-stream FULL OUTER join: stream == watermark-restricted batch twin, nulls on both sides") {
+    val streamDir = Files.createTempDirectory("graft_stream_ssf")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    def src() = MessageSource.fileStream(spark, streamDir.toString)
+    val joined = Pipeline.purchaseClickFullOuter(
+      src().where(col("event_type") === "purchase"),
+      src().where(col("event_type") === "click"))
+    val ckpt = Files.createTempDirectory("graft_ckpt_ssf").toString
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssfull")
+      .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ev = Tables.events(spark, dir)
+    val batch = Pipeline.purchaseClickFullOuterBatch(
+      ev.where(col("event_type") === "purchase"),
+      ev.where(col("event_type") === "click"))
+    assertSameRows(spark.table("ssfull"), batch)
+    // both null shapes genuinely exercised
+    assert(spark.table("ssfull").where(col("c_id").isNull).count() > 0)
+    assert(spark.table("ssfull").where(col("p_id").isNull).count() > 0)
+  }
+
   test("stream-stream outer join multi-batch: null row emits exactly once after watermark expiry") {
     // crafted corpus, one file per micro-batch: p1 (no click) must stay
     // OPEN until the watermark passes its match window, then emit its
