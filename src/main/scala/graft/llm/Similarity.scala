@@ -459,7 +459,7 @@ object Similarity extends QueryPack {
   /** Shared serving tail: exact cosine re-rank of (id_q, idx_id)
     * candidates against the bucketed vector store, fused map-side
     * top-5 per probe. */
-  private def rerankTopK(s: SparkSession, cand: DataFrame, pv: DataFrame,
+  private[llm] def rerankTopK(s: SparkSession, cand: DataFrame, pv: DataFrame,
       vt: String, filter: Option[Column] = None): DataFrame = {
     import graft.functions.TopKByScore.topk
     filter.foldLeft(

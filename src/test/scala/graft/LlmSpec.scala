@@ -364,6 +364,17 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"filtered recall $recall < 0.9 (ann=${ann.size})")
   }
 
+  test("ann_query_bq: Hamming-scan-then-rerank serving recalls >= 0.9 of exact sim_topk") {
+    val exact = q("sim_topk")
+      .where("id_a < 16")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = q("ann_query_bq")
+      .select("id_q", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    info(f"BQ serving recall: $recall%.4f")
+    assert(recall >= 0.9, s"BQ recall $recall < 0.9 (exact=${exact.size}, ann=${ann.size})")
+  }
+
   test("ann_query_pq: ADC-over-codes serving recalls >= 0.9 of exact sim_topk") {
     val exact = q("sim_topk")
       .where("id_a < 16")
