@@ -556,14 +556,14 @@ object Similarity extends QueryPack {
     // (Abbas et al. 2023 resolve within k-means clusters, not
     // globally) and the remedy the measured stability boundary
     // prescribes: mutual-kNN edges are kept only when both endpoints
-    // share one of their top-2 learned IVF cells. With P = 1 a
-    // component could never outgrow a cell population; the P = 2
-    // probe (needed for boundary-pair recall, below) lets a component
+    // share one of their top-P learned IVF cells. With P = 1 a
+    // component could never outgrow a cell population; multi-probe
+    // (needed for boundary-pair recall, below) lets a component
     // chain transitively across cells in principle, so the blast
     // radius is EMPIRICALLY bounded, not structural — the LlmSpec
     // gate asserts max component ≤ 4× mean cell population and the
-    // 10× stability table measured 13 vs the global resolver's 37
-    // (ADVICE r07 wording fix). True duplicates co-locate (a
+    // stability tables measured 13 at 10× (P=2) and 17 at 100× (P=3)
+    // vs the global resolver's 37 / 68 097. True duplicates co-locate (a
     // near-identical pair lands in the same nearest-centroid cell
     // with high probability — measured: planted-twin dedup recall at
     // 10× in BASELINE), so the bound costs little recall where it
