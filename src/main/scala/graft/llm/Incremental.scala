@@ -464,9 +464,15 @@ object Incremental extends QueryPack {
     * table: delta signatures join the index on band equality, exact
     * hamming ≤ 6 re-check. */
   private[graft] def simhashProbe(s: SparkSession, dir: String,
+      idxTable: String): DataFrame =
+    simhashProbeDocs(s, delta(s, dir), idxTable).orderBy("delta_id", "idx_id")
+
+  /** Same probe over an arbitrary delta docs frame (doc_id, text) —
+    * shared by the standalone key and the composed v2 ingest gate. */
+  private[graft] def simhashProbeDocs(s: SparkSession, docs: DataFrame,
       idxTable: String): DataFrame = {
     val idx = s.table(idxTable)
-    val d = bands(Dedup.simhashOf(delta(s, dir)))
+    val d = bands(Dedup.simhashOf(docs))
       .select(col("doc_id").as("delta_id"), col("h").as("hd"),
         col("band_id"), col("band_val"))
     d.join(idx, Seq("band_id", "band_val"))
@@ -474,7 +480,6 @@ object Incremental extends QueryPack {
         bit_count(col("hd").bitwiseXOR(col("h"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= 6)
-      .orderBy("delta_id", "idx_id")
   }
 
   /** 4×15-bit LSH bands of a (doc_id, h) signature frame — same band
@@ -487,6 +492,40 @@ object Incremental extends QueryPack {
         .as("b"))
       .select(col("doc_id"), col("h"), col("b.band_id"), col("b.band_val"))
 
+  /** The quality → exact-vs-corpus → exact-within-delta head plus the
+    * trigram-jaccard probe's drop ids — the shared stage definitions
+    * pipeline_curate_incr and its v2 widening both compose (the
+    * cannot-fork discipline of the batch curate pipelines). Returns
+    * (surviving delta frame, jaccard drop-id frame). */
+  private def curateIncrHead(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val d0 = delta(s, dir)
+      .withColumn("quality", Text.qualityScore(col("text")))
+      .where(col("quality") >= 0.75)
+      .withColumn("h", sha2(col("text"), 256))
+    // exact vs day-1 corpus: bucketed index anti-join on the hash
+    val exCorpus = d0.join(s.table(shaIndex(s, dir)), Seq("h"), "left_anti")
+    // exact within the delta: keep min doc_id per content hash
+    val exDelta = exCorpus
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+    // near-dup vs day 1: the persisted-postings jaccard probe
+    val idx = s.table(jaccardIndex(s, dir))
+    val dtg = Dedup.trigrams(exDelta.select("doc_id", "text"))
+    val na = dtg.groupBy(col("doc_id").as("delta_id")).agg(count(lit(1)).as("na"))
+    val drops = dtg.select(col("doc_id").as("delta_id"), col("ng"))
+      .join(idx, Seq("ng"))
+      .groupBy(col("delta_id"), col("idx_id"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .join(na, Seq("delta_id"))
+      .where(col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")) >= 0.5)
+      .select("delta_id").distinct()
+    (exDelta, drops)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The DAILY incremental curation job, end to end — the delta twin
     // of pipeline_curate: quality-gate today's crawl (map-only), drop
@@ -498,30 +537,43 @@ object Incremental extends QueryPack {
     // pruning baked into the index). Daily cost ∝ delta; day 1 is
     // never re-tokenized or re-hashed.
     "pipeline_curate_incr" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d0 = delta(s, dir)
-        .withColumn("quality", Text.qualityScore(col("text")))
-        .where(col("quality") >= 0.75)
-        .withColumn("h", sha2(col("text"), 256))
-      // exact vs day-1 corpus: bucketed index anti-join on the hash
-      val exCorpus = d0.join(s.table(shaIndex(s, dir)), Seq("h"), "left_anti")
-      // exact within the delta: keep min doc_id per content hash
-      val exDelta = exCorpus
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("h").orderBy(col("doc_id"))))
-        .where(col("rn") === 1)
-      // near-dup vs day 1: the persisted-postings jaccard probe
-      val idx = s.table(jaccardIndex(s, dir))
-      val dtg = Dedup.trigrams(exDelta.select("doc_id", "text"))
-      val na = dtg.groupBy(col("doc_id").as("delta_id")).agg(count(lit(1)).as("na"))
-      val drops = dtg.select(col("doc_id").as("delta_id"), col("ng"))
-        .join(idx, Seq("ng"))
-        .groupBy(col("delta_id"), col("idx_id"), col("nb"))
-        .agg(count(lit(1)).as("shared"))
-        .join(na, Seq("delta_id"))
-        .where(col("shared").cast("double") /
-          (col("na") + col("nb") - col("shared")) >= 0.5)
+      val (exDelta, jdrops) = curateIncrHead(s, dir)
+      exDelta.join(jdrops, exDelta("doc_id") === jdrops("delta_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // The COMPLETE multi-signal ingest gate (round 8): the curate_incr
+    // chain widened with the remaining two persisted-index probes —
+    // SimHash (band store, hamming ≤ 6) and edit distance (length-band
+    // layout, thresholded levenshtein ≤ 12) — so one key exercises the
+    // full production gate stack: quality → exact-vs-corpus →
+    // exact-within-delta → trigram-jaccard → simhash → edit, every
+    // probe against index metadata, day 1 never re-tokenized. All
+    // probes run on the SHARED stage definitions (curateIncrHead /
+    // simhashProbeDocs — cannot fork from the standalone keys), each
+    // over the quality-surviving delta. The edit stage here is the
+    // EXACT band probe so the whole stack stays oracle-able; at corpus
+    // scale it swaps for the chunk-blocked sibling
+    // (dedup_incr_edit_banded's candidates, same verify) exactly like
+    // the standalone pair.
+    "pipeline_curate_incr_v2" -> ((s, dir) => {
+      val (exDelta, jdrops) = curateIncrHead(s, dir)
+      val shdrops = simhashProbeDocs(s, exDelta.select("doc_id", "text"),
+        simhashIndex(s, dir)).select("delta_id").distinct()
+      val k = 12
+      val w = k + 1
+      val idx = s.table(editIndex(s, dir))
+      val eddrops = exDelta
+        .select(col("doc_id").as("delta_id"), col("text").as("td"),
+          col("n_chars").as("ld"))
+        .withColumn("bkt", explode(array(floor(col("ld") / w) - 1,
+          floor(col("ld") / w), floor(col("ld") / w) + 1)))
+        .join(idx, Seq("bkt"))
+        .where(abs(col("ld") - col("ln")) <= k &&
+          levenshtein(col("td"), col("tx"), k) >= 0)
         .select("delta_id").distinct()
+      val drops = jdrops.union(shdrops).union(eddrops).distinct()
       exDelta.join(drops, exDelta("doc_id") === drops("delta_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"), col("quality"))
         .orderBy("doc_id")
@@ -725,6 +777,61 @@ object Incremental extends QueryPack {
          |          WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5)
          |SELECT doc_id, lang, source, quality FROM exd
          |WHERE doc_id NOT IN (SELECT delta_id FROM drops)
+         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_curate_incr_v2" ->
+      s"""${Dedup.simhashSql},
+         |q AS (SELECT doc_id, lang, source, text, n_chars,
+         |             ${Text.qualityScoreD} AS quality
+         |      FROM documents WHERE doc_id % 4 = 0),
+         |f AS (SELECT * FROM q WHERE quality >= 0.75),
+         |d1h AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 4 <> 0),
+         |exc AS (SELECT f.* FROM f LEFT JOIN d1h ON sha256(f.text) = d1h.h
+         |        WHERE d1h.h IS NULL),
+         |exd AS (SELECT * FROM exc
+         |        QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1),
+         |t1 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |              generate_subscripts(string_split(text, ' '), 1) AS pos
+         |       FROM documents WHERE doc_id % 4 <> 0),
+         |tg1 AS (SELECT DISTINCT doc_id,
+         |          tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS ng
+         |        FROM t1 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |        QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+         |pruned AS (SELECT tg1.doc_id, tg1.ng FROM tg1
+         |           JOIN (SELECT ng, count(*) AS dfreq FROM tg1 GROUP BY ng) dd USING (ng)
+         |           WHERE dfreq <= 20),
+         |nb AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+         |t2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |              generate_subscripts(string_split(text, ' '), 1) AS pos FROM exd),
+         |tg2 AS (SELECT DISTINCT doc_id,
+         |          tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS ng
+         |        FROM t2 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |        QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+         |na AS (SELECT doc_id, count(*) AS n FROM tg2 GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS delta_id, b.doc_id AS idx_id, count(*) AS shared
+         |           FROM tg2 a JOIN pruned b ON a.ng = b.ng GROUP BY 1, 2),
+         |jdrops AS (SELECT DISTINCT delta_id FROM shared
+         |           JOIN na ON na.doc_id = delta_id
+         |           JOIN nb ON nb.doc_id = idx_id
+         |           WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5),
+         |shdrops AS (
+         |  SELECT DISTINCT a.doc_id AS delta_id
+         |  FROM sh a JOIN sh b ON b.doc_id % 4 <> 0
+         |  WHERE a.doc_id IN (SELECT doc_id FROM exd)
+         |    AND (((a.h >> 0) & 32767 = (b.h >> 0) & 32767)
+         |      OR ((a.h >> 15) & 32767 = (b.h >> 15) & 32767)
+         |      OR ((a.h >> 30) & 32767 = (b.h >> 30) & 32767)
+         |      OR ((a.h >> 45) & 32767 = (b.h >> 45) & 32767))
+         |    AND bit_count(xor(a.h, b.h)) <= 6),
+         |eddrops AS (
+         |  SELECT DISTINCT d.doc_id AS delta_id
+         |  FROM exd d JOIN documents a
+         |    ON a.doc_id % 4 <> 0 AND abs(d.n_chars - a.n_chars) <= 12
+         |  WHERE levenshtein(d.text, a.text) <= 12)
+         |SELECT doc_id, lang, source, quality FROM exd
+         |WHERE doc_id NOT IN (SELECT delta_id FROM jdrops)
+         |  AND doc_id NOT IN (SELECT delta_id FROM shdrops)
+         |  AND doc_id NOT IN (SELECT delta_id FROM eddrops)
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_incr_jaccard" ->

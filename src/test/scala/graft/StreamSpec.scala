@@ -779,6 +779,19 @@ class StreamSpec extends AnyFunSuite {
     val batchTable = Incremental.editChunkIndex(spark, dir)
     assertSameRows(Incremental.prunedChunks(spark, streamed),
       spark.table(batchTable).select("g1", "g2", "idx_id", "ln"))
+    // replay idempotency (the shared epochInsert contract): a fresh
+    // checkpoint re-lands the same epoch ids; dynamic partition
+    // overwrite must leave the store identical
+    val before = Incremental.prunedChunks(spark, streamed)
+      .orderBy("idx_id", "g1", "g2").collect().toSeq
+    val ckpt2 = Files.createTempDirectory("graft_ckpt_eckidx2").toString
+    Incremental.maintainChunkIndex(
+      spark.readStream.schema("doc_id LONG, text STRING").json(inDir),
+      streamed, ckpt2).awaitTermination()
+    spark.catalog.refreshTable(streamed)
+    val after = Incremental.prunedChunks(spark, streamed)
+      .orderBy("idx_id", "g1", "g2").collect().toSeq
+    assert(before == after, "replayed epochs changed the maintained chunk store")
   }
 
   test("streaming PQ codes maintenance: maintained codes == batch-encoded; drift trigger") {
