@@ -112,7 +112,7 @@ object Incremental extends QueryPack {
     * be per-epoch idempotent). Dynamic partition overwrite is scoped
     * to the call: the writer-level option is not honored on the
     * catalog-table insert path. */
-  private def epochInsert(rows: DataFrame, table: String, id: Long): Unit = {
+  private[llm] def epochInsert(rows: DataFrame, table: String, id: Long): Unit = {
     val conf = rows.sparkSession.conf
     val prior = conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -232,6 +232,43 @@ object Quantize extends QueryPack {
     t
   }
 
+  /** Batch-build the epoch-partitioned BQ code store layout the
+    * maintainer appends to (bulk = epoch −1). The write-once bqCodes
+    * table stays non-partitioned; this variant exists for maintained
+    * deployments, mirroring Incremental.buildChunkIndex. */
+  private[graft] def buildBqCodeStore(vecs: DataFrame, table: String): Unit =
+    vecs.select(col("vec_id").as("idx_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("idx_id"), expr(bqHalfExpr("v", 0)).as("lo"),
+        expr(bqHalfExpr("v", 32)).as("hi"), lit(-1L).as("epoch"))
+      .write.mode("overwrite")
+      .partitionBy("epoch")
+      .bucketBy(16, "idx_id").sortBy("idx_id")
+      .format("parquet").saveAsTable(table)
+
+  /** Streaming maintenance of the BQ code store (round 8 — the last
+    * serving index without a maintainer): each micro-batch of newly
+    * ingested vectors appends its deterministic sign codes under the
+    * same bucketed spec; restart-safe via the shared epoch-partition
+    * contract (Incremental.epochInsert — a replayed epoch rewrites
+    * identical rows). Daily cost = delta encodes, never a re-scan. */
+  def maintainBqCodes(streamingVecs: DataFrame, table: String, ckpt: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingVecs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Incremental.epochInsert(
+          batch.select(col("vec_id").as("idx_id"),
+              col("embedding").cast("array<double>").as("v"))
+            .select(col("idx_id"), expr(bqHalfExpr("v", 0)).as("lo"),
+              expr(bqHalfExpr("v", 32)).as("hi")), table, id)
+        ()
+      }
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // BINARY quantization (round 8): 1 sign bit per dimension — 8 B

@@ -794,6 +794,42 @@ class StreamSpec extends AnyFunSuite {
     assert(before == after, "replayed epochs changed the maintained chunk store")
   }
 
+  test("streaming BQ codes maintenance: maintained store == batch encode; replay idempotent") {
+    import graft.llm.Quantize
+    // sign codes are deterministic, so maintained == batch is an exact
+    // row-set equality (no codebook involved)
+    val emb = Tables.embeddings(spark, dir)
+    val initial = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    val arriving = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val streamed = "bq_streamed_test"
+    Tables.dropStaleTables(spark, streamed)
+    Quantize.buildBqCodeStore(initial, streamed)
+    val inDir = Files.createTempDirectory("graft_bqidx_in").toString
+    arriving.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .write.mode("append").json(inDir)
+    val ckpt = Files.createTempDirectory("graft_ckpt_bqidx").toString
+    Quantize.maintainBqCodes(
+      spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>").json(inDir),
+      streamed, ckpt).awaitTermination()
+    // maintained rows == the deterministic batch encode of everything
+    val batch = SparkEntry.queries("embed_bq")(spark, dir)
+      .select(col("vec_id").as("idx_id"), col("code_lo").as("lo"),
+        col("code_hi").as("hi"))
+    assertSameRows(spark.table(streamed).select("idx_id", "lo", "hi"), batch)
+    // replay idempotency via the shared epoch-partition contract
+    val before = spark.table(streamed).select("idx_id", "lo", "hi")
+      .orderBy("idx_id").collect().toSeq
+    val ckpt2 = Files.createTempDirectory("graft_ckpt_bqidx2").toString
+    Quantize.maintainBqCodes(
+      spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>").json(inDir),
+      streamed, ckpt2).awaitTermination()
+    spark.catalog.refreshTable(streamed)
+    val after = spark.table(streamed).select("idx_id", "lo", "hi")
+      .orderBy("idx_id").collect().toSeq
+    assert(before == after, "replayed epochs changed the maintained BQ store")
+  }
+
   test("streaming PQ codes maintenance: maintained codes == batch-encoded; drift trigger") {
     import graft.llm.Quantize
     val emb = Tables.embeddings(spark, dir)
