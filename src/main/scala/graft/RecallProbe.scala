@@ -201,7 +201,8 @@ object RecallProbe {
       .select(col("id_q").as("id_a"), col("t.payload").as("id_b"),
         col("t.score").as("cos"))
       .localCheckpoint()
-    for (key <- Seq("ann_query_topk", "ann_query_ivf", "ann_query_pq", "ann_query_ivfpq")) {
+    for (key <- Seq("ann_query_topk", "ann_query_ivf", "ann_query_pq",
+        "ann_query_ivfpq", "ann_query_bq")) {
       val approx = SparkEntry.queries(key)(spark, scaleDir)
         .select(col("id_q").as("id_a"), col("id_b"))
       pairRecall(key, servingTruth, approx)

@@ -149,6 +149,15 @@ object Similarity extends QueryPack {
         "instead (dedup_semantic_cells) or re-check sim_edge_histogram")
   }
 
+  /** Mutual-edge cosine histogram in 0.05 bins over a graph artifact —
+    * one definition for the exact and ANN pre-flight keys. */
+  private def edgeHistogram(pairs: DataFrame): DataFrame =
+    pairs
+      .select(floor(col("cos") * 20).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_edges"))
+      .select((col("bin").cast("double") / 20).as("cos_lo"), col("n_edges"))
+      .orderBy("cos_lo")
+
   /** Semantic-cluster keep/drop: mutual edges at cos ≥ 0.45 →
     * connected components → keep the min-id member per cluster.
     * Components run on (id, id) label pairs — tiny next to the corpus
@@ -546,11 +555,18 @@ object Similarity extends QueryPack {
     // corpus scale the identical query runs over the ANN artifact —
     // the graph you actually have — by swapping the table (ann=true).
     "sim_edge_histogram" -> ((s, dir) =>
-      s.table(knnPairsTable(s, dir, ann = false))
-        .select(floor(col("cos") * 20).cast("long").as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as("n_edges"))
-        .select((col("bin").cast("double") / 20).as("cos_lo"), col("n_edges"))
-        .orderBy("cos_lo")),
+      edgeHistogram(s.table(knnPairsTable(s, dir, ann = false)))),
+
+    // the SAME pre-flight over the ANN graph artifact — the histogram
+    // a corpus owner actually has at scale, where the exact graph was
+    // never built (round 8; previously only promised by the exact
+    // key's scaladoc). The percolationGuard reads the same artifact,
+    // so this key IS the guard's statistic at bin granularity.
+    // Exempt (ANN edges) — LlmSpec asserts the τ-region mass agrees
+    // with the exact histogram within the kNN-edge recall the graph
+    // gate already measures.
+    "sim_edge_histogram_ann" -> ((s, dir) =>
+      edgeHistogram(s.table(knnPairsTable(s, dir, ann = true)))),
 
     // the CELL-BOUNDED semantic resolver — SemDeDup's actual form
     // (Abbas et al. 2023 resolve within k-means clusters, not

@@ -435,6 +435,22 @@ class LlmSpec extends AnyFunSuite {
         "the agreement gate would be unstable; revisit τ or the corpus")
   }
 
+  test("sim_edge_histogram_ann: tau-region mass within kNN-edge recall of the exact histogram") {
+    val exact = q("sim_edge_histogram").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toMap
+    val ann = q("sim_edge_histogram_ann").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toMap
+    // the guard's statistic — mass at cos >= 0.45 — must agree within
+    // the edge recall/precision the kNN-graph gate measures (>= 0.9
+    // both directions → bin mass within ~±15% is generous slack)
+    def tauMass(h: Map[Double, Long]) =
+      h.filter { case (lo, _) => lo >= 0.45 }.values.sum.toDouble
+    val (me, ma) = (tauMass(exact), tauMass(ann))
+    assert(me > 0, "fixture should have tau-region edges")
+    assert(math.abs(ma - me) / me <= 0.15,
+      s"ANN tau-mass $ma vs exact $me diverges beyond the measured edge recall")
+  }
+
   test("percolation guard: trips on the rotated-copy percolated corpus, names the remedy; fixture passes") {
     // VERDICT r07 item 7: the pre-flight is now ENFORCED inside the
     // semantic keys, not just available as a side key. Build the
