@@ -39,6 +39,7 @@ object SparkEntry {
     llm.Text3,
     llm.Text4,
     llm.Similarity,
+    llm.Retrieval,
     llm.Text,
     llm.Selection,
     llm.Multimodal,
@@ -81,7 +82,8 @@ object SparkEntry {
     "ann_query_ivfpq", "ann_query_pq", "ann_query_range", "ann_query_topk",
     "dedup_edit_banded", "dedup_embed_lsh", "dedup_incr_edit_banded",
     "dedup_incr_embed",
-    "dedup_near", "dedup_semantic_ann", "dedup_semantic_cells", "embed_pq",
+    "dedup_near", "dedup_semantic_ann", "dedup_semantic_cells",
+    "embed_label_purity_ann", "embed_pq",
     "sim_edge_histogram_ann", "sim_ivf_ann", "sim_knn_graph_ann",
     "sim_lsh_ann")
 }

@@ -148,10 +148,78 @@ object Embeddings extends QueryPack {
         .select(col("id_q"), col("vec_id").as("id_m"),
           round(col("cos"), 4).as("cos_sim"))
         .orderBy("id_q", "id_m")
-    })
+    }),
+
+    // Neighbor label-purity@5 (round 8): the standard embedding-quality
+    // pre-flight — for each vector, how many of its top-5 cosine
+    // neighbors share its label, rolled up per label. A corpus owner
+    // reads this BEFORE trusting embedding-based dedup or the filtered
+    // ANN server (ann_query_filtered probes by this very label). Reads
+    // the persisted DIRECTED top-5 artifact (Similarity.directedTop5 —
+    // the scoring pass runs once per fingerprint, shared with the
+    // mutual-graph family); the exact O(n²) scoring behind that
+    // artifact is this key's declared oracle-twin role (sim_topk
+    // precedent — embed_label_purity_ann is the corpus-scale sibling);
+    // past scoring everything is integer-exact: same-label counts sum
+    // as longs, ONE double division per label row at the end (+1e-9
+    // before round-4 — k/(5n) can land mathematically ON a .xxxx5
+    // boundary; qualityScore precedent).
+    "embed_label_purity" -> ((s, dir) =>
+      labelPurity(s, dir, Similarity.directedTop5(s, dir, ann = false))),
+
+    // The corpus-scale sibling: the IDENTICAL purity rollup (shared
+    // definition — cannot fork) over the SRP-candidate directed top-5
+    // artifact (the sim_knn_graph_ann feed whose edge recall is
+    // independently gated ≥ 0.9). Exempt (ANN neighbor substitutions
+    // perturb the per-label averages); LlmSpec bounds the per-label
+    // deviation vs the exact key.
+    "embed_label_purity_ann" -> ((s, dir) =>
+      labelPurity(s, dir, Similarity.directedTop5(s, dir, ann = true)))
   )
 
+  /** ONE purity rollup over any (id_a, id_b) neighbor feed: join both
+    * endpoints' labels (id-keyed), integer same-label counts per
+    * anchor, one double division per label row (+1e-9 round-4 — the
+    * k/(5n) quotient can land mathematically ON a .xxxx5 boundary;
+    * qualityScore precedent). Anchors with fewer than 5 ANN neighbors
+    * still divide by their actual neighbor count via n_nbrs. */
+  private def labelPurity(s: SparkSession, dir: String,
+      nbrs: DataFrame): DataFrame = {
+    val labsA = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id_a"), col("label").as("lab_a"))
+    val labsB = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id_b"), col("label").as("lab_b"))
+    val perAnchor = nbrs
+      .join(labsA, Seq("id_a"))
+      .join(labsB, Seq("id_b"))
+      .groupBy("id_a", "lab_a")
+      .agg(sum((col("lab_a") === col("lab_b")).cast("long")).as("same_cnt"),
+        count(lit(1)).as("n_nbrs"))
+    perAnchor.groupBy(col("lab_a").as("label"))
+      .agg(count(lit(1)).as("n_anchors"),
+        round(sum(col("same_cnt")).cast("double") /
+          sum(col("n_nbrs")) + 1e-9, 4).as("purity"))
+      .orderBy("label")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "embed_label_purity" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |d AS (
+        |  SELECT a.vec_id AS id_a, a.label AS lab_a, b.label AS lab_b,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |                            ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+        |                                     b.vec_id) AS rn
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        |  QUALIFY rn <= 5),
+        |pa AS (
+        |  SELECT id_a, lab_a,
+        |         SUM(CASE WHEN lab_a = lab_b THEN 1 ELSE 0 END) AS same_cnt
+        |  FROM d GROUP BY id_a, lab_a)
+        |SELECT lab_a AS label, COUNT(*) AS n_anchors,
+        |       ROUND(CAST(SUM(same_cnt) AS DOUBLE) / (5 * COUNT(*)) + 0.000000001, 4) AS purity
+        |FROM pa GROUP BY lab_a ORDER BY label""".stripMargin,
+
     "embed_truncate_eval" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT vec_id, v, v[1:16] AS v16 FROM e

@@ -1,0 +1,287 @@
+package graft.llm
+
+import graft.{QueryPack, Tables}
+import graft.functions.DotProduct.dot
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Ranked lexical retrieval + hybrid fusion (SURVEY.md §2.11 retrieval
+  * serving) — the lexical half of the RAG/serving stack the vector
+  * servers (ann_query_*) cover, and the reciprocal-rank fusion that
+  * combines them.
+  *
+  * BM25 here is deliberately shuffle-free on the scoring path: the
+  * query's terms are known up front, so per-doc term frequencies come
+  * from an array `filter` over the tokenized text (map-side, codegen —
+  * never an explode + groupBy over the whole corpus vocabulary), the
+  * corpus statistics (N, Σdl, per-term df) reduce to ONE row that
+  * Catalyst broadcasts back, and the top-k is a TakeOrderedAndProject.
+  * At 100 TB the stats row is the only global reduction, and in
+  * production it is a once-per-snapshot artifact (the df/avgdl numbers
+  * change negligibly per delta — the `Incremental` index discipline
+  * applies verbatim); scoring is then embarrassingly parallel.
+  *
+  * FP-parity notes (the oracle hash gate): tf/df/dl/N are exact
+  * integers on both engines; avgdl is computed as one double division
+  * of exact integer sums (never an engine AVG whose summation order
+  * differs); per-term scores are summed in fixed literal order; ranks
+  * cut on round(score, 12) on BOTH engines (the embed_truncate_eval
+  * rank-stability precedent) with doc_id tiebreaks, and displayed
+  * scores round to 4.
+  */
+object Retrieval extends QueryPack {
+
+  /** Fixed query: one rare marker term (df ≈ 5 % — high idf) + two
+    * common terms. Term ORDER is part of the contract (scores sum in
+    * this order on both engines). */
+  private val QueryTerms: Seq[String] = Seq("dup", "spark", "merge")
+
+  private val K1 = 1.2
+  private val B  = 0.75
+
+  /** Per-doc frame (doc_id, dl, tf_<term>...) — one map-side pass. */
+  private def docTf(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val tfCols = QueryTerms.map(t =>
+      size(filter(toks, x => x === t)).cast("long").as(s"tf_$t"))
+    Tables.documents(s, dir).select(
+      col("doc_id") +: size(toks).cast("long").as("dl") +: tfCols: _*)
+  }
+
+  /** One term's BM25 contribution from integer inputs (tf, df, dl, N,
+    * Σdl). Association is fixed to match the SQL twins exactly:
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    * tfn = tf·(k1+1) / (tf + k1·((1-b) + b·(dl/avgdl))),
+    * avgdl = Σdl/N as ONE double division of exact integers. */
+  private def termScoreOf(tf: Column, df: Column, dl: Column,
+      n: Column, sdl: Column): Column = {
+    val avgdl = sdl.cast("double") / n
+    val idf = log(lit(1.0) + (n - df + 0.5) / (df + 0.5))
+    val tfn = (tf * (K1 + 1.0)) /
+      (tf + lit(K1) * (lit(1.0 - B) + lit(B) * (dl / avgdl)))
+    idf * tfn
+  }
+
+  /** (doc_id, score) with score already summed over the query terms.
+    * The stats aggregate is one row; Catalyst broadcasts the cross
+    * join (BroadcastNestedLoopJoin over a 1-row build side). */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val tf = docTf(s, dir)
+    val dfCols = QueryTerms.flatMap(t => Seq(
+      sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t")))
+    val stats = tf.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).as("sdl") +: dfCols): _*)
+    val score = QueryTerms.map(t => termScoreOf(col(s"tf_$t"),
+        col(s"df_$t"), col("dl"), col("n"), col("sdl")))
+      .reduceLeft(_ + _)
+    tf.crossJoin(broadcast(stats)).select(col("doc_id"), score.as("score"))
+  }
+
+  /** Ranked top-`k` of a scored frame: TakeOrderedAndProject on the
+    * round-12 score, then a row_number over the k surviving rows (a
+    * k-row single-partition window — never over the corpus). */
+  private def rankTop(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.orderBy(col("score_r").desc, col("doc_id"))
+    scored.withColumn("score_r", round(col("score"), 12))
+      .orderBy(col("score_r").desc, col("doc_id")).limit(k)
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** DuckDB twin of bm25Scored as a `sc(doc_id, score)` CTE chain —
+    * identical arithmetic shape and term order. */
+  private def bm25SqlCte: String = {
+    val tfSel = QueryTerms.map(t =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n    ")
+    val dfSel = QueryTerms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n    ")
+    // Every operand is forced to DOUBLE before it meets a DuckDB
+    // numeric literal: bare literals are DECIMAL there, and a
+    // decimal-path product rounds once from the exact rational while
+    // Spark's double path rounds the product of approximations — a
+    // 1-ulp divergence the hash gate would catch.
+    val termScore = QueryTerms.map(t =>
+      s"""ln(1.0 + (CAST(n AS DOUBLE) - df_$t + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))
+         |      * ((CAST(tf_$t AS DOUBLE) * ${K1 + 1.0}) / (CAST(tf_$t AS DOUBLE) + $K1 * ((1.0 - $B) + $B * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n)))))"""
+        .stripMargin).mkString("(", "\n    + ", ")")
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |t AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    $tfSel
+       |  FROM d),
+       |st AS (
+       |  SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+       |    $dfSel
+       |  FROM t),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $termScore AS score
+       |  FROM t CROSS JOIN st)""".stripMargin
+  }
+
+  /** Fixed query vector for the hybrid key: the embedding of vec_id
+    * QueryVec (a fixture stand-in for an external query embedding). */
+  private val QueryVec = 7L
+
+  /** (doc_id, score=cosine to the query vector) — one broadcast of the
+    * single query row, map-side dot products (native codegen). */
+  private def cosScored(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = e.where(col("doc_id") === QueryVec)
+      .select(col("v").as("vq"), col("nrm").as("nq"))
+    e.crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        (dot(col("v"), col("vq")) / (col("nrm") * col("nq"))).as("score"))
+  }
+
+  /** Fixed query batch for the postings-join scorer (qid → terms). */
+  private val BatchQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("dup", "spark", "merge"),
+    2 -> Seq("key", "value", "hash"),
+    3 -> Seq("stream", "window", "batch"),
+    4 -> Seq("customer", "order", "line"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 top-10 over the documents corpus for the fixed query.
+    // Scoring is map-side (array-filter tf, one broadcast stats row);
+    // the only global reduction is the 1-row stats aggregate and the
+    // final TakeOrderedAndProject.
+    "text_bm25_topk" -> ((s, dir) =>
+      rankTop(bm25Scored(s, dir), 10)
+        .select(col("rn"), col("doc_id"), round(col("score"), 4).as("bm25"))
+        .orderBy("rn")),
+
+    // BM25 BATCH scoring — the other production shape: a TABLE of
+    // queries scored against the corpus in one job (offline eval sets,
+    // distillation-query mining). Here the term set is not known as a
+    // handful of literals, so tf comes from a postings pass: explode →
+    // broadcast-semi-join to the queries' term vocabulary (the filter
+    // cuts the shuffle to matching-term postings only) → one
+    // (doc_id, term) groupBy. df is a term-sized rollup of the same
+    // postings (broadcast back); dl joins doc_id-keyed. Per-term
+    // contributions are summed per (qid, doc) as DECIMAL(28,12) so the
+    // aggregate is order-independent (the repo's exact-accumulation
+    // discipline) — the rank then cuts on the exact decimal, no
+    // round-12 needed. Scale: everything is postings- or term-sized;
+    // no corpus² anywhere; the per-qid rank windows run over scored
+    // docs only (docs sharing ≥ 1 query term).
+    "text_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val q = BatchQueries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("qid", "term")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+      val postings = docs
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .join(broadcast(q.select("term").distinct()), Seq("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = postings.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("dscore").desc, col("doc_id"))
+      postings
+        .join(broadcast(q), Seq("term"))
+        .join(broadcast(dfreq), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("tscore",
+          termScoreOf(col("tf"), col("dfreq"), col("dl"), col("n"), col("sdl")))
+        .groupBy("qid", "doc_id")
+        .agg(sum(col("tscore").cast("decimal(28,12)")).as("dscore"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("doc_id"),
+          round(col("dscore").cast("double"), 4).as("bm25"))
+        .orderBy("qid", "rn")
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    // top-100 and the cosine top-100 served lists — the standard
+    // lexical+vector serving shape. Fusion is a full outer join of two
+    // 100-row ranked lists (driver-light at any corpus size); a doc
+    // absent from one list contributes 0 from that ranker. In
+    // production the vector list comes from the ANN servers
+    // (ann_query_* family) — this key is the exact oracle twin.
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      val lex = rankTop(bm25Scored(s, dir), 100)
+        .select(col("doc_id"), col("rn").as("r_lex"))
+      val vec = rankTop(cosScored(s, dir), 100)
+        .select(col("doc_id"), col("rn").as("r_vec"))
+      val rrf = coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))
+      val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", rrf)
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .select(row_number().over(w).as("rn"), col("doc_id"),
+          col("r_lex"), col("r_vec"), round(col("rrf"), 6).as("rrf_score"))
+        .orderBy("rn")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_bm25_topk" ->
+      s"""WITH $bm25SqlCte
+         |SELECT row_number() OVER (ORDER BY ROUND(score, 12) DESC, doc_id) AS rn,
+         |       doc_id, ROUND(score, 4) AS bm25
+         |FROM sc QUALIFY rn <= 10 ORDER BY rn""".stripMargin,
+
+    "text_bm25_batch" -> {
+      val qVals = BatchQueries.flatMap { case (qid, ts) =>
+        ts.map(t => s"($qid, '$t')") }.mkString(", ")
+      s"""WITH q(qid, term) AS (VALUES $qVals),
+         |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+         |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+         |p AS (
+         |  SELECT doc_id, tok AS term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+         |  WHERE tok IN (SELECT DISTINCT term FROM q)
+         |  GROUP BY doc_id, tok),
+         |df AS (SELECT term, COUNT(*) AS dfreq FROM p GROUP BY term),
+         |sc AS (
+         |  SELECT q.qid, p.doc_id,
+         |    SUM(CAST(
+         |      ln(1.0 + (CAST(n AS DOUBLE) - dfreq + 0.5) / (CAST(dfreq AS DOUBLE) + 0.5))
+         |      * ((CAST(tf AS DOUBLE) * ${K1 + 1.0}) / (CAST(tf AS DOUBLE) + $K1 * ((1.0 - $B) + $B * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n)))))
+         |      AS DECIMAL(28,12))) AS dscore
+         |  FROM p JOIN q USING (term) JOIN df USING (term)
+         |       JOIN dl USING (doc_id) CROSS JOIN st
+         |  GROUP BY q.qid, p.doc_id)
+         |SELECT qid,
+         |       row_number() OVER (PARTITION BY qid
+         |                          ORDER BY dscore DESC, doc_id) AS rn,
+         |       doc_id, ROUND(CAST(dscore AS DOUBLE), 4) AS bm25
+         |FROM sc QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin
+    },
+
+    "sim_hybrid_rrf" ->
+      s"""WITH $bm25SqlCte,
+         |lex AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (ORDER BY ROUND(score, 12) DESC, doc_id) AS r_lex
+         |  FROM sc QUALIFY r_lex <= 100),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS vq FROM e WHERE vec_id = $QueryVec),
+         |vsc AS (
+         |  SELECT e.vec_id AS doc_id,
+         |         list_cosine_similarity(e.v, q.vq) AS score
+         |  FROM e CROSS JOIN q),
+         |vec AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (ORDER BY ROUND(score, 12) DESC, doc_id) AS r_vec
+         |  FROM vsc QUALIFY r_vec <= 100),
+         |fused AS (
+         |  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, r_lex, r_vec,
+         |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0.0)
+         |           + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_vec), 0.0) AS rrf
+         |  FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id)
+         |SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn,
+         |       doc_id, r_lex, r_vec, ROUND(rrf, 6) AS rrf_score
+         |FROM fused QUALIFY rn <= 10 ORDER BY rn""".stripMargin
+  )
+}

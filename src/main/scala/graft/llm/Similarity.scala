@@ -68,19 +68,45 @@ object Similarity extends QueryPack {
         cosOf(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
   }
 
-  /** Directed top-5 per vector (map-side TopKByScore reduction) →
-    * mutual edges (id_a < id_b, with the a→b cos attached). ONE
-    * definition under sim_knn_graph, sim_knn_graph_ann, and both
-    * semantic-dedup keys, so the graph semantics can never fork. */
-  private def mutualTopk(scored: DataFrame): DataFrame = {
+  /** Directed top-5 artifact (id_a, id_b, cos) per (kind, embeddings
+    * fingerprint) — the SCORING product. Round 8: materialized
+    * separately from the mutual graph because two consumer families
+    * read it: the mutual-edge derivation below, and the neighbor-set
+    * aggregators (embed_label_purity / _ann), which need directed
+    * neighbor lists, not mutual edges. The scoring pass is the
+    * expensive half of every consumer, so it runs once per
+    * fingerprint; the former per-run localCheckpoint is gone (the
+    * artifact read feeds both sides of the mutual join). */
+  private def knnDirectedTable(s: SparkSession, dir: String,
+      ann: Boolean): String = {
     import graft.functions.TopKByScore.topk
-    val directed = scored
-      .groupBy(col("id_a"))
-      .agg(topk(col("cos"), col("id_b"), 5).as("top"))
-      .select(col("id_a"), explode(col("top")).as("t"))
-      .select(col("id_a"), col("t.payload").as("id_b"),
-        col("t.score").as("cos"))
-      .localCheckpoint() // feeds both sides of the mutual join
+    val kind = if (ann) "ann" else "exact"
+    val pfx = s"knn_dir_${kind}_${Tables.pathKey(dir)}_"
+    val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "embeddings"))}"
+    if (!s.catalog.tableExists(t)) {
+      Tables.dropStaleTables(s, pfx)
+      (if (ann) scoredAnn(s, dir) else scoredExact(s, dir))
+        .groupBy(col("id_a"))
+        .agg(topk(col("cos"), col("id_b"), 5).as("top"))
+        .select(col("id_a"), explode(col("top")).as("t"))
+        .select(col("id_a"), col("t.payload").as("id_b"),
+          col("t.score").as("cos"))
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+    t
+  }
+
+  /** Directed top-5 neighbor feed (id_a, id_b) off the persisted
+    * artifact — consumed by the label-purity keys (Embeddings). */
+  private[llm] def directedTop5(s: SparkSession, dir: String,
+      ann: Boolean): DataFrame =
+    s.table(knnDirectedTable(s, dir, ann)).select(col("id_a"), col("id_b"))
+
+  /** Directed top-5 → mutual edges (id_a < id_b, with the a→b cos
+    * attached). ONE definition under sim_knn_graph, sim_knn_graph_ann,
+    * and both semantic-dedup keys, so the graph semantics can never
+    * fork. */
+  private def mutualFromDirected(directed: DataFrame): DataFrame = {
     val reverse = directed.select(col("id_b").as("id_a"),
       col("id_a").as("id_b"))
     directed.join(reverse, Seq("id_a", "id_b"))
@@ -101,7 +127,7 @@ object Similarity extends QueryPack {
     val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "embeddings"))}"
     if (!s.catalog.tableExists(t)) {
       Tables.dropStaleTables(s, pfx)
-      mutualTopk(if (ann) scoredAnn(s, dir) else scoredExact(s, dir))
+      mutualFromDirected(s.table(knnDirectedTable(s, dir, ann)))
         .select(col("id_a"), col("id_b"), col("cos"))
         .write.mode("overwrite").format("parquet").saveAsTable(t)
     }

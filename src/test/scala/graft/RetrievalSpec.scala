@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-implementation invariants for the retrieval keys (all three
+  * are ALSO oracle-checked; these tests pin the relationships between
+  * them that the per-key oracles can't see).
+  */
+class RetrievalSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = GraftSession.local("4")
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("bm25 batch qid=1 reproduces the single-query top-5 exactly " +
+      "(array-filter tf vs postings-join tf)") {
+    val single = q("text_bm25_topk").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._1 <= 5).toSeq
+    val batch = q("text_bm25_batch").collect()
+      .filter(_.getInt(0) == 1)
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(single.size == 5 && batch.size == 5)
+    assert(single == batch,
+      s"single=$single\nbatch=$batch")
+  }
+
+  test("hybrid RRF scores decompose into the two ranked lists' contributions") {
+    val rows = q("sim_hybrid_rrf").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(2)) 0.0 else 1.0 / (60 + r.getInt(2))
+      val vec = if (r.isNullAt(3)) 0.0 else 1.0 / (60 + r.getInt(3))
+      val expect = math.round((lex + vec) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(4) - expect) < 1e-9,
+        s"row $r: rrf ${r.getDouble(4)} != $expect")
+    }
+    // descending by fused score, rn dense from 1
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val scores = rows.map(_.getDouble(4)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("embed_label_purity_ann stays within 0.1 per-label of the exact " +
+      "purity (the exempt key's deviation gate)") {
+    val exact = q("embed_label_purity").collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val ann = q("embed_label_purity_ann").collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(exact.keySet == ann.keySet,
+      s"label sets differ: ${exact.keySet} vs ${ann.keySet}")
+    val worst = exact.map { case (l, p) => math.abs(p - ann(l)) }.max
+    assert(worst <= 0.1, s"max per-label purity deviation $worst > 0.1")
+  }
+
+  test("the query vector's own doc serves at vector rank 1 with the " +
+      "rare lexical term dominating the BM25 list") {
+    // vec side: doc 7 is the query vector, cos = 1 -> r_vec = 1 if fused
+    val hybrid = q("sim_hybrid_rrf").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) -1 else r.getInt(3))).toMap
+    hybrid.get(7L).foreach(rv => assert(rv == 1, s"doc 7 r_vec $rv != 1"))
+    // lex side: every top-3 BM25 doc must actually contain the rare term
+    val top = q("text_bm25_topk").collect().map(_.getLong(1)).take(3).toSet
+    val withDup = Tables.documents(spark, dir)
+      .where(org.apache.spark.sql.functions.col("text").contains("dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(top.subsetOf(withDup),
+      s"top-3 BM25 docs $top not all contain the rare query term")
+  }
+}
