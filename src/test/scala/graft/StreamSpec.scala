@@ -830,6 +830,53 @@ class StreamSpec extends AnyFunSuite {
     assert(before == after, "replayed epochs changed the maintained BQ store")
   }
 
+  test("streaming lexicon maintenance: summed epoch partials == batch df/stats; replay idempotent") {
+    import graft.llm.Retrieval
+    // the BM25 lexicon is ADDITIVE: each epoch lands PARTIAL (term, df)
+    // counts and one (n, sdl) stats row; the read-side SUM must equal
+    // the batch build over all docs — exact longs, so equality is exact
+    val day1 = Tables.documents(spark, dir).where(col("doc_id") % 4 =!= 0)
+    val initial = day1.where(pmod(col("doc_id"), lit(2)) === 1)
+    val arriving = day1.where(pmod(col("doc_id"), lit(2)) === 0)
+    val lexT = "bm25_lex_streamed_test"
+    val statT = "bm25_stat_streamed_test"
+    Tables.dropStaleTables(spark, lexT)
+    Tables.dropStaleTables(spark, statT)
+    Retrieval.buildLexTerms(initial, lexT)
+    Retrieval.buildLexStats(initial, statT)
+    val inDir = Files.createTempDirectory("graft_lexidx_in").toString
+    arriving.select("doc_id", "text").write.mode("append").json(inDir)
+    val ckpt = Files.createTempDirectory("graft_ckpt_lexidx").toString
+    Retrieval.maintainLexicon(
+      spark.readStream.schema("doc_id LONG, text STRING").json(inDir),
+      lexT, statT, ckpt).awaitTermination()
+    // summed partials == one batch pass over ALL of day-1
+    val batchDf = day1
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    assertSameRows(
+      spark.table(lexT).groupBy("term").agg(sum(col("df")).as("df")),
+      batchDf)
+    val batchStats = day1
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    assertSameRows(
+      spark.table(statT).agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl")),
+      batchStats)
+    // replay idempotency via the shared epoch-partition contract
+    val before = spark.table(lexT).groupBy("term").agg(sum(col("df")).as("df"))
+      .orderBy("term").collect().toSeq
+    val ckpt2 = Files.createTempDirectory("graft_ckpt_lexidx2").toString
+    Retrieval.maintainLexicon(
+      spark.readStream.schema("doc_id LONG, text STRING").json(inDir),
+      lexT, statT, ckpt2).awaitTermination()
+    spark.catalog.refreshTable(lexT)
+    spark.catalog.refreshTable(statT)
+    val after = spark.table(lexT).groupBy("term").agg(sum(col("df")).as("df"))
+      .orderBy("term").collect().toSeq
+    assert(before == after, "replayed epochs changed the maintained lexicon")
+  }
+
   test("streaming PQ codes maintenance: maintained codes == batch-encoded; drift trigger") {
     import graft.llm.Quantize
     val emb = Tables.embeddings(spark, dir)
