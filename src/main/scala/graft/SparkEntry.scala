@@ -79,7 +79,8 @@ object SparkEntry {
     "agg_approx_distinct", "agg_approx_percentile", "agg_heavy_hitters",
     "agg_sketch_merge", "agg_sketch_persisted", "ann_query_bq",
     "ann_query_filtered", "ann_query_ivf",
-    "ann_query_ivfpq", "ann_query_pq", "ann_query_range", "ann_query_topk",
+    "ann_query_ivfpq", "ann_query_pq", "ann_query_range", "ann_query_rrf",
+    "ann_query_topk",
     "dedup_edit_banded", "dedup_embed_lsh", "dedup_incr_edit_banded",
     "dedup_incr_embed",
     "dedup_near", "dedup_semantic_ann", "dedup_semantic_cells",

@@ -339,22 +339,56 @@ object Retrieval extends QueryPack {
     // absent from one list contributes 0 from that ranker. In
     // production the vector list comes from the ANN servers
     // (ann_query_* family) — this key is the exact oracle twin.
-    "sim_hybrid_rrf" -> ((s, dir) => {
+    "sim_hybrid_rrf" -> ((s, dir) =>
+      rrfFuse(
+        rankTop(bm25Scored(s, dir), 100)
+          .select(col("doc_id"), col("rn").as("r_lex")),
+        rankTop(cosScored(s, dir), 100)
+          .select(col("doc_id"), col("rn").as("r_vec")))),
+
+    // The SERVED hybrid (round 8): the same fusion (shared rrfFuse —
+    // cannot fork) with the vector list coming from the persisted SRP
+    // serving index instead of an exact corpus scan — the list a
+    // production query actually gets. Candidates ride the radius-3
+    // probe ring (the range/filtered precedent: recall 0.974 measured
+    // at 100×), exact-cosine reranked to 100 from the bucketed vector
+    // store. The lexical list stays exact (BM25 scoring is map-side
+    // cheap — lexical retrieval has no ANN problem). Exempt: the
+    // served vector list can miss a neighbor AND has no self-match row
+    // (the index excludes the probe id), so ranks shift vs the exact
+    // twin; RetrievalSpec gates top-10 overlap vs sim_hybrid_rrf.
+    "ann_query_rrf" -> ((s, dir) => {
       val lex = rankTop(bm25Scored(s, dir), 100)
         .select(col("doc_id"), col("rn").as("r_lex"))
-      val vec = rankTop(cosScored(s, dir), 100)
+      val (cand, probes, vt) = Similarity.servingCandidates(s, dir, radius = 3)
+      val pv = probes.where(col("vec_id") === QueryVec)
+        .select(col("vec_id").as("id_q"), col("v").as("vq"), col("nrm").as("nq"))
+      val scored = cand.where(col("id_q") === QueryVec)
+        .join(broadcast(pv), Seq("id_q"))
+        .join(s.table(vt), Seq("idx_id"))
+        .select(col("idx_id").as("doc_id"),
+          (dot(col("vq"), col("v")) / (col("nq") * col("nrm"))).as("score"))
+      val vec = rankTop(scored, 100)
         .select(col("doc_id"), col("rn").as("r_vec"))
-      val rrf = coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
-        coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))
-      val w = Window.orderBy(col("rrf").desc, col("doc_id"))
-      lex.join(vec, Seq("doc_id"), "full_outer")
-        .withColumn("rrf", rrf)
-        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
-        .select(row_number().over(w).as("rn"), col("doc_id"),
-          col("r_lex"), col("r_vec"), round(col("rrf"), 6).as("rrf_score"))
-        .orderBy("rn")
+      rrfFuse(lex, vec)
     })
   )
+
+  /** ONE RRF fusion definition (k=60) over two ranked lists — the
+    * exact key and the served key share it, so the fusion semantics
+    * can never fork. A doc absent from one list contributes 0 from
+    * that ranker. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
+    val rrf = coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))
+    val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", rrf)
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      .select(row_number().over(w).as("rn"), col("doc_id"),
+        col("r_lex"), col("r_vec"), round(col("rrf"), 6).as("rrf_score"))
+      .orderBy("rn")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "text_bm25_topk" ->

@@ -44,6 +44,15 @@ class RetrievalSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("ann_query_rrf: served top-10 overlaps >= 0.8 with the exact hybrid") {
+    val exact = q("sim_hybrid_rrf").collect().map(_.getLong(1)).toSet
+    val served = q("ann_query_rrf").collect().map(_.getLong(1)).toSet
+    assert(served.size == 10, s"served list has ${served.size} rows")
+    val overlap = exact.count(served.contains).toDouble / exact.size
+    assert(overlap >= 0.8,
+      s"served/exact top-10 overlap $overlap < 0.8 (exact=$exact served=$served)")
+  }
+
   test("embed_label_purity_ann stays within 0.1 per-label of the exact " +
       "purity (the exempt key's deviation gate)") {
     val exact = q("embed_label_purity").collect()
