@@ -238,6 +238,46 @@ object Retrieval extends QueryPack {
       }
       .start()
 
+  /** The day-1 statistics ROW (n, sdl, df_<term>...) folded from the
+    * two lexicon artifacts — per-epoch partials SUMmed (exact longs),
+    * query-term rows fetched from the term-bucketed lexicon. ONE
+    * definition under the ingest scorer and the streaming router. */
+  private[graft] def dayStats(s: SparkSession, dir: String): DataFrame = {
+    val lex = s.table(lexIndex(s, dir))
+      .where(col("term").isin(QueryTerms: _*))
+    val dfRow = lex.agg(
+      coalesce(sum(when(col("term") === QueryTerms.head, col("df"))), lit(0L))
+        .as(s"df_${QueryTerms.head}"),
+      QueryTerms.tail.map(t =>
+        coalesce(sum(when(col("term") === t, col("df"))), lit(0L))
+          .as(s"df_$t")): _*)
+    s.table(lexStatsIndex(s, dir))
+      .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
+      .crossJoin(dfRow)
+  }
+
+  /** Score a (doc_id, dl, tf_*) frame against a 1-row stats frame —
+    * the stats broadcast-join is keyed on a literal so the SAME plan
+    * works stream-side (stream-static equi join) and batch-side. */
+  private def bm25ScoredAgainst(tf: DataFrame, stats: DataFrame): DataFrame = {
+    val score = QueryTerms.map(t => termScoreOf(col(s"tf_$t"),
+        col(s"df_$t"), col("dl"), col("n"), col("sdl")))
+      .reduceLeft(_ + _)
+    tf.withColumn("j", lit(1))
+      .join(broadcast(stats.withColumn("j", lit(1))), Seq("j"))
+      .select(col("doc_id"), score.as("score"))
+  }
+
+  /** The routing transform shared by the batch twin and the StreamSpec
+    * streaming run: docs → (doc_id, bm25) for docs clearing τ = 2.0
+    * (threshold compared on round-6 — the sim_range boundary
+    * discipline). Stateless, so it streams in append mode with no
+    * watermark. */
+  private[graft] def bm25Route(docs: DataFrame, stats: DataFrame): DataFrame =
+    bm25ScoredAgainst(docTfOf(docs), stats)
+      .where(round(col("score"), 6) >= 2.0)
+      .select(col("doc_id"), round(col("score"), 4).as("bm25"))
+
   /** Fixed query batch for the postings-join scorer (qid → terms). */
   private val BatchQueries: Seq[(Int, Seq[String])] = Seq(
     1 -> Seq("dup", "spark", "merge"),
@@ -265,27 +305,24 @@ object Retrieval extends QueryPack {
     // longs) and the epoch-row stats table, folds them into ONE
     // broadcast row, and scores the delta map-side. The maintainer
     // (maintainLexicon) appends per-epoch partials restart-safely.
-    "text_bm25_incr" -> ((s, dir) => {
-      val lex = s.table(lexIndex(s, dir))
-        .where(col("term").isin(QueryTerms: _*))
-      val dfRow = lex.agg(
-        coalesce(sum(when(col("term") === QueryTerms.head, col("df"))), lit(0L))
-          .as(s"df_${QueryTerms.head}"),
-        QueryTerms.tail.map(t =>
-          coalesce(sum(when(col("term") === t, col("df"))), lit(0L))
-            .as(s"df_$t")): _*)
-      val stRow = s.table(lexStatsIndex(s, dir))
-        .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
-      val stats = stRow.crossJoin(dfRow)
-      val tf = docTfOf(deltaDocs(s, dir))
-      val score = QueryTerms.map(t => termScoreOf(col(s"tf_$t"),
-          col(s"df_$t"), col("dl"), col("n"), col("sdl")))
-        .reduceLeft(_ + _)
-      rankTop(tf.crossJoin(broadcast(stats))
-          .select(col("doc_id"), score.as("score")), 10)
+    "text_bm25_incr" -> ((s, dir) =>
+      rankTop(bm25ScoredAgainst(docTfOf(deltaDocs(s, dir)), dayStats(s, dir)), 10)
         .select(col("rn"), col("doc_id"), round(col("score"), 4).as("bm25"))
-        .orderBy("rn")
-    }),
+        .orderBy("rn")),
+
+    // Standing-query relevance ROUTING (round 8): the alerting twin of
+    // the ingest scorer — every delta doc whose BM25 against the DAY-1
+    // statistics clears the alert threshold is emitted (not a top-k; a
+    // router forwards ALL strong matches). τ = 2.0 sits above the
+    // common-terms-only ceiling, so routed docs are exactly those
+    // hitting the rare standing-query term with reinforcement — the
+    // rare-term alert semantics. Judged via this batch form (the
+    // Streams-pack convention); StreamSpec runs the SAME shared
+    // transform (bm25Route) as an append-mode stream over the delta
+    // docs with the broadcast day-1 stats and asserts stream == batch.
+    "stream_bm25_route" -> ((s, dir) =>
+      bm25Route(deltaDocs(s, dir), dayStats(s, dir))
+        .orderBy("doc_id")),
 
     // BM25 BATCH scoring — the other production shape: a TABLE of
     // queries scored against the corpus in one job (offline eval sets,
@@ -404,6 +441,13 @@ object Retrieval extends QueryPack {
          |SELECT row_number() OVER (ORDER BY ROUND(score, 12) DESC, doc_id) AS rn,
          |       doc_id, ROUND(score, 4) AS bm25
          |FROM sc QUALIFY rn <= 10 ORDER BY rn""".stripMargin,
+
+    "stream_bm25_route" ->
+      s"""WITH ${bm25SqlCte(
+              scoredFrom = "(SELECT * FROM documents WHERE doc_id % 4 = 0)",
+              statsFrom = "(SELECT * FROM documents WHERE doc_id % 4 <> 0)")}
+         |SELECT doc_id, ROUND(score, 4) AS bm25
+         |FROM sc WHERE ROUND(score, 6) >= 2.0 ORDER BY doc_id""".stripMargin,
 
     "text_bm25_batch" -> {
       val qVals = BatchQueries.flatMap { case (qid, ts) =>

@@ -877,6 +877,33 @@ class StreamSpec extends AnyFunSuite {
     assert(before == after, "replayed epochs changed the maintained lexicon")
   }
 
+  test("stream_bm25_route: streamed relevance routing == batch twin") {
+    import graft.llm.Retrieval
+    // the router is stateless (map + broadcast stats join + filter), so
+    // it streams in append mode; the stats side is STATIC (the day-1
+    // lexicon artifacts) — the stream-static broadcast join shape
+    val stats = Retrieval.dayStats(spark, dir)
+    val delta = Tables.documents(spark, dir).where(col("doc_id") % 4 === 0)
+    val inDir = Files.createTempDirectory("graft_bm25route_in").toString
+    delta.select("doc_id", "text").write.mode("append").json(inDir)
+    val ckpt = Files.createTempDirectory("graft_ckpt_bm25route").toString
+    val q = Retrieval.bm25Route(
+        spark.readStream.schema("doc_id LONG, text STRING").json(inDir), stats)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bm25_route_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("bm25_route_stream")
+      .orderBy("doc_id").collect().toSeq
+    val batch = SparkEntry.queries("stream_bm25_route")(spark, dir)
+      .collect().toSeq
+    assert(batch.nonEmpty, "no docs cleared the routing threshold")
+    assert(streamed == batch,
+      s"stream (${streamed.size}) != batch (${batch.size})")
+  }
+
   test("streaming PQ codes maintenance: maintained codes == batch-encoded; drift trigger") {
     import graft.llm.Quantize
     val emb = Tables.embeddings(spark, dir)
