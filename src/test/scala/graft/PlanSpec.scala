@@ -468,4 +468,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"),
       s"consumer ranges must be plan-compiled, never joined:\n$plan")
   }
+
+  test("text_bm25_topk: scoring is shuffle-free — stats broadcast back, top-k as TakeOrdered") {
+    val plan = physical("text_bm25_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must be a TakeOrderedAndProject, not a global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 1-row stats side must broadcast, never shuffle-join:\n$plan")
+    // the only shuffle allowed is the 1-row stats aggregate's
+    // partial→final exchange (SinglePartition)
+    val exchanges = "Exchange [a-z]+".r.findAllIn(plan).toSeq
+    assert(exchanges.forall(_.contains("Exchange SinglePartition")),
+      s"corpus-side shuffle in a map-side scorer: $exchanges\n$plan")
+  }
+
+  test("text_bm25_incr: probe reads BOTH lexicon artifacts; delta side broadcast-joins the stats row") {
+    val plan = physical("text_bm25_incr")
+    assert(plan.contains("bm25_lexidx_"),
+      s"term df must come from the persisted lexicon:\n$plan")
+    assert(plan.contains("bm25_statidx_"),
+      s"corpus stats must come from the persisted stats table:\n$plan")
+    // the literal-key equi join constant-folds to a nested-loop over
+    // the 1-row broadcast build side — either broadcast form is the
+    // right plan; a shuffle join is not
+    assert(plan.contains("BroadcastHashJoin")
+        || plan.contains("BroadcastNestedLoopJoin"),
+      s"the folded stats row must broadcast onto the delta scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in the ingest scorer may shuffle-join:\n$plan")
+  }
+
+  test("ann_query_rrf: vector list rides the persisted SRP serving index") {
+    val plan = physical("ann_query_rrf")
+    assert(plan.contains("ann_embidx_"),
+      s"served candidates must come from the persisted SRP index artifacts:\n$plan")
+  }
 }
