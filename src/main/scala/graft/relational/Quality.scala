@@ -1,0 +1,184 @@
+package graft.relational
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality gates (SURVEY.md §2 round-8 widening): the
+  * expectations/contract-check layer every production pipeline runs
+  * before publishing a table — rule-based checks (PK uniqueness, FK
+  * integrity, range/enum/null contracts) and per-column profiling.
+  *
+  * Scale shape: all per-table rules for one table FUSE into ONE
+  * scan-aggregate (conditional counts — no rule re-scans the table),
+  * FK integrity is a LEFT ANTI join counted (the honest shape: at
+  * cluster scale it shuffles on the key like any referential check),
+  * and the report assembly unions 1-row frames — driver-light at any
+  * table size. The acctbal rule intentionally FAILS on the fixture
+  * (TPC-H-style data allows negative balances): the report's fail
+  * path is exercised by real data, not a synthetic violation.
+  */
+object Quality extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // rule-based contract checks: (rule, n_checked, n_violations, pass)
+    "dq_checks" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val c = Tables.customer(s, dir)
+      // one fused aggregate per table
+      val oAgg = o.agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_pk"),
+        sum((!col("o_orderstatus").isin("O", "F", "P")).cast("long")).as("v_enum"),
+        sum((col("o_totalprice") <= 0).cast("long")).as("v_price"))
+      val lAgg = l.agg(count(lit(1)).as("n"),
+        sum((col("l_quantity") < 1 || col("l_quantity") > 50).cast("long")).as("v_qty"),
+        sum((col("l_discount") < 0 || col("l_discount") > 0.1).cast("long")).as("v_disc"))
+      val cAgg = c.agg(count(lit(1)).as("n"),
+        sum(col("c_name").isNull.cast("long")).as("v_name"),
+        sum((col("c_acctbal") < 0).cast("long")).as("v_bal"))
+      // FK integrity: anti-join counts (parent side deduplicated by
+      // the join semantics; only the key columns are scanned)
+      val vFkL = l.select(col("l_orderkey"))
+        .join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v_fk"))
+      val vFkO = o.select(col("o_custkey"))
+        .join(c.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v_fk"))
+      val rows =
+        oAgg.selectExpr(
+          """stack(3,
+             |'orders_pk_unique', n, v_pk,
+             |'orders_status_enum', n, v_enum,
+             |'orders_totalprice_positive', n, v_price)
+             |AS (rule, n_checked, n_violations)""".stripMargin) union
+        lAgg.selectExpr(
+          """stack(2,
+             |'lineitem_quantity_1_50', n, v_qty,
+             |'lineitem_discount_0_01', n, v_disc)
+             |AS (rule, n_checked, n_violations)""".stripMargin) union
+        cAgg.selectExpr(
+          """stack(2,
+             |'customer_name_notnull', n, v_name,
+             |'customer_acctbal_nonnegative', n, v_bal)
+             |AS (rule, n_checked, n_violations)""".stripMargin) union
+        lAgg.select(col("n")).crossJoin(vFkL)
+          .select(lit("lineitem_orderkey_fk").as("rule"),
+            col("n").as("n_checked"), col("v_fk").as("n_violations")) union
+        oAgg.select(col("n")).crossJoin(vFkO)
+          .select(lit("orders_custkey_fk").as("rule"),
+            col("n").as("n_checked"), col("v_fk").as("n_violations"))
+      rows.withColumn("pass", col("n_violations") === 0)
+        .orderBy("rule")
+    }),
+
+    // per-column profile of orders in ONE scan: nulls, distinct,
+    // min/max rendered through parity-safe casts (dates via DATE,
+    // doubles via DECIMAL(18,2) — raw double→string formatting is
+    // engine-dependent; decimal keeps scale identically on both)
+    "dq_profile" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.agg(
+        sum(col("o_orderkey").isNull.cast("long")).as("nl_ok"),
+        countDistinct(col("o_orderkey")).as("nd_ok"),
+        min(col("o_orderkey")).cast("string").as("mn_ok"),
+        max(col("o_orderkey")).cast("string").as("mx_ok"),
+        sum(col("o_custkey").isNull.cast("long")).as("nl_ck"),
+        countDistinct(col("o_custkey")).as("nd_ck"),
+        min(col("o_custkey")).cast("string").as("mn_ck"),
+        max(col("o_custkey")).cast("string").as("mx_ck"),
+        sum(col("o_orderstatus").isNull.cast("long")).as("nl_st"),
+        countDistinct(col("o_orderstatus")).as("nd_st"),
+        min(col("o_orderstatus")).as("mn_st"),
+        max(col("o_orderstatus")).as("mx_st"),
+        sum(col("o_totalprice").isNull.cast("long")).as("nl_tp"),
+        countDistinct(col("o_totalprice")).as("nd_tp"),
+        min(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("mn_tp"),
+        max(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("mx_tp"),
+        sum(col("o_orderdate").isNull.cast("long")).as("nl_od"),
+        countDistinct(col("o_orderdate")).as("nd_od"),
+        min(col("o_orderdate")).cast("date").cast("string").as("mn_od"),
+        max(col("o_orderdate")).cast("date").cast("string").as("mx_od"))
+      a.selectExpr(
+        """stack(5,
+           |'o_orderkey',   nl_ok, nd_ok, mn_ok, mx_ok,
+           |'o_custkey',    nl_ck, nd_ck, mn_ck, mx_ck,
+           |'o_orderstatus',nl_st, nd_st, mn_st, mx_st,
+           |'o_totalprice', nl_tp, nd_tp, mn_tp, mx_tp,
+           |'o_orderdate',  nl_od, nd_od, mn_od, mx_od)
+           |AS (column, n_nulls, n_distinct, min_s, max_s)""".stripMargin)
+        .orderBy("column")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dq_checks" ->
+      """WITH oa AS (
+        |  SELECT COUNT(*) AS n,
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_pk,
+        |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_enum,
+        |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price
+        |  FROM orders),
+        |la AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+        |  FROM lineitem),
+        |ca AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_name,
+        |    CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_bal
+        |  FROM customer),
+        |fkl AS (
+        |  SELECT COUNT(*) AS v_fk FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |fko AS (
+        |  SELECT COUNT(*) AS v_fk FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |r AS (
+        |  SELECT 'orders_pk_unique' AS rule, n AS n_checked, v_pk AS n_violations FROM oa
+        |  UNION ALL SELECT 'orders_status_enum', n, v_enum FROM oa
+        |  UNION ALL SELECT 'orders_totalprice_positive', n, v_price FROM oa
+        |  UNION ALL SELECT 'lineitem_quantity_1_50', n, v_qty FROM la
+        |  UNION ALL SELECT 'lineitem_discount_0_01', n, v_disc FROM la
+        |  UNION ALL SELECT 'customer_name_notnull', n, v_name FROM ca
+        |  UNION ALL SELECT 'customer_acctbal_nonnegative', n, v_bal FROM ca
+        |  UNION ALL SELECT 'lineitem_orderkey_fk', (SELECT n FROM la), v_fk FROM fkl
+        |  UNION ALL SELECT 'orders_custkey_fk', (SELECT n FROM oa), v_fk FROM fko)
+        |SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+        |FROM r ORDER BY rule""".stripMargin,
+
+    "dq_profile" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl_ok,
+        |    COUNT(DISTINCT o_orderkey) AS nd_ok,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS mn_ok,
+        |    CAST(MAX(o_orderkey) AS VARCHAR) AS mx_ok,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl_ck,
+        |    COUNT(DISTINCT o_custkey) AS nd_ck,
+        |    CAST(MIN(o_custkey) AS VARCHAR) AS mn_ck,
+        |    CAST(MAX(o_custkey) AS VARCHAR) AS mx_ck,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl_st,
+        |    COUNT(DISTINCT o_orderstatus) AS nd_st,
+        |    MIN(o_orderstatus) AS mn_st,
+        |    MAX(o_orderstatus) AS mx_st,
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl_tp,
+        |    COUNT(DISTINCT o_totalprice) AS nd_tp,
+        |    CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn_tp,
+        |    CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx_tp,
+        |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl_od,
+        |    COUNT(DISTINCT o_orderdate) AS nd_od,
+        |    CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS mn_od,
+        |    CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS mx_od
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS "column", nl_ok AS n_nulls, nd_ok AS n_distinct, mn_ok AS min_s, mx_ok AS max_s FROM a
+        |UNION ALL SELECT 'o_custkey', nl_ck, nd_ck, mn_ck, mx_ck FROM a
+        |UNION ALL SELECT 'o_orderstatus', nl_st, nd_st, mn_st, mx_st FROM a
+        |UNION ALL SELECT 'o_totalprice', nl_tp, nd_tp, mn_tp, mx_tp FROM a
+        |UNION ALL SELECT 'o_orderdate', nl_od, nd_od, mn_od, mx_od FROM a
+        |ORDER BY "column"""".stripMargin
+  )
+}
