@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.{QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-quality gates (SURVEY.md §2 round-8 widening): the
@@ -72,6 +72,65 @@ object Quality extends QueryPack {
             col("n").as("n_checked"), col("v_fk").as("n_violations"))
       rows.withColumn("pass", col("n_violations") === 0)
         .orderBy("rule")
+    }),
+
+    // Distribution-drift monitor (PSI): day-1 vs delta doc-length
+    // distributions over 16 fixed buckets — the population-stability
+    // check a training-data pipeline runs per snapshot before trusting
+    // its mixture. Laplace add-1 smoothing makes every bucket share
+    // well-defined on both engines; shares are exact-int quotients
+    // ((cnt+1)/(n+16), ONE double division each), each bucket's PSI
+    // term (q-p)·ln(q/p) is rounded to 12 BEFORE emission so libm ulp
+    // never reaches the hash gate. Per-bucket rows (the diagnostic a
+    // human reads); Σ psi_term is the headline statistic. Shape: one
+    // map-side bucket assignment + a 16-row conditional rollup per
+    // side — scan-bound, output O(buckets).
+    "dq_drift_psi" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          least(floor(size(split(col("text"), " ")) / 32), lit(15L))
+            .cast("long").as("bkt"))
+      val side = (pred: Column, pfx: String) => docs.where(pred)
+        .groupBy("bkt").agg(count(lit(1)).as(s"${pfx}_c"))
+      val grid = s.range(0, 16).select(col("id").as("bkt"))
+      val counts = grid
+        .join(side(col("doc_id") % 4 =!= 0, "d1"), Seq("bkt"), "left")
+        .join(side(col("doc_id") % 4 === 0, "dl"), Seq("bkt"), "left")
+        .select(col("bkt"),
+          coalesce(col("d1_c"), lit(0L)).as("n_day1"),
+          coalesce(col("dl_c"), lit(0L)).as("n_delta"))
+      val tot = counts.agg(sum(col("n_day1")).as("t1"),
+        sum(col("n_delta")).as("t2"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("p", (col("n_day1") + 1).cast("double") / (col("t1") + 16))
+        .withColumn("q", (col("n_delta") + 1).cast("double") / (col("t2") + 16))
+        .select(col("bkt"), col("n_day1"), col("n_delta"),
+          round((col("q") - col("p")) * log(col("q") / col("p")), 12)
+            .as("psi_term"))
+        .orderBy("bkt")
+    }),
+
+    // Join-skew pre-flight: the "should I salt this join?" histogram —
+    // per log2-size bucket, how many join keys and how many rows sit
+    // there, plus each bucket's max group. A single groupBy(key) count
+    // (the exchange any join on this key pays anyway) reduced to a
+    // ≤64-row report; read before choosing join_skew_salted vs a plain
+    // shuffle join. log2 via floor(ln/ln2 + ε): cnt is a power-of-2
+    // boundary value exactly when it matters, and libm ln(2^k)/ln(2)
+    // can land 1 ulp BELOW k — the epsilon (≪ the gap to the next
+    // representable quotient elsewhere) pins the bucket on both
+    // engines.
+    "obs_join_skew" -> ((s, dir) => {
+      val sizes = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      sizes
+        .withColumn("sz_log2",
+          floor(log(col("cnt").cast("double")) / math.log(2.0) + 1e-9)
+            .cast("long"))
+        .groupBy("sz_log2")
+        .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_group"))
+        .orderBy("sz_log2")
     }),
 
     // per-column profile of orders in ONE scan: nulls, distinct,
@@ -149,6 +208,38 @@ object Quality extends QueryPack {
         |  UNION ALL SELECT 'orders_custkey_fk', (SELECT n FROM oa), v_fk FROM fko)
         |SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
         |FROM r ORDER BY rule""".stripMargin,
+
+    "dq_drift_psi" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    least(CAST(floor(len(string_split(text, ' ')) / 32) AS BIGINT), 15) AS bkt
+        |  FROM documents),
+        |g AS (SELECT unnest(generate_series(0, 15)) AS bkt),
+        |d1 AS (SELECT bkt, COUNT(*) AS c FROM b WHERE doc_id % 4 <> 0 GROUP BY bkt),
+        |dl AS (SELECT bkt, COUNT(*) AS c FROM b WHERE doc_id % 4 = 0 GROUP BY bkt),
+        |cc AS (
+        |  SELECT g.bkt,
+        |    COALESCE(d1.c, 0) AS n_day1, COALESCE(dl.c, 0) AS n_delta
+        |  FROM g LEFT JOIN d1 USING (bkt) LEFT JOIN dl USING (bkt)),
+        |t AS (SELECT CAST(SUM(n_day1) AS BIGINT) AS t1,
+        |             CAST(SUM(n_delta) AS BIGINT) AS t2 FROM cc),
+        |pq AS (
+        |  SELECT bkt, n_day1, n_delta,
+        |    CAST(n_day1 + 1 AS DOUBLE) / (t1 + 16) AS p,
+        |    CAST(n_delta + 1 AS DOUBLE) / (t2 + 16) AS q
+        |  FROM cc CROSS JOIN t)
+        |SELECT bkt, n_day1, n_delta,
+        |       ROUND((q - p) * ln(q / p), 12) AS psi_term
+        |FROM pq ORDER BY bkt""".stripMargin,
+
+    "obs_join_skew" ->
+      """WITH s AS (
+        |  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey)
+        |SELECT CAST(floor(ln(CAST(cnt AS DOUBLE)) / ln(2.0) + 0.000000001) AS BIGINT) AS sz_log2,
+        |       COUNT(*) AS n_keys,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |       MAX(cnt) AS max_group
+        |FROM s GROUP BY 1 ORDER BY sz_log2""".stripMargin,
 
     "dq_profile" ->
       """WITH a AS (
