@@ -17,10 +17,12 @@ import org.apache.spark.sql.expressions.Window
   * never an explode + groupBy over the whole corpus vocabulary), the
   * corpus statistics (N, Σdl, per-term df) reduce to ONE row that
   * Catalyst broadcasts back, and the top-k is a TakeOrderedAndProject.
-  * At 100 TB the stats row is the only global reduction, and in
-  * production it is a once-per-snapshot artifact (the df/avgdl numbers
-  * change negligibly per delta — the `Incremental` index discipline
-  * applies verbatim); scoring is then embarrassingly parallel.
+  * At 100 TB the stats row is the only global reduction — and the
+  * once-per-snapshot artifact form is implemented too: `lexIndex` /
+  * `lexStatsIndex` persist day-1 df/N/Σdl epoch-partitioned, the
+  * ingest scorer (`text_bm25_incr`) and the streaming router
+  * (`stream_bm25_route`) probe them with no day-1 rescan, and
+  * `maintainLexicon` appends per-epoch partials restart-safely.
   *
   * FP-parity notes (the oracle hash gate): tf/df/dl/N are exact
   * integers on both engines; avgdl is computed as one double division
