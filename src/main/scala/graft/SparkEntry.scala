@@ -29,6 +29,7 @@ object SparkEntry {
     relational.Extras11,
     relational.Extras12,
     relational.Extras13,
+    relational.Extras14,
     relational.Quality,
     relational.Storage,
     relational.Subqueries,

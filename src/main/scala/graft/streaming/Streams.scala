@@ -73,6 +73,19 @@ object Streams extends QueryPack {
         .orderBy(col("p_id").asc_nulls_first, col("c_id").asc_nulls_first)
     }),
 
+    // Per-user running profile through the Spark 4 transformWithState
+    // API (state v2: named ValueState on RocksDB, TTL, timers) —
+    // judged via this batch form; StreamSpec drives the REAL
+    // StatefulProcessor (StateV2.profileStream) through a multi-batch
+    // run and a truncated-commit restart and asserts final state ==
+    // this twin. The profile is order-independent (count + max) by
+    // design, so micro-batch boundaries cannot show through.
+    "stream_state_profile" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+        .orderBy("user_id")),
+
     // multi-source fan-in: two filtered streams unioned into one
     // windowed aggregate, judged via the batch form; the two-file-stream
     // execution is verified in StreamSpec
@@ -183,6 +196,10 @@ object Streams extends QueryPack {
   private val epochSec = "CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
+    "stream_state_profile" ->
+      """SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "stream_cdc_apply" ->
       """WITH e AS (SELECT user_id, event_id,
         |  CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS last_t,

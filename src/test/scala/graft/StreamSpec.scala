@@ -1225,6 +1225,69 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState: multi-batch profile accumulation == batch twin; restart-safe") {
+    import graft.streaming.StateV2
+    // the state-v2 API REQUIRES the RocksDB provider
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(conf)
+    spark.conf.set(conf, GraftSession.rocksDBProvider)
+    try {
+      // two input files + maxFilesPerTrigger=1 → the profile builds
+      // across ≥ 2 micro-batches, so ValueState genuinely carries
+      val ev = Tables.events(spark, dir)
+        .select("event_id", "user_id", "value")
+      val inDir = Files.createTempDirectory("graft_twstate_in").toString
+      // two appends → multiple part files; maxFilesPerTrigger=1 splits
+      // them into separate micro-batches
+      ev.where(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("append").json(inDir)
+      ev.where(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("append").json(inDir)
+      val ckpt = Files.createTempDirectory("graft_ckpt_twstate").toString
+      val outDir = Files.createTempDirectory("graft_twstate_out").toString
+      // epoch-dir foreachBatch recipe: memory sinks cannot recover
+      // from a checkpoint; per-epoch overwrite keeps replays idempotent
+      def run(): Unit = {
+        val q = StateV2.profileStream(
+            spark.readStream.schema("user_id LONG, value DOUBLE")
+              .option("maxFilesPerTrigger", 1).json(inDir))
+          .writeStream.outputMode("update")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.UserProfile],
+             id: Long) =>
+              b.write.mode("overwrite").parquet(s"$outDir/batch=$id"); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      run()
+      // Update mode emits one refreshed row per key per batch — the
+      // final profile per user is the row with max n_events (the count
+      // is monotone); it must equal the batch twin exactly
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      def finalRows() = spark.read.parquet(s"$outDir/batch=*")
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select("user_id", "n_events", "max_value")
+      val twin = SparkEntry.queries("stream_state_profile")(spark, dir)
+      assertSameRows(finalRows(), twin)
+      // restart recovery: truncate the newest commit and rerun — the
+      // replayed epoch must restore the same rewound ValueState and
+      // re-emit identical rows (the shared truncated-commit recipe)
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+      commits.last.delete()
+      if (crc.exists()) crc.delete()
+      run()
+      assertSameRows(finalRows(), twin)
+    } finally before match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
   test("empty monitored directory: stream starts on the canonical schema before any file lands") {
     val emptyDir = Files.createTempDirectory("graft_empty_src").toString
     val st = MessageSource.fileStream(spark, emptyDir)
