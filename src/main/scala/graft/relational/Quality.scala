@@ -133,41 +133,39 @@ object Quality extends QueryPack {
         .orderBy("sz_log2")
     }),
 
-    // per-column profile of orders in ONE scan: nulls, distinct,
-    // min/max rendered through parity-safe casts (dates via DATE,
-    // doubles via DECIMAL(18,2) — raw double→string formatting is
-    // engine-dependent; decimal keeps scale identically on both)
+    // per-column profile of orders: nulls, distinct, min/max rendered
+    // through parity-safe casts (dates via DATE, doubles via
+    // DECIMAL(18,2) — raw double→string formatting is engine-
+    // dependent; decimal keeps scale identically on both). One
+    // single-column aggregate PER COLUMN, unioned: each branch's
+    // parquet scan prunes to exactly its column (columnar-friendly —
+    // same total bytes as one all-column pass) and a single
+    // countDistinct plans as a plain two-phase aggregate. The first
+    // cut fused all five into one agg: Catalyst's mixed
+    // multi-distinct rewrite expanded ×5 AND duplicated the whole
+    // aggregate subtree — measured 2.2 s vs 0.9 s for this shape at
+    // sf0.1.
     "dq_profile" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
-      val a = o.agg(
-        sum(col("o_orderkey").isNull.cast("long")).as("nl_ok"),
-        countDistinct(col("o_orderkey")).as("nd_ok"),
-        min(col("o_orderkey")).cast("string").as("mn_ok"),
-        max(col("o_orderkey")).cast("string").as("mx_ok"),
-        sum(col("o_custkey").isNull.cast("long")).as("nl_ck"),
-        countDistinct(col("o_custkey")).as("nd_ck"),
-        min(col("o_custkey")).cast("string").as("mn_ck"),
-        max(col("o_custkey")).cast("string").as("mx_ck"),
-        sum(col("o_orderstatus").isNull.cast("long")).as("nl_st"),
-        countDistinct(col("o_orderstatus")).as("nd_st"),
-        min(col("o_orderstatus")).as("mn_st"),
-        max(col("o_orderstatus")).as("mx_st"),
-        sum(col("o_totalprice").isNull.cast("long")).as("nl_tp"),
-        countDistinct(col("o_totalprice")).as("nd_tp"),
-        min(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("mn_tp"),
-        max(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("mx_tp"),
-        sum(col("o_orderdate").isNull.cast("long")).as("nl_od"),
-        countDistinct(col("o_orderdate")).as("nd_od"),
-        min(col("o_orderdate")).cast("date").cast("string").as("mn_od"),
-        max(col("o_orderdate")).cast("date").cast("string").as("mx_od"))
-      a.selectExpr(
-        """stack(5,
-           |'o_orderkey',   nl_ok, nd_ok, mn_ok, mx_ok,
-           |'o_custkey',    nl_ck, nd_ck, mn_ck, mx_ck,
-           |'o_orderstatus',nl_st, nd_st, mn_st, mx_st,
-           |'o_totalprice', nl_tp, nd_tp, mn_tp, mx_tp,
-           |'o_orderdate',  nl_od, nd_od, mn_od, mx_od)
-           |AS (column, n_nulls, n_distinct, min_s, max_s)""".stripMargin)
+      def prof(c: String, mn: Column, mx: Column): DataFrame =
+        o.agg(
+          sum(col(c).isNull.cast("long")).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          mn.as("min_s"), mx.as("max_s"))
+          .select(lit(c).as("column"), col("n_nulls"), col("n_distinct"),
+            col("min_s"), col("max_s"))
+      prof("o_orderkey", min(col("o_orderkey")).cast("string"),
+          max(col("o_orderkey")).cast("string"))
+        .unionAll(prof("o_custkey", min(col("o_custkey")).cast("string"),
+          max(col("o_custkey")).cast("string")))
+        .unionAll(prof("o_orderstatus", min(col("o_orderstatus")),
+          max(col("o_orderstatus"))))
+        .unionAll(prof("o_totalprice",
+          min(col("o_totalprice")).cast("decimal(18,2)").cast("string"),
+          max(col("o_totalprice")).cast("decimal(18,2)").cast("string")))
+        .unionAll(prof("o_orderdate",
+          min(col("o_orderdate")).cast("date").cast("string"),
+          max(col("o_orderdate")).cast("date").cast("string")))
         .orderBy("column")
     })
   )
