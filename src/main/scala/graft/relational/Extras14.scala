@@ -60,6 +60,28 @@ object Extras14 extends QueryPack {
         .agg(min(col("nm")).as("rep"), count(lit(1)).as("n"))
         .select(col("rep"), col("n"))
         .orderBy("rep")
+    }),
+
+    // Collation-aware JOIN: the same UTF8_LCASE comparison flowing
+    // through the join machinery — a case-mangled nation list
+    // equi-joins the lowercased original ON collated equality, no
+    // lower() normalization column anywhere. Output keys are the
+    // original (binary) spellings from both sides, so nothing
+    // collated reaches the hash gate. The oracle joins on lower() —
+    // same row pairing, different mechanism.
+    "fn_collation_join" -> ((s, dir) => {
+      val cap1 = concat(upper(substring(lower(col("n_name")), 1, 1)),
+        substring(lower(col("n_name")), 2, 1000000))
+      val mangled = when(col("n_nationkey") % 2 === 0, upper(col("n_name")))
+        .otherwise(cap1)
+      val a = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("key_a"), mangled.as("nm_a"))
+      val b = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("key_b"), lower(col("n_name")).as("nm_b"))
+      a.join(b,
+          collate(col("nm_a"), "UTF8_LCASE") === collate(col("nm_b"), "UTF8_LCASE"))
+        .select(col("key_a"), col("nm_a"), col("key_b"), col("nm_b"))
+        .orderBy("key_a", "key_b")
     })
   )
 
@@ -72,6 +94,18 @@ object Extras14 extends QueryPack {
         |WHERE o_orderstatus = 'F'
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "fn_collation_join" ->
+      """WITH m AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey % 2 = 0 THEN upper(n_name)
+        |         ELSE upper(substring(lower(n_name), 1, 1)) || substring(lower(n_name), 2) END AS nm
+        |  FROM nation),
+        |a AS (SELECT n_nationkey AS key_a, nm AS nm_a FROM m),
+        |b AS (SELECT n_nationkey AS key_b, lower(n_name) AS nm_b FROM nation)
+        |SELECT key_a, nm_a, key_b, nm_b
+        |FROM a JOIN b ON lower(nm_a) = lower(nm_b)
+        |ORDER BY key_a, key_b""".stripMargin,
 
     "fn_collation" ->
       """WITH m AS (
