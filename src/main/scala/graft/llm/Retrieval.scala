@@ -43,9 +43,10 @@ object Retrieval extends QueryPack {
   private val B  = 0.75
 
   /** Per-doc frame (doc_id, dl, tf_<term>...) — one map-side pass. */
-  private def docTfOf(docs: DataFrame): DataFrame = {
+  private def docTfOf(docs: DataFrame,
+      terms: Seq[String] = QueryTerms): DataFrame = {
     val toks = split(col("text"), " ")
-    val tfCols = QueryTerms.map(t =>
+    val tfCols = terms.map(t =>
       size(filter(toks, x => x === t)).cast("long").as(s"tf_$t"))
     docs.select(
       col("doc_id") +: size(toks).cast("long").as("dl") +: tfCols: _*)
@@ -71,13 +72,14 @@ object Retrieval extends QueryPack {
   /** (doc_id, score) with score already summed over the query terms.
     * The stats aggregate is one row; Catalyst broadcasts the cross
     * join (BroadcastNestedLoopJoin over a 1-row build side). */
-  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
-    val tf = docTf(s, dir)
-    val dfCols = QueryTerms.flatMap(t => Seq(
+  private def bm25Scored(s: SparkSession, dir: String,
+      terms: Seq[String] = QueryTerms): DataFrame = {
+    val tf = docTfOf(Tables.documents(s, dir), terms)
+    val dfCols = terms.flatMap(t => Seq(
       sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t")))
     val stats = tf.agg(count(lit(1)).as("n"),
       (sum(col("dl")).as("sdl") +: dfCols): _*)
-    val score = QueryTerms.map(t => termScoreOf(col(s"tf_$t"),
+    val score = terms.map(t => termScoreOf(col(s"tf_$t"),
         col(s"df_$t"), col("dl"), col("n"), col("sdl")))
       .reduceLeft(_ + _)
     tf.crossJoin(broadcast(stats)).select(col("doc_id"), score.as("score"))
@@ -99,17 +101,18 @@ object Retrieval extends QueryPack {
     * provide the corpus statistics (identical for the batch key;
     * delta-vs-day-1 for the incremental key). */
   private def bm25SqlCte(scoredFrom: String = "documents",
-      statsFrom: String = "documents"): String = {
-    val tfSel = QueryTerms.map(t =>
+      statsFrom: String = "documents",
+      terms: Seq[String] = QueryTerms): String = {
+    val tfSel = terms.map(t =>
       s"len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(",\n    ")
-    val dfSel = QueryTerms.map(t =>
+    val dfSel = terms.map(t =>
       s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n    ")
     // Every operand is forced to DOUBLE before it meets a DuckDB
     // numeric literal: bare literals are DECIMAL there, and a
     // decimal-path product rounds once from the exact rational while
     // Spark's double path rounds the product of approximations — a
     // 1-ulp divergence the hash gate would catch.
-    val termScore = QueryTerms.map(t =>
+    val termScore = terms.map(t =>
       s"""ln(1.0 + (CAST(n AS DOUBLE) - df_$t + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))
          |      * ((CAST(tf_$t AS DOUBLE) * ${K1 + 1.0}) / (CAST(tf_$t AS DOUBLE) + $K1 * ((1.0 - $B) + $B * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n)))))"""
         .stripMargin).mkString("(", "\n    + ", ")")
@@ -326,6 +329,26 @@ object Retrieval extends QueryPack {
       bm25Route(deltaDocs(s, dir), dayStats(s, dir))
         .orderBy("doc_id")),
 
+    // PHRASE search (round 8): docs containing the exact token
+    // sequence "table value" (both sides padded with spaces, so the
+    // match is token-boundary exact — never a substring of a longer
+    // token), ranked by the phrase terms' BM25 against FULL-corpus
+    // statistics. The phrase test is a map-side instr (pushable to the
+    // scan side); the rank runs over phrase hits only. Corpus-scale
+    // note: a production phrase index prunes candidates from a bigram
+    // postings store first (the text_ngrams layout) — the contains
+    // scan here is the oracle-able core the pruning feeds.
+    "text_bm25_phrase" -> ((s, dir) => {
+      val phrase = Seq("table", "value")
+      val hits = Tables.documents(s, dir)
+        .where(instr(concat(lit(" "), col("text"), lit(" ")),
+          " table value ") > 0)
+        .select("doc_id")
+      rankTop(bm25Scored(s, dir, phrase).join(hits, Seq("doc_id")), 10)
+        .select(col("rn"), col("doc_id"), round(col("score"), 4).as("bm25"))
+        .orderBy("rn")
+    }),
+
     // BM25 BATCH scoring — the other production shape: a TABLE of
     // queries scored against the corpus in one job (offline eval sets,
     // distillation-query mining). Here the term set is not known as a
@@ -450,6 +473,16 @@ object Retrieval extends QueryPack {
               statsFrom = "(SELECT * FROM documents WHERE doc_id % 4 <> 0)")}
          |SELECT doc_id, ROUND(score, 4) AS bm25
          |FROM sc WHERE ROUND(score, 6) >= 2.0 ORDER BY doc_id""".stripMargin,
+
+    "text_bm25_phrase" ->
+      s"""WITH ${bm25SqlCte(terms = Seq("table", "value"))},
+         |ph AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE instr(' ' || text || ' ', ' table value ') > 0)
+         |SELECT row_number() OVER (ORDER BY ROUND(score, 12) DESC, doc_id) AS rn,
+         |       doc_id, ROUND(score, 4) AS bm25
+         |FROM sc JOIN ph USING (doc_id)
+         |QUALIFY rn <= 10 ORDER BY rn""".stripMargin,
 
     "text_bm25_batch" -> {
       val qVals = BatchQueries.flatMap { case (qid, ts) =>
