@@ -88,5 +88,5 @@ object SparkEntry {
     "dedup_near", "dedup_semantic_ann", "dedup_semantic_cells",
     "embed_label_purity_ann", "embed_pq",
     "sim_edge_histogram_ann", "sim_ivf_ann", "sim_knn_graph_ann",
-    "sim_lsh_ann")
+    "sim_lsh_ann", "sim_mmr_rerank")
 }

@@ -349,6 +349,29 @@ object Retrieval extends QueryPack {
         .orderBy("rn")
     }),
 
+    // Search-result SNIPPETS (round 8): the display surface — for
+    // every phrase hit, a ±40-char context window centered on the
+    // match, with the match position and an ellipsis marker when the
+    // window clips. Pure scan-side string arithmetic (instr +
+    // greatest + substring); at corpus scale this runs over the
+    // top-k hits a ranker already selected, so the work is k-row.
+    "text_snippets" -> ((s, dir) => {
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val pos = instr(padded, " table value ")
+      val start = greatest(pos - 40, lit(1))
+      Tables.documents(s, dir)
+        .withColumn("pos", pos).where(col("pos") > 0)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          concat(
+            when(col("pos") - 40 > 1, "…").otherwise(""),
+            substring(padded, start.cast("int"), lit(93)),
+            // substring covers [start, start+92]; right-truncated iff
+            // characters exist beyond that
+            when(length(padded) > start + 92, "…").otherwise(""))
+            .as("snippet"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 BATCH scoring — the other production shape: a TABLE of
     // queries scored against the corpus in one job (offline eval sets,
     // distillation-query mining). Here the term set is not known as a
@@ -401,12 +424,35 @@ object Retrieval extends QueryPack {
     // absent from one list contributes 0 from that ranker. In
     // production the vector list comes from the ANN servers
     // (ann_query_* family) — this key is the exact oracle twin.
-    "sim_hybrid_rrf" -> ((s, dir) =>
-      rrfFuse(
-        rankTop(bm25Scored(s, dir), 100)
-          .select(col("doc_id"), col("rn").as("r_lex")),
-        rankTop(cosScored(s, dir), 100)
-          .select(col("doc_id"), col("rn").as("r_vec")))),
+    "sim_hybrid_rrf" -> ((s, dir) => hybridExact(s, dir)),
+
+    // MMR diversity rerank (round 8): the post-processing step a RAG
+    // serving stack applies to its fused top-k — greedy Maximal
+    // Marginal Relevance (Carbonell & Goldstein '98): pick
+    // argmax λ·rel̂(c) − (1−λ)·max_{s∈S} cos(c, s), λ = 0.7, rel̂ =
+    // rrf/max(rrf), ties to the smaller doc_id; docs without a vector
+    // (lexical-only hits past the embedding range) contribute 0
+    // similarity — they cannot be redundant in vector space. The
+    // greedy loop runs over the k=10 fused candidates on the driver
+    // (a BOUNDED artifact, the K-row centroid-fetch precedent — at
+    // any corpus size the rerank input is the served k, never the
+    // corpus). Exempt: greedy stateful argmax has no practical SQL
+    // twin; RetrievalSpec verifies the argmax invariant at every step
+    // from the key's own inputs.
+    "sim_mmr_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val top = hybridExact(s, dir)
+        .select(col("doc_id"), col("rrf_score")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      val ids = top.map(_._1)
+      val vecs = Tables.embeddings(s, dir)
+        .where(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val out = mmrGreedy(top.toSeq, vecs, 0.7)
+      out.toDF("rank", "doc_id", "mmr_score")
+    }),
 
     // The SERVED hybrid (round 8): the same fusion (shared rrfFuse —
     // cannot fork) with the vector list coming from the persisted SRP
@@ -435,6 +481,53 @@ object Retrieval extends QueryPack {
       rrfFuse(lex, vec)
     })
   )
+
+  /** The exact hybrid fusion — shared by sim_hybrid_rrf and the MMR
+    * reranker's candidate feed. */
+  private def hybridExact(s: SparkSession, dir: String): DataFrame =
+    rrfFuse(
+      rankTop(bm25Scored(s, dir), 100)
+        .select(col("doc_id"), col("rn").as("r_lex")),
+      rankTop(cosScored(s, dir), 100)
+        .select(col("doc_id"), col("rn").as("r_vec")))
+
+  /** Greedy MMR over the k fused candidates (driver-side, k-bounded).
+    * Deterministic: candidates iterate in the fused order, relevance
+    * is normalized by the max rrf, cosine is a fixed sequential loop,
+    * ties break to the smaller doc_id. Shared with the RetrievalSpec
+    * invariant check through the same (rel, vecs) inputs. */
+  private[graft] def mmrGreedy(top: Seq[(Long, Double)],
+      vecs: Map[Long, Array[Double]], lambda: Double)
+      : Seq[(Int, Long, Double)] = {
+    val maxRel = top.map(_._2).max
+    val rel = top.map { case (id, r) => id -> r / maxRel }.toMap
+    def cos(a: Long, b: Long): Double = (vecs.get(a), vecs.get(b)) match {
+      case (Some(va), Some(vb)) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < va.length) {
+          dot += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i)
+          i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      case _ => 0.0 // lexical-only candidate: no vector-space redundancy
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashSet(top.map(_._1): _*)
+    while (remaining.nonEmpty) {
+      val best = remaining.map { c =>
+        val maxSim =
+          if (picked.isEmpty) 0.0
+          else picked.map(p => cos(c, p._2)).max
+        (c, lambda * rel(c) - (1 - lambda) * maxSim)
+      }.reduceLeft { (a, b) =>
+        if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
+      }
+      picked += ((picked.size + 1, best._1,
+        math.rint(best._2 * 1e6) / 1e6))
+      remaining -= best._1
+    }
+    picked.toSeq
+  }
 
   /** ONE RRF fusion definition (k=60) over two ranked lists — the
     * exact key and the served key share it, so the fusion semantics
@@ -473,6 +566,21 @@ object Retrieval extends QueryPack {
               statsFrom = "(SELECT * FROM documents WHERE doc_id % 4 <> 0)")}
          |SELECT doc_id, ROUND(score, 4) AS bm25
          |FROM sc WHERE ROUND(score, 6) >= 2.0 ORDER BY doc_id""".stripMargin,
+
+    "text_snippets" ->
+      """WITH d AS (
+        |  SELECT doc_id, ' ' || text || ' ' AS padded,
+        |         instr(' ' || text || ' ', ' table value ') AS pos
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, padded,
+        |         greatest(pos - 40, 1) AS st
+        |  FROM d WHERE pos > 0)
+        |SELECT doc_id, pos,
+        |  (CASE WHEN pos - 40 > 1 THEN '…' ELSE '' END)
+        |  || substring(padded, CAST(st AS BIGINT), 93)
+        |  || (CASE WHEN length(padded) > st + 92 THEN '…' ELSE '' END) AS snippet
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "text_bm25_phrase" ->
       s"""WITH ${bm25SqlCte(terms = Seq("table", "value"))},

@@ -44,6 +44,45 @@ class RetrievalSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("sim_mmr_rerank: permutation of the hybrid top-10; every pick is " +
+      "the step's MMR argmax") {
+    import org.apache.spark.sql.functions.col
+    val hybrid = q("sim_hybrid_rrf")
+      .select("doc_id", "rrf_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val reranked = q("sim_mmr_rerank").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(reranked.map(_._1) == (1 to 10))
+    assert(reranked.map(_._2).toSet == hybrid.map(_._1).toSet,
+      "rerank must permute the fused candidates, not change them")
+    // recompute the objective at every step and assert argmax + ties
+    val ids = hybrid.map(_._1)
+    val vecs = Tables.embeddings(spark, dir)
+      .where(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val maxRel = hybrid.map(_._2).max
+    val rel = hybrid.map { case (id, r) => id -> r / maxRel }.toMap
+    def cos(a: Long, b: Long): Double = (vecs.get(a), vecs.get(b)) match {
+      case (Some(va), Some(vb)) =>
+        val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      case _ => 0.0
+    }
+    var selected = List.empty[Long]
+    var remaining = hybrid.map(_._1).toSet
+    reranked.foreach { case (_, pick) =>
+      def obj(c: Long) = 0.7 * rel(c) -
+        (1 - 0.7) * (if (selected.isEmpty) 0.0 else selected.map(cos(c, _)).max)
+      val best = remaining.map(c => (c, obj(c)))
+        .reduceLeft((a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+      assert(pick == best._1,
+        s"step picked $pick but argmax is ${best._1} (selected=$selected)")
+      selected ::= pick; remaining -= pick
+    }
+  }
+
   test("ann_query_rrf: served top-10 overlaps >= 0.8 with the exact hybrid") {
     val exact = q("sim_hybrid_rrf").collect().map(_.getLong(1)).toSet
     val served = q("ann_query_rrf").collect().map(_.getLong(1)).toSet
