@@ -30,6 +30,7 @@ object SparkEntry {
     relational.Extras12,
     relational.Extras13,
     relational.Extras14,
+    relational.Extras15,
     relational.Quality,
     relational.Storage,
     relational.Subqueries,
@@ -40,6 +41,7 @@ object SparkEntry {
     llm.Text2,
     llm.Text3,
     llm.Text4,
+    llm.Text5,
     llm.Similarity,
     llm.Retrieval,
     llm.Text,

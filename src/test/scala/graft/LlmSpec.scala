@@ -514,4 +514,40 @@ class LlmSpec extends AnyFunSuite {
     assert(selMean > corpusMean,
       s"selection did not shift toward the target (sel=$selMean corpus=$corpusMean)")
   }
+
+  test("text_bpe_encode matches an independent reference merger on every vocab token") {
+    // reference implementation of the documented semantics (each merge
+    // rule applied as repeated leftmost non-overlapping passes to
+    // fixpoint, rules in priority order) — written against symbol
+    // VECTORS, nothing shared with the key's string-replace cascade
+    def refBpe(tok: String): String = {
+      var sym = tok.map(_.toString).toVector
+      for ((l, r) <- graft.llm.Text5.bpeMerges) {
+        var changed = true
+        while (changed) {
+          changed = false
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < sym.length) {
+            if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+              out += (l + r); i += 2; changed = true
+            } else { out += sym(i); i += 1 }
+          }
+          sym = out.result()
+        }
+      }
+      sym.mkString(" ")
+    }
+    val rows = q("text_bpe_encode").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, bpe) = (r.getString(0), r.getString(1))
+      assert(bpe == refBpe(tok), s"cascade diverged on '$tok': " +
+        s"got '$bpe', reference '${refBpe(tok)}'")
+      assert(r.getLong(2) == bpe.split(" ").length)
+    }
+    // the table must actually exercise multi-level merging somewhere
+    assert(rows.exists(r => r.getString(1).split(" ").exists(_.length >= 3)),
+      "no token reached a 3+-char merged symbol — cascade not exercised")
+  }
 }

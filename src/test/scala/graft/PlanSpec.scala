@@ -503,4 +503,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ann_embidx_"),
       s"served candidates must come from the persisted SRP index artifacts:\n$plan")
   }
+
+  test("pipeline_shard_sized: corpus cumsum partitions by bucket; offsets broadcast") {
+    // the two-phase prefix sum's parallelism claim: the corpus-sized
+    // window must carry the bucket key (64-way), the only
+    // SinglePartition stage is the 64-row bucket-offset window, and
+    // the offsets rejoin the corpus as a broadcast
+    val plan = physical("pipeline_shard_sized")
+    assert(plan.contains("hashpartitioning(bkt"),
+      s"corpus window not partitioned by bucket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast:\n$plan")
+    val singleIdx = plan.indexOf("Exchange SinglePartition")
+    assert(singleIdx >= 0, s"expected the 64-row offset window:\n$plan")
+    assert(plan.substring(singleIdx).contains("HashAggregate"),
+      s"the SinglePartition window must sit over the 64-row bucket aggregate, not the corpus:\n$plan")
+  }
+
+  test("sample_neyman: the 5-row allocation broadcasts; rank window partitions by stratum") {
+    val plan = physical("sample_neyman")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"allocation table must broadcast onto the corpus:\n$plan")
+    assert(plan.contains("hashpartitioning(lang"),
+      s"rank window must partition by stratum:\n$plan")
+  }
 }
