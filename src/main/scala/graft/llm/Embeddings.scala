@@ -174,8 +174,84 @@ object Embeddings extends QueryPack {
     // perturb the per-label averages); LlmSpec bounds the per-label
     // deviation vs the exact key.
     "embed_label_purity_ann" -> ((s, dir) =>
-      labelPurity(s, dir, Similarity.directedTop5(s, dir, ann = true)))
+      labelPurity(s, dir, Similarity.directedTop5(s, dir, ann = true))),
+
+    // Top principal component by POWER ITERATION (round 8): the
+    // anisotropy/whitening diagnostic run before committing to a
+    // similarity threshold or a Matryoshka truncation — embedding
+    // corpora are notoriously anisotropic (one dominant direction
+    // inflates every cosine), and the top PC + its eigenvalue is the
+    // standard measurement. v_{k+1} ∝ Σ_i (x_i−μ)((x_i−μ)·v_k): each
+    // iteration is ONE partial+final aggregation to a single 64-long
+    // row (the corpus never shuffles, nothing corpus-sized moves), and
+    // the per-element accumulators are shifted-long fixed point
+    // (Stable.lsumTerm's trick, shifted +128 so signed terms stay
+    // non-negative: |xc_j·dp| ≤ 32 ≪ 128, and (128+32)·10^6·n < 9.2e18
+    // to n ≈ 5e10 rows) — order-independent, so the iterate is
+    // bit-identical at any partition geometry. The 48 driver
+    // round-trips move 64 longs each (bounded artifact, PQ-codebook
+    // precedent). Exempt (iterative, no SQL twin); LlmSpec gates it
+    // against an independent 300-step reference: |cos| ≥ 0.99 and a
+    // matching eigenvalue. Sign fixed by making the max-|loading|
+    // coordinate positive (eigenvectors are sign-ambiguous).
+    "embed_pca_power" -> ((s, dir) => {
+      val (v, lambda, _) = pcaTop(s, dir)
+      import s.implicits._
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      v.toSeq.zipWithIndex
+        .map { case (vi, j) => (j.toLong, r6(vi), r6(lambda)) }
+        .toDF("dim", "loading", "eigenvalue")
+        .orderBy("dim")
+    })
   )
+
+  private val PCA_ITERS = 48
+  private val PCA_SHIFT = 128.0
+  private val PCA_SCALE = 1e6
+
+  /** Power iteration driver (see the embed_pca_power key note). Mean
+    * and matrix-action passes both accumulate in shifted-long fixed
+    * point so every aggregate is geometry-independent; the iterate
+    * itself lives driver-side (64 doubles). */
+  private[graft] def pcaTop(s: SparkSession, dir: String): (Array[Double], Double, Long) = {
+    val d = 64
+    val base = Tables.embeddings(s, dir)
+      .select(col("embedding").cast("array<double>").as("x"))
+    val meanAggs = (0 until d).map(j =>
+      sum(floor((element_at(col("x"), j + 1) + 2.0) * 1e7 + 0.5).cast("long"))
+        .as(s"m$j"))
+    val mrow = base.agg(count(lit(1)).as("n"), meanAggs: _*).head()
+    val n = mrow.getLong(0)
+    val mu = Array.tabulate(d)(j => mrow.getLong(j + 1).toDouble / 1e7 / n - 2.0)
+    var v = pcaInit(d)
+    var lambda = 0.0
+    for (_ <- 0 until PCA_ITERS) {
+      val xc = zip_with(col("x"), typedlit(mu.toSeq), (a, b) => a - b)
+      val proj = base.select(xc.as("xc"))
+        .withColumn("dp", dot(col("xc"), typedlit(v.toSeq)))
+      val aggs = (0 until d).map(j =>
+        sum(floor((element_at(col("xc"), j + 1) * col("dp") + PCA_SHIFT)
+          * PCA_SCALE + 0.5).cast("long")).as(s"w$j"))
+      val row = proj.agg(aggs.head, aggs.tail: _*).head()
+      val w = Array.tabulate(d)(j =>
+        row.getLong(j).toDouble / PCA_SCALE - PCA_SHIFT * n)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      lambda = nrm / n
+      v = w.map(_ / nrm)
+    }
+    val k = v.indices.maxBy(j => math.abs(v(j)))
+    if (v(k) < 0) v = v.map(-_)
+    (v, lambda, n)
+  }
+
+  /** Deterministic non-degenerate start vector (shared with the
+    * LlmSpec reference implementation). */
+  private[graft] def pcaInit(d: Int): Array[Double] = {
+    val v0 = Array.tabulate(d)(j => ((j * 2654435761L) % 1009).toDouble / 1009.0 - 0.5)
+    val nrm = math.sqrt(v0.map(x => x * x).sum)
+    v0.map(_ / nrm)
+  }
 
   /** ONE purity rollup over any (id_a, id_b) neighbor feed: join both
     * endpoints' labels (id-keyed), integer same-label counts per

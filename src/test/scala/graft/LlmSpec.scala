@@ -515,6 +515,46 @@ class LlmSpec extends AnyFunSuite {
       s"selection did not shift toward the target (sel=$selMean corpus=$corpusMean)")
   }
 
+  test("embed_pca_power: agrees with an independent 300-step reference eigensolver") {
+    val rows = q("embed_pca_power").collect().sortBy(_.getLong(0))
+    val v = rows.map(_.getDouble(1))
+    val lambda = rows.head.getDouble(2)
+    // independent reference: plain-double power iteration over the
+    // collected corpus, 300 steps (far past convergence), no shared
+    // code with the key's fixed-point distributed form
+    val xs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = 64
+    val n = xs.length
+    val mu = Array.tabulate(d)(j => xs.map(_(j)).sum / n)
+    val xc = xs.map(x => Array.tabulate(d)(j => x(j) - mu(j)))
+    def mult(u: Array[Double]): Array[Double] = {
+      val w = new Array[Double](d)
+      xc.foreach { r =>
+        var dp = 0.0
+        var j = 0
+        while (j < d) { dp += r(j) * u(j); j += 1 }
+        j = 0
+        while (j < d) { w(j) += r(j) * dp; j += 1 }
+      }
+      w
+    }
+    var u = graft.llm.Embeddings.pcaInit(d)
+    var lamRef = 0.0
+    for (_ <- 0 until 300) {
+      val w = mult(u)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      lamRef = nrm / n
+      u = w.map(_ / nrm)
+    }
+    val cos = math.abs((0 until d).map(j => v(j) * u(j)).sum)
+    info(f"cos(v, ref)=$cos%.6f lambda=$lambda%.6f ref=$lamRef%.6f")
+    assert(cos >= 0.99, s"top-PC direction off: |cos|=$cos")
+    assert(math.abs(lambda - lamRef) / lamRef <= 0.02,
+      s"eigenvalue off: $lambda vs reference $lamRef")
+  }
+
   test("text_bpe_encode matches an independent reference merger on every vocab token") {
     // reference implementation of the documented semantics (each merge
     // rule applied as repeated leftmost non-overlapping passes to
