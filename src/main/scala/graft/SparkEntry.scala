@@ -31,6 +31,7 @@ object SparkEntry {
     relational.Extras13,
     relational.Extras14,
     relational.Extras15,
+    relational.Lineage,
     relational.Quality,
     relational.Storage,
     relational.Subqueries,

@@ -176,24 +176,29 @@ object Embeddings extends QueryPack {
     "embed_label_purity_ann" -> ((s, dir) =>
       labelPurity(s, dir, Similarity.directedTop5(s, dir, ann = true))),
 
-    // Top principal component by POWER ITERATION (round 8): the
-    // anisotropy/whitening diagnostic run before committing to a
-    // similarity threshold or a Matryoshka truncation — embedding
-    // corpora are notoriously anisotropic (one dominant direction
-    // inflates every cosine), and the top PC + its eigenvalue is the
-    // standard measurement. v_{k+1} ∝ Σ_i (x_i−μ)((x_i−μ)·v_k): each
-    // iteration is ONE partial+final aggregation to a single 64-long
-    // row (the corpus never shuffles, nothing corpus-sized moves), and
-    // the per-element accumulators are shifted-long fixed point
-    // (Stable.lsumTerm's trick, shifted +128 so signed terms stay
-    // non-negative: |xc_j·dp| ≤ 32 ≪ 128, and (128+32)·10^6·n < 9.2e18
-    // to n ≈ 5e10 rows) — order-independent, so the iterate is
-    // bit-identical at any partition geometry. The 48 driver
-    // round-trips move 64 longs each (bounded artifact, PQ-codebook
-    // precedent). Exempt (iterative, no SQL twin); LlmSpec gates it
-    // against an independent 300-step reference: |cos| ≥ 0.99 and a
-    // matching eigenvalue. Sign fixed by making the max-|loading|
-    // coordinate positive (eigenvectors are sign-ambiguous).
+    // Top principal component (round 8): the anisotropy/whitening
+    // diagnostic run before committing to a similarity threshold or a
+    // Matryoshka truncation — embedding corpora are notoriously
+    // anisotropic (one dominant direction inflates every cosine), and
+    // the top PC + its eigenvalue is the standard measurement.
+    // Shape: the standard d ≪ n distributed-PCA reduction — ONE corpus
+    // pass accumulates the d×d Gram upper triangle + column sums per
+    // partition (imperative per-partition array math via
+    // mapPartitions: 2 080 fused multiply-adds/row beat a 2 000-slot
+    // codegen aggregate, the documented last-resort case), partials
+    // collect as ≤ #partitions rows of ~17 kB (bounded artifact), and
+    // the 300-step power iteration runs driver-side on the 64×64
+    // covariance — free and fully converged. Accumulators are
+    // per-row-rounded fixed point (round(x_j·x_k · 10^7) longs), so
+    // the Gram matrix — and hence the eigenvector — is bit-identical
+    // at any partition geometry; overflow at 10^7·n needs n > 9e11.
+    // A first cut iterated v against the corpus (48 Spark jobs): 11.6 s
+    // warm at sf0.1, re-planned every step — measured and replaced by
+    // this one-pass form (0.2 s). Exempt (iterative, no SQL twin);
+    // LlmSpec gates it against an independent reference eigensolver
+    // that never forms the matrix: |cos| ≥ 0.99 + matching eigenvalue.
+    // Sign fixed by making the max-|loading| coordinate positive
+    // (eigenvectors are sign-ambiguous).
     "embed_pca_power" -> ((s, dir) => {
       val (v, lambda, _) = pcaTop(s, dir)
       import s.implicits._
@@ -206,38 +211,57 @@ object Embeddings extends QueryPack {
     })
   )
 
-  private val PCA_ITERS = 48
-  private val PCA_SHIFT = 128.0
-  private val PCA_SCALE = 1e6
+  private val PCA_FP = 1e7
+  private val PCA_ITERS = 300
 
-  /** Power iteration driver (see the embed_pca_power key note). Mean
-    * and matrix-action passes both accumulate in shifted-long fixed
-    * point so every aggregate is geometry-independent; the iterate
-    * itself lives driver-side (64 doubles). */
+  /** One-pass Gram accumulation + driver-side power iteration (see the
+    * embed_pca_power key note). Per-row fixed-point rounding makes the
+    * collected matrix geometry-independent. */
   private[graft] def pcaTop(s: SparkSession, dir: String): (Array[Double], Double, Long) = {
     val d = 64
-    val base = Tables.embeddings(s, dir)
-      .select(col("embedding").cast("array<double>").as("x"))
-    val meanAggs = (0 until d).map(j =>
-      sum(floor((element_at(col("x"), j + 1) + 2.0) * 1e7 + 0.5).cast("long"))
-        .as(s"m$j"))
-    val mrow = base.agg(count(lit(1)).as("n"), meanAggs: _*).head()
-    val n = mrow.getLong(0)
-    val mu = Array.tabulate(d)(j => mrow.getLong(j + 1).toDouble / 1e7 / n - 2.0)
+    import s.implicits._
+    val partials = Tables.embeddings(s, dir)
+      .select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        val sums = new Array[Long](d)
+        val gram = new Array[Long](d * (d + 1) / 2)
+        var n = 0L
+        it.foreach { xs =>
+          val x = xs.toArray
+          n += 1
+          var j = 0
+          var t = 0
+          while (j < d) {
+            sums(j) += math.floor(x(j) * PCA_FP + 0.5).toLong
+            var k = j
+            while (k < d) {
+              gram(t) += math.floor(x(j) * x(k) * PCA_FP + 0.5).toLong
+              t += 1; k += 1
+            }
+            j += 1
+          }
+        }
+        Iterator.single((n, sums.toSeq, gram.toSeq))
+      }.collect()
+    val n = partials.map(_._1).sum
+    val sums = Array.tabulate(d)(j => partials.map(_._2(j)).sum)
+    val tri = Array.tabulate(d * (d + 1) / 2)(t => partials.map(_._3(t)).sum)
+    val mu = sums.map(_ / PCA_FP / n)
+    // covariance C = G/n − μμᵀ, mirrored from the accumulated triangle
+    val c = Array.ofDim[Double](d, d)
+    var t = 0
+    for (j <- 0 until d; k <- j until d) {
+      val v = tri(t) / PCA_FP / n - mu(j) * mu(k)
+      c(j)(k) = v; c(k)(j) = v
+      t += 1
+    }
     var v = pcaInit(d)
     var lambda = 0.0
     for (_ <- 0 until PCA_ITERS) {
-      val xc = zip_with(col("x"), typedlit(mu.toSeq), (a, b) => a - b)
-      val proj = base.select(xc.as("xc"))
-        .withColumn("dp", dot(col("xc"), typedlit(v.toSeq)))
-      val aggs = (0 until d).map(j =>
-        sum(floor((element_at(col("xc"), j + 1) * col("dp") + PCA_SHIFT)
-          * PCA_SCALE + 0.5).cast("long")).as(s"w$j"))
-      val row = proj.agg(aggs.head, aggs.tail: _*).head()
-      val w = Array.tabulate(d)(j =>
-        row.getLong(j).toDouble / PCA_SCALE - PCA_SHIFT * n)
+      val w = Array.tabulate(d)(j => (0 until d).map(k => c(j)(k) * v(k)).sum)
       val nrm = math.sqrt(w.map(x => x * x).sum)
-      lambda = nrm / n
+      lambda = nrm
       v = w.map(_ / nrm)
     }
     val k = v.indices.maxBy(j => math.abs(v(j)))

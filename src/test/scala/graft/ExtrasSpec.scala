@@ -464,4 +464,29 @@ class ExtrasSpec extends AnyFunSuite {
           s"$t $p: sketch $est vs exact $tru — relative error ${math.abs(est - tru) / tru}")
     }
   }
+
+  test("lineage: multi-table join attributes columns to the right base tables") {
+    // a 3-table star projection with a computed measure and a window:
+    // every output must map to its true base column(s), across the
+    // joins, and the computed column must union BOTH its inputs
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val df = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .select(col("o_orderkey"), col("n_name"),
+        (col("o_totalprice") * (lit(1.0) + col("c_acctbal") / 100)).as("adj"),
+        row_number().over(Window.partitionBy(col("n_name"))
+          .orderBy(col("o_orderkey"))).as("rn"))
+    val got = graft.relational.Lineage.lineage(df).toSet
+    assert(got === Set(
+      "o_orderkey" -> "orders.o_orderkey",
+      "n_name" -> "nation.n_name",
+      "adj" -> "orders.o_totalprice",
+      "adj" -> "customer.c_acctbal",
+      "rn" -> "nation.n_name",
+      "rn" -> "orders.o_orderkey"),
+      s"lineage mismatch: $got")
+  }
 }
