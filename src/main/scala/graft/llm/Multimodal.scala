@@ -224,6 +224,70 @@ object Multimodal extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // the VIDEO sibling completing the header-parsing triad
+    // (image=multimodal_image_dims, audio=multimodal_audio_meta): MP4 /
+    // ISO-BMFF container metadata recovered from packed bytes alone.
+    // The synthesized payload is the public wire format — a `ftyp` box
+    // whose SIZE VARIES with the compatible-brands count (so the parser
+    // must READ the 4-byte big-endian box size to locate `moov`, the
+    // box-walk analogue of the JPEG APP0-length walk), then
+    // `moov`>`mvhd` with timescale and duration at their spec offsets,
+    // then `mdat` carrying the payload. The parser verifies box types,
+    // walks the dynamic offset, decodes big-endian fields, converts
+    // duration ticks to ms by integer division, and cross-checks the
+    // mdat size against the actual payload length. All codegen'd
+    // substring/hex/conv arithmetic, map-side — an ingest header sniff,
+    // no codec. The `least(..,10000)` clamp bounds the junk-row offset
+    // under ANSI mode (a non-MP4 payload's first 4 bytes decode to an
+    // arbitrary size; the clamp keeps the int cast safe and the
+    // signature checks still reject the row — mirrored in the oracle).
+    "multimodal_video_meta" -> ((s, dir) => {
+      val be4 = (c: Column) => unhex(lpad(hex(c), 8, "0"))
+      val nc = (col("doc_id") % 7 % 3 + 1).cast("long") // 1..3 brands
+      val timescale = lit(600L) + (col("doc_id") % 5) * 100L
+      val duration = length(col("text")).cast("long") * 25L
+      val dataLen = length(col("text")).cast("long")
+      val brand = when(col("doc_id") % 2 === 0, "isom").otherwise("mp42")
+      val mp4 = concat(
+        be4(lit(16L) + nc * 4L), encode(lit("ftyp"), "utf-8"),
+        encode(brand, "utf-8"), be4(lit(0x200L)),
+        expr("encode(substring('isommp41avc1', 1, cast((doc_id % 7 % 3 + 1) * 4 as int)), 'utf-8')"),
+        be4(lit(116L)), encode(lit("moov"), "utf-8"),
+        be4(lit(108L)), encode(lit("mvhd"), "utf-8"),
+        unhex(lit("00" * 12)),                       // ver/flags, ctime, mtime
+        be4(timescale), be4(duration),
+        unhex(lit("00" * 80)),                       // rate..next-track pad
+        be4(dataLen + 8L), encode(lit("mdat"), "utf-8"),
+        encode(col("text"), "utf-8"))
+      Tables.documents(s, dir)
+        .withColumn("bytes",
+          when(col("doc_id") % 3 === 2, mp4)
+            .otherwise(encode(col("text"), "utf-8")))
+        // parse: everything below sees ONLY the bytes column
+        .withColumn("fsz",
+          least(conv(hex(substring(col("bytes"), 1, 4)), 16, 10).cast("long"),
+            lit(10000L)).cast("int"))
+        .withColumn("is_mp4",
+          substring(col("bytes"), 5, 4) === encode(lit("ftyp"), "utf-8") &&
+            expr("substring(bytes, fsz + 5, 4)") === encode(lit("moov"), "utf-8") &&
+            expr("substring(bytes, fsz + 13, 4)") === encode(lit("mvhd"), "utf-8"))
+        .where(col("is_mp4"))
+        .withColumn("timescale",
+          conv(hex(expr("substring(bytes, fsz + 29, 4)")), 16, 10).cast("long"))
+        .withColumn("duration_ticks",
+          conv(hex(expr("substring(bytes, fsz + 33, 4)")), 16, 10).cast("long"))
+        .select(col("doc_id"),
+          expr("decode(substring(bytes, 9, 4), 'utf-8')").as("brand"),
+          expr("(cast(fsz as bigint) - 16) div 4").as("n_compat"),
+          col("timescale"), col("duration_ticks"),
+          expr("(duration_ticks * 1000) div timescale").as("duration_ms"),
+          (conv(hex(expr("substring(bytes, fsz + 117, 4)")), 16, 10).cast("long")
+            === octet_length(col("bytes")).cast("long") - col("fsz") - 116L &&
+            expr("substring(bytes, fsz + 121, 4)") === encode(lit("mdat"), "utf-8"))
+            .as("size_consistent"))
+        .orderBy("doc_id")
+    }),
+
     // partition-wise feature extraction through the typed boundary;
     // the byte-histogram fake is portable enough to oracle-check in SQL
     "multimodal_features" -> ((s, dir) => {
@@ -370,6 +434,58 @@ object Multimodal extends QueryPack {
          |  CAST(${leIntD(41, 4)} AS BIGINT) AS data_bytes,
          |  ${leIntD(41, 4)} = length(hx) // 2 - 44 AS size_consistent
          |FROM w ORDER BY doc_id""".stripMargin,
+
+    // same independent-twin discipline as image_dims/audio_meta: DuckDB
+    // re-derives construction AND parse over the hex representation;
+    // byte offset b (1-based) = hex offset 2(b-1)+1, so a field at
+    // byte fsz+k sits at hex 2*fsz + 2k - 1
+    "multimodal_video_meta" -> {
+      def chrAt(hexOff: String): String =
+        s"chr(CAST(${hexIntD(s"substring(hx, $hexOff, 2)", 2)} AS INT))"
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    lower(CASE WHEN doc_id % 3 = 2 THEN
+         |      lpad(to_hex(16 + ((doc_id % 7) % 3 + 1) * 4), 8, '0') ||
+         |      '66747970' ||
+         |      CASE WHEN doc_id % 2 = 0 THEN '69736f6d' ELSE '6d703432' END ||
+         |      '00000200' ||
+         |      substring('69736f6d6d70343161766331', 1,
+         |                CAST(((doc_id % 7) % 3 + 1) * 8 AS INT)) ||
+         |      '00000074' || '6d6f6f76' || '0000006c' || '6d766864' ||
+         |      repeat('0', 24) ||
+         |      lpad(to_hex(600 + (doc_id % 5) * 100), 8, '0') ||
+         |      lpad(to_hex(length(text) * 25), 8, '0') ||
+         |      repeat('0', 160) ||
+         |      lpad(to_hex(length(text) + 8), 8, '0') || '6d646174' ||
+         |      hex(encode(text))
+         |    ELSE hex(encode(text)) END) AS hx
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, hx,
+         |    least(${hexIntD("substring(hx, 1, 8)", 8)}, 10000) AS fsz
+         |  FROM m),
+         |q AS (
+         |  SELECT doc_id, hx, fsz FROM p
+         |  WHERE substring(hx, 9, 8) = '66747970'
+         |    AND substring(hx, 2 * fsz + 9, 8) = '6d6f6f76'
+         |    AND substring(hx, 2 * fsz + 25, 8) = '6d766864'),
+         |r AS (
+         |  SELECT doc_id, hx, fsz,
+         |    ${hexIntD("substring(hx, 2 * fsz + 57, 8)", 8)} AS timescale,
+         |    ${hexIntD("substring(hx, 2 * fsz + 65, 8)", 8)} AS duration_ticks,
+         |    ${hexIntD("substring(hx, 2 * fsz + 233, 8)", 8)} AS mdat_size
+         |  FROM q)
+         |SELECT doc_id,
+         |  ${chrAt("17")} || ${chrAt("19")} || ${chrAt("21")} || ${chrAt("23")}
+         |    AS brand,
+         |  CAST((fsz - 16) // 4 AS BIGINT) AS n_compat,
+         |  CAST(timescale AS BIGINT) AS timescale,
+         |  CAST(duration_ticks AS BIGINT) AS duration_ticks,
+         |  CAST((duration_ticks * 1000) // timescale AS BIGINT) AS duration_ms,
+         |  (mdat_size = length(hx) // 2 - fsz - 116
+         |    AND substring(hx, 2 * fsz + 241, 8) = '6d646174') AS size_consistent
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
 
     "multimodal_features" ->
       s"""SELECT doc_id,
