@@ -73,8 +73,8 @@ object SparkEntry {
     packs.iterator.flatMap(_.oracleSql).toMap
 
   /** The ONLY keys allowed to omit an SQL oracle — probabilistic /
-    * sketch / ANN operators whose outputs have no deterministic SQL
-    * twin. Every member carries a named recall/error-bound test
+    * sketch / ANN / iterative-driver-loop operators whose outputs have
+    * no SQL twin. Every member carries a named recall/error-bound test
     * (LlmSpec/ExtrasSpec/FunctionsSpec; streaming keys additionally
     * assert stream==batch in StreamSpec). ExtrasSpec asserts
     * queries = oracleSql ∪ THIS set exactly, so a new key cannot ship
@@ -91,5 +91,5 @@ object SparkEntry {
     "dedup_near", "dedup_semantic_ann", "dedup_semantic_cells",
     "embed_label_purity_ann", "embed_pca_power", "embed_pq",
     "sim_edge_histogram_ann", "sim_ivf_ann", "sim_knn_graph_ann",
-    "sim_lsh_ann", "sim_mmr_rerank")
+    "sim_lsh_ann", "sim_mmr_rerank", "text_bpe_train")
 }

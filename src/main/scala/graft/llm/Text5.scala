@@ -55,12 +55,36 @@ import org.apache.spark.sql.expressions.Window
   *    byte-identical formula. Everything is codegen'd string built-ins
   *    over the distinct-token vocabulary (Heaps-law bounded, not
   *    corpus-sized); re-joining encodes the full corpus map-side.
+  *
+  *  - `text_bpe_train` — the TRAIN side: learn the merge table from the
+  *    corpus itself (the classic BPE trainer: N rounds of "count all
+  *    adjacent symbol pairs weighted by token frequency, merge the most
+  *    frequent"). The argmax choice at round i depends on rounds
+  *    0..i−1, so the loop is inherently sequential — the distributed
+  *    shape is the one every large-scale tokenizer trainer uses:
+  *    corpus → (token, freq) vocabulary is ONE shuffle whose output is
+  *    Heaps-law bounded (millions of rows at 100 TB, not billions);
+  *    each round is then one codegen'd job over the persisted vocab
+  *    (re-segment via the learned-so-far replace cascade, explode
+  *    adjacent pairs, hash-agg SUM(freq), argmax) plus a 1-ROW driver
+  *    fetch — the bounded-driver-artifact shape (PQ-codebook / centroid
+  *    precedent), N rows total across the loop. Re-segmenting from the
+  *    persisted vocab each round (rather than chaining DataFrames)
+  *    keeps the lineage flat — round i is O(vocab·len·i) codegen'd
+  *    string work, never a recursive plan. Argmax tie-break is total
+  *    (count DESC, left, right), so the learned table is geometry- and
+  *    engine-independent. No SQL twin exists (the per-round argmax is
+  *    an iterative fixpoint) → oracleExempt; the LlmSpec gate replays
+  *    an independent symbol-vector reference trainer over the same
+  *    vocabulary and asserts the merge tables match EXACTLY,
+  *    merge-for-merge, counts included.
   */
 object Text5 extends QueryPack {
 
   private val SOURCE_CAP = 15
   private val NEYMAN_TOTAL = 200L
   private val SHARD_TOKENS = 4096L
+  private[graft] val BPE_TRAIN_ROUNDS = 12
 
   /** BPE merge table (priority order). Later rules consume earlier
     * rules' outputs ("sc an" fires only after "s c" and "a n"), so the
@@ -130,6 +154,52 @@ object Text5 extends QueryPack {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"))
         .orderBy("shard")
+    }),
+
+    "text_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      // ONE corpus-sized shuffle; everything after runs over this
+      // Heaps-bounded table (production: a fingerprint-keyed artifact).
+      val vocab = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .persist()
+      try {
+        val learned = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, String, Long)]
+        for (i <- 1 to BPE_TRAIN_ROUNDS) {
+          // re-segment from scratch with the learned-so-far cascade
+          // (6 passes/rule: fixpoint for any fixture-length run) —
+          // flat lineage, codegen'd end to end.
+          val chain = learned.iterator.map(m => (m._2, m._3)).toSeq
+            .flatMap(m => Seq.fill(6)(m))
+            .foldLeft("' ' || regexp_replace(tok, '(.)', '$1 ')") {
+              case (acc, (l, r)) => s"replace($acc, ' $l $r ', ' $l$r ')"
+            }
+          val top = vocab
+            .select(col("freq"), split(expr(s"trim($chain)"), " ").as("a"))
+            .where(size(col("a")) >= 2)
+            .select(col("freq"), explode(expr(
+              """transform(sequence(1, size(a) - 1),
+                |  i -> struct(element_at(a, i) AS l,
+                |              element_at(a, i + 1) AS r))""".stripMargin))
+              .as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("freq")).as("cnt"))
+            .orderBy(col("cnt").desc, col("l"), col("r"))
+            .limit(1)
+            .collect() // 1-row bounded driver artifact per round
+          if (top.nonEmpty)
+            learned += ((i, top(0).getString(0), top(0).getString(1),
+              top(0).getLong(2)))
+        }
+        learned.toSeq
+          .toDF("rank", "left_sym", "right_sym", "pair_count")
+          .withColumn("merged", concat(col("left_sym"), col("right_sym")))
+          .select("rank", "left_sym", "right_sym", "merged", "pair_count")
+          .orderBy("rank")
+      } finally vocab.unpersist()
     }),
 
     "text_bpe_encode" -> ((s, dir) => {

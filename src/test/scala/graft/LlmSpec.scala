@@ -590,4 +590,54 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getString(1).split(" ").exists(_.length >= 3)),
       "no token reached a 3+-char merged symbol — cascade not exercised")
   }
+
+  test("text_bpe_train: matches an independent reference trainer merge-for-merge") {
+    // reference trainer over symbol VECTORS — incremental (applies each
+    // learned merge to carried state, never re-segments), so it shares
+    // neither the string-replace cascade nor the re-segment-from-
+    // scratch structure of the distributed key
+    import org.apache.spark.sql.functions._
+    def applyMerge(sym0: Vector[String], l: String, r: String): Vector[String] = {
+      var sym = sym0
+      var changed = true
+      while (changed) {
+        changed = false
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < sym.length) {
+          if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+            out += (l + r); i += 2; changed = true
+          } else { out += sym(i); i += 1 }
+        }
+        sym = out.result()
+      }
+      sym
+    }
+    var segs = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("tok").count().collect()
+      .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1))).toVector
+    val refMerges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to graft.llm.Text5.BPE_TRAIN_ROUNDS) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((sym, f) <- segs; j <- 0 until sym.length - 1)
+        counts((sym(j), sym(j + 1))) = counts.getOrElse((sym(j), sym(j + 1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        refMerges += ((l, r, c))
+        segs = segs.map { case (sym, f) => (applyMerge(sym, l, r), f) }
+      }
+    }
+    val got = q("text_bpe_train").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.length == refMerges.length,
+      s"merge count ${got.length} != reference ${refMerges.length}")
+    got.zip(refMerges).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"merge ${i + 1} diverged: got $g, reference $e")
+    }
+    // the learned table must go beyond char-char merges (multi-level)
+    assert(got.exists { case (l, r, _) => l.length + r.length >= 3 },
+      "no multi-level merge learned — trainer not exercised past chars")
+  }
 }
