@@ -639,5 +639,29 @@ class LlmSpec extends AnyFunSuite {
     // the learned table must go beyond char-char merges (multi-level)
     assert(got.exists { case (l, r, _) => l.length + r.length >= 3 },
       "no multi-level merge learned — trainer not exercised past chars")
+
+    // text_bpe_compression: reference trainer state → reference
+    // per-lang aggregates must match the distributed key EXACTLY
+    val segOf = segs.map { case (sym, _) => (sym.mkString(""), sym.length.toLong) }.toMap
+    val exp = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (lang, ts) =>
+        val units = ts.map(t => segOf(t._2)).sum
+        val chars = ts.map(_._2.length.toLong).sum
+        val n = ts.length.toLong
+        def r6(x: Double): Double = // Spark ROUND semantics for doubles
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (lang, (n, units, chars,
+          r6(units.toDouble / n), r6(units.toDouble / chars)))
+      }
+    val gotC = q("text_bpe_compression").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(gotC.keySet == exp.keySet, s"lang sets differ: ${gotC.keySet} vs ${exp.keySet}")
+    exp.foreach { case (lang, e) =>
+      assert(gotC(lang) == e, s"compression stats diverged for $lang: got ${gotC(lang)}, reference $e")
+    }
   }
 }
