@@ -527,4 +527,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(lang"),
       s"rank window must partition by stratum:\n$plan")
   }
+
+  test("text_bpe_compression: vocab segments once and broadcasts; corpus shuffles only for the lang agg") {
+    val plan = physical("text_bpe_compression")
+    // the replace cascade runs on the DISTINCT vocab (tok-keyed
+    // exchange), which then broadcasts onto the exploded corpus
+    assert(plan.contains("hashpartitioning(tok"),
+      s"vocab distinct must be tok-keyed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"segmented vocab must broadcast onto the corpus:\n$plan")
+    // corpus side: explode → join → two-phase lang agg; no other
+    // corpus-sized exchange
+    assert(plan.contains("partial_count") && plan.contains("hashpartitioning(lang"),
+      s"lang aggregate must be two-phase:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the vocab join:\n$plan")
+  }
+
+  test("fn_sql_udtf: the LATERAL table function decorrelates to joins, never a per-row subquery") {
+    val plan = physical("fn_sql_udtf")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"lateral call must not plan as a nested loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"decorrelated lateral must be an equi join:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"the per-order aggregate must run two-phase over lineitem:\n$plan")
+  }
 }
