@@ -92,5 +92,5 @@ object SparkEntry {
     "embed_label_purity_ann", "embed_pca_power", "embed_pq",
     "sim_edge_histogram_ann", "sim_ivf_ann", "sim_knn_graph_ann",
     "sim_lsh_ann", "sim_mmr_rerank", "text_bpe_compression",
-    "text_bpe_train")
+    "text_bpe_drift", "text_bpe_train")
 }

@@ -91,6 +91,21 @@ import org.apache.spark.sql.expressions.Window
   *    work. Gated like the trainer: the LlmSpec reference pipeline
   *    (reference trainer → reference segmentation → per-lang sums)
   *    must match EXACTLY, counts and rounded ratios both.
+  *
+  *  - `text_bpe_drift` — tokenizer-drift monitor, the incremental-
+  *    family shape (day-1 = doc_id%4≠0, delta = %4=0): train on day-1
+  *    only (its own write-once artifact), then compare per-lang
+  *    fertility of the DELTA corpus under the day-1 merges against
+  *    day-1's own fertility. A drift ratio above BPE_DRIFT_MAX means
+  *    the incoming token distribution has shifted enough that the
+  *    shipped merge table over-fragments new data — the signal a
+  *    production corpus team retrains on. Cost ∝ delta (day-1 side is
+  *    the persisted model + one day-1 fertility pass; at scale that
+  *    pass is itself a recorded day-0 stat). Gated in LlmSpec twice:
+  *    the fixture delta (same distribution) must NOT trip the flag and
+  *    must match the reference pipeline exactly; a crafted
+  *    reversed-token delta MUST trip it (the percolation-guard
+  *    both-sides precedent).
   */
 object Text5 extends QueryPack {
 
@@ -98,6 +113,7 @@ object Text5 extends QueryPack {
   private val NEYMAN_TOTAL = 200L
   private val SHARD_TOKENS = 4096L
   private[graft] val BPE_TRAIN_ROUNDS = 12
+  private[graft] val BPE_DRIFT_MAX = 1.02
 
   /** BPE merge table (priority order). Later rules consume earlier
     * rules' outputs ("sc an" fires only after "s c" and "a n"), so the
@@ -129,9 +145,10 @@ object Text5 extends QueryPack {
     * driver fetch — the bounded-driver-artifact shape, N rows across
     * the loop. Re-segmenting from the persisted vocab each round keeps
     * lineage flat. */
-  private def trainMerges(s: SparkSession, dir: String): DataFrame = {
+  private def trainMerges(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val vocab = Tables.documents(s, dir)
+    val vocab = docs
       .select(explode(split(col("text"), " ")).as("tok"))
       .where(length(col("tok")) > 0)
       .groupBy("tok").agg(count(lit(1)).as("freq"))
@@ -166,19 +183,60 @@ object Text5 extends QueryPack {
   }
 
   /** Write-once learned-merge artifact per (corpus dir, documents
-    * fingerprint) — the knnDirectedTable discipline applied to the
-    * tokenizer: training is the expensive sequential pass; the merge
-    * table is the MODEL product that every consumer (the train key's
-    * own output, corpus-wide encoding, compression stats) reads. */
-  private def bpeTrainedTable(s: SparkSession, dir: String): String = {
-    val pfx = s"bpe_merges_${Tables.pathKey(dir)}_"
+    * fingerprint, training subset) — the knnDirectedTable discipline
+    * applied to the tokenizer: training is the expensive sequential
+    * pass; the merge table is the MODEL product that every consumer
+    * (the train key's own output, corpus-wide encoding, compression
+    * stats, the drift monitor) reads. `tag`/`docs` select the training
+    * subset ("all" = whole corpus; "day1" = the incremental-family
+    * day-1 slice). */
+  private def bpeTrainedTable(s: SparkSession, dir: String,
+      tag: String = "all",
+      docs: SparkSession => DataFrame = null): String = {
+    val pfx = s"bpe_merges_${tag}_${Tables.pathKey(dir)}_"
     val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "documents"))}"
     if (!s.catalog.tableExists(t)) {
       Tables.dropStaleTables(s, pfx)
-      trainMerges(s, dir)
+      val d = if (docs == null) Tables.documents(s, dir) else docs(s)
+      trainMerges(d)
         .write.mode("overwrite").format("parquet").saveAsTable(t)
     }
     t
+  }
+
+  /** Per-lang fertility (units/token) of `docs` under a FIXED merge
+    * cascade: segmentation over the distinct vocab, corpus side joins.
+    * The text_bpe_compression layout factored for reuse. */
+  private[graft] def fertilityUnder(docs: DataFrame, chain: String,
+      suffix: String): DataFrame = {
+    val toks = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val vocab = toks.select("tok").distinct()
+      .withColumn("n_units",
+        size(split(expr(s"trim($chain)"), " ")).cast("long"))
+    toks.join(vocab, Seq("tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as(s"n_tokens_$suffix"),
+        sum("n_units").as(s"n_units_$suffix"))
+  }
+
+  /** Drift report for a (day-1 model, delta corpus) pair — the key's
+    * body, exposed so the LlmSpec gate can drive it with a CRAFTED
+    * drifted delta (the percolation-guard precedent). */
+  private[graft] def bpeDriftReport(merges: Seq[(String, String)],
+      day1: DataFrame, delta: DataFrame): DataFrame = {
+    val chain = trainedChain(merges)
+    fertilityUnder(day1, chain, "day1")
+      .join(fertilityUnder(delta, chain, "delta"), Seq("lang"))
+      .withColumn("fert_day1", round(
+        col("n_units_day1").cast("double") / col("n_tokens_day1"), 6))
+      .withColumn("fert_delta", round(
+        col("n_units_delta").cast("double") / col("n_tokens_delta"), 6))
+      .withColumn("drift", round(col("fert_delta") / col("fert_day1"), 6))
+      .withColumn("drifted", col("drift") > BPE_DRIFT_MAX)
+      .select("lang", "fert_day1", "fert_delta", "drift", "drifted")
+      .orderBy("lang")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -239,6 +297,16 @@ object Text5 extends QueryPack {
 
     "text_bpe_train" -> ((s, dir) =>
       s.table(bpeTrainedTable(s, dir)).orderBy("rank")),
+
+    "text_bpe_drift" -> ((s, dir) => {
+      val day1 = Tables.documents(s, dir).where(col("doc_id") % 4 =!= 0)
+      val delta = Tables.documents(s, dir).where(col("doc_id") % 4 === 0)
+      val merges = s.table(bpeTrainedTable(s, dir, "day1",
+          ss => Tables.documents(ss, dir).where(col("doc_id") % 4 =!= 0)))
+        .orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeDriftReport(merges, day1, delta)
+    }),
 
     "text_bpe_compression" -> ((s, dir) => {
       // ≤ BPE_TRAIN_ROUNDS rows — a bounded model-artifact read (the

@@ -664,4 +664,31 @@ class LlmSpec extends AnyFunSuite {
       assert(gotC(lang) == e, s"compression stats diverged for $lang: got ${gotC(lang)}, reference $e")
     }
   }
+
+  test("text_bpe_drift: same-distribution delta stays quiet; a reversed-token delta trips the flag") {
+    import org.apache.spark.sql.functions._
+    // fixture delta is drawn from the same distribution as day-1 —
+    // fertility must agree within the threshold on every language
+    val quiet = q("text_bpe_drift").collect()
+    assert(quiet.nonEmpty)
+    quiet.foreach { r =>
+      assert(!r.getBoolean(4),
+        s"flag tripped on in-distribution delta: ${r.mkString(", ")}")
+      assert(math.abs(r.getDouble(3) - 1.0) < 0.02,
+        s"in-distribution drift ratio should be ~1.0: ${r.mkString(", ")}")
+    }
+    // crafted drift: reverse every token of the delta — day-1 merges
+    // (learned on forward text) stop firing, fertility jumps. The
+    // day-1 artifact exists because the drift key just ran.
+    val day1 = Tables.documents(spark, dir).where(col("doc_id") % 4 =!= 0)
+    val crafted = Tables.documents(spark, dir).where(col("doc_id") % 4 === 0)
+      .withColumn("text", expr(
+        "array_join(transform(split(text, ' '), t -> reverse(t)), ' ')"))
+    val day1Merges = spark.table(spark.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith("bpe_merges_day1_")).head)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val rows = graft.llm.Text5.bpeDriftReport(day1Merges, day1, crafted).collect()
+    assert(rows.exists(_.getBoolean(4)),
+      s"crafted reversed-token delta must trip the drift flag: ${rows.map(_.mkString(", ")).mkString(" | ")}")
+  }
 }
