@@ -91,6 +91,6 @@ object SparkEntry {
     "dedup_near", "dedup_semantic_ann", "dedup_semantic_cells",
     "embed_label_purity_ann", "embed_pca_power", "embed_pq",
     "sim_edge_histogram_ann", "sim_ivf_ann", "sim_knn_graph_ann",
-    "sim_lsh_ann", "sim_mmr_rerank", "text_bpe_compression",
-    "text_bpe_drift", "text_bpe_train")
+    "sample_kcenter", "sim_lsh_ann", "sim_mmr_rerank",
+    "text_bpe_compression", "text_bpe_drift", "text_bpe_train")
 }

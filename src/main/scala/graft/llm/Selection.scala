@@ -42,11 +42,35 @@ import org.apache.spark.sql.functions._
   *    per-token work is codegen'd expressions only. Integer logits
   *    make the keep/drop decision engine-exact; the normalized score
   *    divides once and rounds.
+  *
+  *  - `sample_kcenter` — farthest-point (greedy k-center) coreset
+  *    selection over the embedding column: pick the vector farthest
+  *    (cosine distance) from the already-picked set, K times. The
+  *    standard diversity-pruning primitive (a 2-approximation of the
+  *    k-center objective); the emitted `radius` sequence is the
+  *    coverage curve — radius_k is the max distance of ANY corpus
+  *    vector to its nearest selected center after k picks, the number
+  *    a pruning team reads to choose K. Each round is inherently
+  *    sequential (the argmax depends on all prior picks), so the
+  *    distributed shape is: one codegen'd job per round — min-distance
+  *    over the K-so-far centers as a rebuilt literal expression (flat
+  *    lineage, no iterative DataFrame state), total-ordered argmax,
+  *    1-row fetch (the text_bpe_train loop discipline). Cost O(n·K²)
+  *    expression work with NO shuffle inside the loop (argmax is a
+  *    TakeOrdered); for large K, keep a persisted running-min column
+  *    updated per round instead (O(n·K) with periodic checkpoints) —
+  *    at the fixture's K=12 the rebuilt form is measured-right.
+  *    Per-row arithmetic is aggregation-free, so the result is
+  *    geometry-independent by construction; the argmax rounds to 9 dp
+  *    with a vec_id tie-break. Exempt (iterative, no SQL twin); gated
+  *    by an independent reference greedy in LlmSpec (exact pick-for-
+  *    pick + radius equality, plus the monotone-coverage property).
   */
 object Selection extends QueryPack {
 
   private val B_DSIR = 64
   private val B_CLS  = 32
+  private[graft] val KCENTER_K = 12
 
   /** Per-(doc, bucket) hashed-unigram counts — the DSIR featurizer
     * (shared by the batch key, the incremental key, and tests). The
@@ -148,6 +172,40 @@ object Selection extends QueryPack {
           expr("imp_score div n_tok").as("per_tok"))
         .withColumn("admitted", col("per_tok") >= 500000L)
         .orderBy("doc_id")
+    }),
+
+    "sample_kcenter" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.DotProduct.dot
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .where(col("nrm") > 0)
+        .persist()
+      try {
+        val seed = e.orderBy("vec_id")
+          .select(col("vec_id"), col("v"), col("nrm")).limit(1).collect()(0)
+        var centers = List((seed.getSeq[Double](1).toArray, seed.getDouble(2)))
+        val picked = scala.collection.mutable.ArrayBuffer(
+          (1, seed.getLong(0), Option.empty[Double]))
+        for (i <- 2 to KCENTER_K) {
+          // min cosine distance to the selected set, REBUILT from the
+          // center list each round (flat lineage, codegen'd end to
+          // end); rounded sub-noise so the argmax tie-break is total.
+          val distCol = centers.map { case (cv, cn) =>
+            lit(1.0) - dot(col("v"), typedLit(cv.toSeq)) / (col("nrm") * lit(cn))
+          }.reduce(least(_, _))
+          val top = e.select(col("vec_id"), round(distCol, 9).as("d"),
+              col("v"), col("nrm"))
+            .orderBy(col("d").desc, col("vec_id"))
+            .limit(1).collect()(0) // 1-row bounded fetch per round
+          picked += ((i, top.getLong(0), Some(top.getDouble(1))))
+          centers = (top.getSeq[Double](2).toArray, top.getDouble(3)) :: centers
+        }
+        picked.toSeq.map(p => (p._1, p._2, p._3))
+          .toDF("rank", "vec_id", "radius")
+          .orderBy("rank")
+      } finally e.unpersist()
     }),
 
     "text_classifier_score" -> ((s, dir) =>

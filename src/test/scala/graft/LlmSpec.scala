@@ -665,6 +665,45 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_kcenter: matches an independent reference greedy pick-for-pick") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
+      }.filter(_._3 > 0).sortBy(_._1)
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cdist(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double = {
+      var s = 0.0; var i = 0
+      while (i < a._2.length) { s += a._2(i) * b._2(i); i += 1 }
+      1.0 - s / (a._3 * b._3)
+    }
+    var centers = List(vecs.head)
+    val ref = scala.collection.mutable.ArrayBuffer(
+      (1, vecs.head._1, Option.empty[Double]))
+    for (i <- 2 to graft.llm.Selection.KCENTER_K) {
+      val (pick, dd) = vecs.iterator
+        .map(v => (v, r9(centers.map(c => cdist(v, c)).min)))
+        .maxBy { case (v, dd) => (dd, -v._1) }
+      ref += ((i, pick._1, Some(dd)))
+      centers = pick :: centers
+    }
+    val got = q("sample_kcenter").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.length == ref.length)
+    got.zip(ref).foreach { case (g, e) =>
+      assert(g == e, s"pick ${e._1} diverged: got $g, reference $e")
+    }
+    // greedy k-center's coverage radius is monotone non-increasing
+    val radii = got.flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"coverage radii must be non-increasing: ${radii.mkString(", ")}")
+    assert(radii.last > 0, "degenerate fixture: all picks identical")
+  }
+
   test("text_bpe_drift: same-distribution delta stays quiet; a reversed-token delta trips the flag") {
     import org.apache.spark.sql.functions._
     // fixture delta is drawn from the same distribution as day-1 —
