@@ -290,7 +290,71 @@ object Retrieval extends QueryPack {
     3 -> Seq("stream", "window", "batch"),
     4 -> Seq("customer", "order", "line"))
 
+  /** Row-based BM25 for DYNAMIC term sets (the PRF second stage, where
+    * the query is data, not literals): exploded tokens join the (tiny,
+    * broadcast) term table, tf/df reduce per (doc, term), and the
+    * per-doc score is an order-independent decimal sum of the term
+    * contributions (Stable.dsum — a dynamic term set has no literal
+    * sum order to fix). The column-based `bm25Scored` stays the right
+    * shape for FIXED standing queries (map-side, no explode); this is
+    * its many-/dynamic-term sibling. */
+  private def rowBm25(docs: DataFrame, terms: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val dls = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+    val tf = tk.join(broadcast(terms), col("tok") === col("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), Seq("term"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), termScoreOf(col("tf"), col("df"),
+        col("dl"), col("n"), col("sdl")).as("c"))
+      .groupBy("doc_id")
+      .agg(graft.relational.Stable.dsum(col("c"), 12).as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pseudo-relevance feedback (Rocchio-style query expansion): score
+    // with the original query, take the top-3 docs, add their 2
+    // strongest non-query terms (tf-in-feedback-docs × corpus idf),
+    // rescore with the expanded query. ENTIRELY in-plan — the
+    // expansion terms are a 2-row DataFrame derived from stage 1, not
+    // a driver round trip — so the whole two-stage retrieval is one
+    // DAG a scheduler can pipeline. Corpus-side cost: the stage-1
+    // map-side scorer, one vocab-bounded df aggregate, and the
+    // stage-2 row scorer whose term table (5 rows) broadcasts.
+    "text_bm25_prf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val q1 = QueryTerms.toDF("term")
+      val top3 = rankTop(rowBm25(docs, q1), 3).select(col("doc_id"))
+      val tk = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      // full-vocab df agg (Heaps-bounded output), joined by the tiny
+      // candidate set. MEASURED against restricting df to candidate
+      // tokens first: the restriction needs a third explode pass over
+      // the corpus and came out 0.45 s SLOWER at sf0.1 (2.51 vs 2.06)
+      // — the vocab-sized hash agg is cheaper than another scan.
+      val dfa = tk.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val stats = docs.agg(count(lit(1)).as("n"))
+      val ex = tk.join(broadcast(top3), Seq("doc_id"))
+        .where(!col("tok").isInCollection(QueryTerms))
+        .groupBy("tok").agg(count(lit(1)).as("tf3"))
+        .join(dfa, Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .select(col("tok").as("term"), round(col("tf3").cast("double") *
+          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)),
+          12).as("es"))
+        .orderBy(col("es").desc, col("term")).limit(2)
+        .select(col("term"))
+      rankTop(rowBm25(docs, q1.union(ex)), 10)
+        .select(col("rn"), col("doc_id"), round(col("score"), 4).as("bm25"))
+        .orderBy("rn")
+    }),
+
     // BM25 top-10 over the documents corpus for the fixed query.
     // Scoring is map-side (array-filter tf, one broadcast stats row);
     // the only global reduction is the 1-row stats aggregate and the
@@ -545,7 +609,48 @@ object Retrieval extends QueryPack {
       .orderBy("rn")
   }
 
+  /** DuckDB twin of one rowBm25 scoring stage over term CTE `q`,
+    * emitting `sc$tag(doc_id, score)` — the decimal-sum (Stable.dsum)
+    * and the termScoreOf coercions mirrored exactly. */
+  private def rowBm25SqlCte(q: String, tag: String): String =
+    s"""tf$tag AS (SELECT doc_id, term, COUNT(*) AS tf
+       |           FROM tk JOIN $q ON tok = term GROUP BY 1, 2),
+       |df$tag AS (SELECT term, COUNT(*) AS df FROM tf$tag GROUP BY 1),
+       |sc$tag AS (
+       |  SELECT doc_id, CAST(SUM(CAST(
+       |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |    * ((CAST(tf AS DOUBLE) * ${K1 + 1.0}) / (CAST(tf AS DOUBLE) + $K1 * ((${1.0 - B}) + $B * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n)))))
+       |    AS DECIMAL(28,12))) AS DOUBLE) AS score
+       |  FROM tf$tag JOIN df$tag USING (term) JOIN dl USING (doc_id)
+       |       CROSS JOIN st
+       |  GROUP BY doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "text_bm25_prf" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+         |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+         |tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         |q1(term) AS (VALUES ${QueryTerms.map(t => s"('$t')").mkString(", ")}),
+         |${rowBm25SqlCte("q1", "1")},
+         |r1 AS (SELECT doc_id FROM sc1
+         |       ORDER BY ROUND(score, 12) DESC, doc_id LIMIT 3),
+         |dfa AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM documents),
+         |ex AS (SELECT tok AS term
+         |       FROM (SELECT tok, COUNT(*) AS tf3 FROM tk JOIN r1 USING (doc_id)
+         |             WHERE tok NOT IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})
+         |             GROUP BY 1) AS c3
+         |       JOIN dfa USING (tok) CROSS JOIN nn
+         |       ORDER BY ROUND(CAST(tf3 AS DOUBLE) *
+         |         ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)), 12) DESC, tok
+         |       LIMIT 2),
+         |q2 AS (SELECT term FROM q1 UNION ALL SELECT term FROM ex),
+         |${rowBm25SqlCte("q2", "2")}
+         |SELECT row_number() OVER (ORDER BY ROUND(score, 12) DESC, doc_id) AS rn,
+         |       doc_id, ROUND(score, 4) AS bm25
+         |FROM sc2 QUALIFY rn <= 10 ORDER BY rn""".stripMargin,
+
     "text_bm25_topk" ->
       s"""WITH ${bm25SqlCte()}
          |SELECT row_number() OVER (ORDER BY ROUND(score, 12) DESC, doc_id) AS rn,
