@@ -116,6 +116,9 @@ object Dedup extends QueryPack {
     * df ≤ 20 trigrams and na/nb count each doc's PRUNED distinct
     * trigrams (the same posting contract as ngramJaccardPairs; every
     * oracle mirrors the pruned-denominator semantics). */
+  private[graft] def ngramSharedCountsPublic(docs: DataFrame): DataFrame =
+    ngramSharedCounts(docs, hashedKeys = true)
+
   private def ngramSharedCounts(docs: DataFrame,
                                 hashedKeys: Boolean): DataFrame = {
     val tg = if (hashedKeys)
@@ -241,6 +244,49 @@ object Dedup extends QueryPack {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(Tables.documents(s, dir), 0.5)
         .orderBy("id_a", "id_b")),
+
+    // WEIGHTED (multiset) Jaccard rescoring: Σ_t min(tf_a,tf_b) /
+    // Σ_t max(tf_a,tf_b) over token frequency vectors — the measure
+    // that separates docs whose token SETS coincide but whose
+    // frequency profiles differ (boilerplate-heavy or repetition-
+    // skewed pairs saturate set-Jaccard). Two-stage BY DEFINITION (the
+    // production shape): admission is trigram set-Jaccard ≥ 0.3 off
+    // the shared df ≤ 20 mining pass (a blocking rule like the df cap
+    // itself, mirrored in the oracle — the first cut admitted ALL
+    // 1.1 M weak-overlap candidate pairs and paid 4.4–8.5 s at sf0.1 /
+    // 35–67 s at 10× across three measured join forms (DebugWeighted);
+    // admission cuts that to the near-dup stream and the whole key to
+    // 2.87 s / 8.97 s at 10× — mining-bound), then the exact weighted
+    // score over the admitted pairs' shared tokens. Exact integer
+    // numerators via
+    // Σmax = S_a + S_b − Σmin (S = doc token count), one double
+    // division, report threshold 0.5 UNROUNDED (ADVICE r01).
+    "dedup_weighted_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tot = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("s"))
+      val cand = ngramSharedCounts(docs, hashedKeys = true)
+        .where(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")) >= 0.3)
+        .select(col("id_a"), col("id_b"))
+        .join(tot.select(col("doc_id").as("id_a"), col("s").as("sa")), Seq("id_a"))
+        .join(tot.select(col("doc_id").as("id_b"), col("s").as("sb")), Seq("id_b"))
+      val tf = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      cand
+        .join(tf.select(col("doc_id").as("id_a"), col("tok"),
+          col("tf").as("tfa")), Seq("id_a"))
+        .join(tf.select(col("doc_id").as("id_b"), col("tok"),
+          col("tf").as("tfb")), Seq("id_b", "tok"))
+        .groupBy("id_a", "id_b", "sa", "sb")
+        .agg(sum(least(col("tfa"), col("tfb"))).as("minsum"))
+        .withColumn("wraw", col("minsum").cast("double") /
+          (col("sa") + col("sb") - col("minsum")))
+        .where(col("wraw") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("wraw"), 4).as("wjacc"))
+        .orderBy("id_a", "id_b")
+    }),
 
     // Asymmetric n-gram CONTAINMENT (round 7): C(a ⊂ b) = |tg(a) ∩
     // tg(b)| / |tg(a)| over the pruned-trigram sets — the measure that
@@ -531,6 +577,48 @@ object Dedup extends QueryPack {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_weighted_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+        |         unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        |tg AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS ng
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+        |pruned AS (
+        |  SELECT tg.doc_id, tg.ng FROM tg
+        |  JOIN (SELECT ng, count(*) AS dfreq FROM tg GROUP BY ng) d USING (ng)
+        |  WHERE dfreq <= 20),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM pruned a JOIN pruned b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.3),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |tot AS (SELECT doc_id,
+        |          CAST(len(string_split(text,' ')) AS BIGINT) AS s
+        |        FROM documents),
+        |ms AS (
+        |  SELECT id_a, id_b, CAST(SUM(LEAST(ta.tf, tb.tf)) AS BIGINT) AS minsum
+        |  FROM pairs
+        |  JOIN tf ta ON ta.doc_id = id_a
+        |  JOIN tf tb ON tb.doc_id = id_b AND tb.tok = ta.tok
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       ROUND(CAST(minsum AS DOUBLE) / (sa.s + sb.s - minsum), 4) AS wjacc
+        |FROM ms
+        |JOIN tot sa ON sa.doc_id = id_a
+        |JOIN tot sb ON sb.doc_id = id_b
+        |WHERE CAST(minsum AS DOUBLE) / (sa.s + sb.s - minsum) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_containment" ->
