@@ -1,0 +1,110 @@
+package graft.llm
+
+import graft.{QueryPack, Tables}
+import graft.functions.DotProduct.dot
+import graft.relational.Stable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-facing corpus clustering: the topic-structure primitives a
+  * curation pipeline runs BEFORE deciding what to keep — per-cluster
+  * profiles (how is the corpus distributed over semantic regions?) and
+  * cluster-balanced selection (cap every region's contribution so the
+  * dominant topic cannot crowd out the tail — the prototypes/SemDeDup
+  * curation family, Abbas et al. 2023 / Sorscher et al. 2022 shape).
+  *
+  * Reuses the IVF coarse quantizer wholesale: `learnedCentroids` (the
+  * seeded, bounded-sample k-means index artifact, persisted write-once
+  * per fixture fingerprint) and `assignCells` (the measured
+  * literal-vs-broadcast assignment shapes). Clustering here is not a
+  * new engine — it is the index-build job already proven at the ANN
+  * keys, exposed as an operator. 100 TB posture: centroid training is
+  * O(sample·K·dim) regardless of corpus size, assignment is one
+  * map-side pass against a K×dim broadcast, the profile reduces to K
+  * rows, and the balanced sample adds one rank window PARTITIONED BY
+  * cell (per-partition work is cell-sized, never corpus-sized).
+  *
+  * Exempt keys (MLlib k-means centroids have no SQL twin): LlmSpec
+  * gates assignment optimality against a brute-force argmax over the
+  * same centroid table, profile mass conservation, and the per-cell
+  * cap/top-affinity properties of the balanced sample.
+  */
+object Clustering extends QueryPack {
+
+  /** Same vector frame as Similarity: doubles + precomputed norm,
+    * re-spread from the single-file fixture. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** (vec_id, cell, aff): nearest-centroid (home cell, P = 1)
+    * assignment plus the cosine affinity to that centroid. Affinity is
+    * recomputed by a K×dim broadcast join-back rather than widening
+    * assignCells' contract — one extra map-side pass, no shuffle
+    * beyond the vec_id equi-join. Per-row affinity is a fused
+    * sequential dot product (geometry-independent by construction). */
+  private[graft] def homeCells(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    val k = Similarity.ivfCells(n)
+    val cents = Similarity.learnedCentroids(s, dir, k)
+    val normed = cents.select(col("cent_id").cast("long").as("cell"),
+      transform(col("cv"), x => x / sqrt(dot(col("cv"), col("cv")))).as("cv"))
+    val e = vecs(s, dir)
+    Similarity.assignCells(e, cents, 1, Similarity.assignViaBroadcast(k))
+      .join(e, Seq("vec_id"))
+      .join(broadcast(normed), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        (dot(col("v"), col("cv")) / col("nrm")).as("aff"))
+  }
+
+  /** Selection budget for the balanced sample: 25 % of the corpus,
+    * capped uniformly across the K declared cells (not the nonempty
+    * ones — the cap must not depend on the data distribution, or a
+    * skew shift silently changes every cell's quota). */
+  private[graft] def balancedCap(n: Long, k: Int): Long =
+    math.max(1L, math.ceil(math.ceil(n / 4.0) / k).toLong)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-cluster corpus profile: population, decimal-stable mean
+    // cosine-to-centroid (cohesion — how tight the topic is), and the
+    // weakest member's affinity (the cell's effective radius). The
+    // report every balancing decision reads first: a huge low-cohesion
+    // cell is a candidate for re-clustering, a tiny tight one for
+    // upsampling. K rows out; the reduction is a plain hash groupBy on
+    // cell.
+    "embed_cluster_profile" -> ((s, dir) =>
+      homeCells(s, dir)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("cnt"),
+          Stable.davg(col("aff"), 4).as("cohesion"),
+          round(min(col("aff")), 4).as("aff_min"))
+        .orderBy("cell")),
+
+    // Cluster-balanced prototype selection: within each home cell keep
+    // the `cap` most prototypical members (highest cosine to the
+    // centroid — the SSL-prototypes keep rule; Sorscher et al. 2022
+    // measure prototypicality exactly this way), so no topic exceeds
+    // budget/K rows however skewed the corpus. Ties broken by vec_id
+    // for total order (partition-geometry independence). The window
+    // partitions BY CELL, so per-task state is one cell's members —
+    // the same bounded-window discipline as giniRanked, never a global
+    // single-partition sort.
+    "sample_cluster_balanced" -> ((s, dir) => {
+      val n = Tables.embeddings(s, dir).count()
+      val cap = balancedCap(n, Similarity.ivfCells(n))
+      homeCells(s, dir)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("cell")
+            .orderBy(col("aff").desc, col("vec_id"))))
+        .where(col("rk") <= cap)
+        .select(col("vec_id"), col("cell"),
+          round(col("aff"), 4).as("aff"))
+        .orderBy("vec_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -730,4 +730,66 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.exists(_.getBoolean(4)),
       s"crafted reversed-token delta must trip the drift flag: ${rows.map(_.mkString(", ")).mkString(" | ")}")
   }
+
+  test("embed_cluster_profile conserves mass and assigns argmax-affinity home cells") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.DotProduct.dot
+    val n = Tables.embeddings(spark, dir).count()
+    val prof = q("embed_cluster_profile").collect()
+    assert(prof.map(_.getLong(1)).sum == n, "cluster populations must sum to n")
+    val k = graft.llm.Similarity.ivfCells(n)
+    assert(prof.length <= k, s"${prof.length} nonempty cells > K=$k")
+    prof.foreach { r =>
+      assert(r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001,
+        s"cohesion out of cosine range: ${r.mkString(", ")}")
+      // 2e-4 slack: cohesion passes through a Decimal(28,6) cast and
+      // both fields round to 4 places, so min vs mean can disagree by
+      // one rounding step at the boundary
+      assert(r.getDouble(3) <= r.getDouble(2) + 2e-4,
+        s"cell min affinity above its mean: ${r.mkString(", ")}")
+    }
+    // assignment optimality: each vector's home-cell affinity equals
+    // the brute-force max cosine over the SAME centroid table (asserts
+    // the value, not the cell id, so exact-tie cells can't flake)
+    val cents = graft.llm.Similarity.learnedCentroids(spark, dir, k)
+      .select(col("cent_id"),
+        transform(col("cv"), x => x / sqrt(dot(col("cv"), col("cv")))).as("cv"))
+    val best = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(cents))
+      .groupBy("vec_id")
+      .agg(max(dot(col("v"), col("cv")) / sqrt(dot(col("v"), col("v")))).as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val assigned = graft.llm.Clustering.homeCells(spark, dir).collect()
+    assert(assigned.length == n)
+    assigned.foreach { r =>
+      assert(math.abs(r.getDouble(2) - best(r.getLong(0))) < 1e-9,
+        s"vec ${r.getLong(0)} assigned aff ${r.getDouble(2)} != brute-force max ${best(r.getLong(0))}")
+    }
+  }
+
+  test("sample_cluster_balanced respects the per-cell cap and keeps each cell's top-affinity members") {
+    val n = Tables.embeddings(spark, dir).count()
+    val k = graft.llm.Similarity.ivfCells(n)
+    val cap = graft.llm.Clustering.balancedCap(n, k)
+    val all = graft.llm.Clustering.homeCells(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sel = q("sample_cluster_balanced").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val selByCell = sel.groupBy(_._2)
+    selByCell.values.foreach(g =>
+      assert(g.length <= cap, s"cell over cap: ${g.length} > $cap"))
+    // exact expected size: sum over cells of min(cap, population)
+    val expected = all.groupBy(_._2).values.map(g => math.min(cap, g.length.toLong)).sum
+    assert(sel.length.toLong == expected,
+      s"selected ${sel.length} != sum-of-min(cap, cell) $expected")
+    // top-affinity property per cell under the (aff desc, vec_id asc)
+    // total order: every selected member sorts before every excluded one
+    all.groupBy(_._2).foreach { case (cell, members) =>
+      val ordered = members.sortBy(m => (-m._3, m._1)).map(_._1)
+      val want = ordered.take(math.min(cap, members.length.toLong).toInt).toSet
+      val got = selByCell.getOrElse(cell, Array.empty).map(_._1).toSet
+      assert(got == want, s"cell $cell selected $got != expected prototypes $want")
+    }
+  }
 }
