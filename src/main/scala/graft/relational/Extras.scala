@@ -213,6 +213,55 @@ object Extras extends QueryPack {
           .write.mode("overwrite").orc(tmp)
       }
       s.read.orc(tmp).orderBy("o_orderkey")
+    }),
+
+    // Malformed-JSONL ingestion with quarantine routing — the landing-
+    // zone reality every large-scale ingest faces: upstream producers
+    // truncate lines mid-record and silently drop contract fields. A
+    // deterministic corruption of orders (o_orderkey % 37 = 0 → last 5
+    // chars cut, always killing the closing brace → invalid JSON; else
+    // % 41 = 0 → the o_orderkey contract field omitted → valid JSON,
+    // broken contract) is written once as a JSONL text artifact. The
+    // READ side classifies purely by PARSE OUTCOME (from_json
+    // PERMISSIVE; `corrupt` = no parse or no o_custkey, `schema_drift`
+    // = parsed but the contract key is missing) — never by the
+    // construction rule. The oracle recomputes the report from the
+    // rule over the ORIGINAL table, so a hash match proves the
+    // parse-based routing recovers ground truth exactly. Scale: the
+    // classify+aggregate is one map-side pass to a 3-row report;
+    // decimal-stable sums (Stable.dsum contract). */
+    "source_jsonl_quarantine" -> ((s, dir) => {
+      val pfx = s"graft_jsonlq_${graft.Tables.pathKey(dir)}_"
+      val tmp = s"/tmp/$pfx${graft.Tables.fingerprint(dir, "orders")}"
+      if (!Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS"))) {
+        graft.Tables.dropStalePaths(pfx)
+        val full = to_json(struct(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice")))
+        val drift = to_json(struct(col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice")))
+        Tables.orders(s, dir).select(
+          when(col("o_orderkey") % 37 === 0,
+            full.substr(lit(1), length(full) - 5))
+            .when(col("o_orderkey") % 41 === 0, drift)
+            .otherwise(full).as("value"))
+          .write.mode("overwrite").text(tmp)
+      }
+      val p = from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_orderstatus STRING, o_totalprice DOUBLE"))
+      s.read.text(tmp)
+        .select(p.as("p"))
+        .select(
+          when(col("p").isNull || col("p.o_custkey").isNull, lit("corrupt"))
+            .when(col("p.o_orderkey").isNull, lit("schema_drift"))
+            .otherwise(lit("ok")).as("status"),
+          col("p.o_orderkey").as("k"), col("p.o_totalprice").as("price"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("k")).as("okey_sum"),
+          Stable.dsum(col("price"), 2).as("price_sum"))
+        .orderBy("status")
     })
   )
 
@@ -317,6 +366,23 @@ object Extras extends QueryPack {
     // oracle reads the ORIGINAL orders parquet: the orc hop must be
     // bit-exact, doubles included
     "source_orc_roundtrip" ->
-      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey"
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey",
+
+    // ground truth from the construction rule over the ORIGINAL table;
+    // the Spark side must reach the same report from parse outcomes
+    // alone (JSON round-trips doubles exactly, so the DECIMAL(28,2)
+    // casts see identical values on both engines)
+    "source_jsonl_quarantine" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN o_orderkey % 37 = 0 THEN 'corrupt'
+        |              WHEN o_orderkey % 41 = 0 THEN 'schema_drift'
+        |              ELSE 'ok' END AS status,
+        |         o_orderkey, o_totalprice
+        |  FROM orders)
+        |SELECT status, COUNT(*) AS cnt,
+        |  CAST(SUM(CASE WHEN status = 'ok' THEN o_orderkey END) AS BIGINT) AS okey_sum,
+        |  CAST(SUM(CASE WHEN status <> 'corrupt'
+        |               THEN CAST(o_totalprice AS DECIMAL(28,2)) END) AS DOUBLE) AS price_sum
+        |FROM c GROUP BY status ORDER BY status""".stripMargin
   )
 }
