@@ -200,6 +200,65 @@ object Storage extends QueryPack {
         .orderBy("o_orderkey")
     }),
 
+    // Snapshot-isolated versioned table (time travel) — the lakehouse
+    // metadata pattern (the Iceberg/Delta snapshot model) composed
+    // from primitives, since vanilla parquet has no versions: data
+    // files are IMMUTABLE, each version is a MANIFEST (a
+    // metadata-sized file list), and a writer commits by writing NEW
+    // files for only the partitions it touches plus a manifest that
+    // references every untouched file unchanged (copy-on-write).
+    // Readers resolve a version by loading its manifest (driver-side,
+    // metadata-sized — never the data) and scanning exactly the
+    // listed files, so old versions stay readable after any commit
+    // and a reader can never observe a half-commit (the _COMMITTED
+    // marker lands last). Here: v0 = orders snapshotted into three
+    // status partitions; v1 = copy-on-write of the 'O' partition only
+    // (5 % price adjustment) — the F and P data files are SHARED
+    // bytes between the two manifests. The key reads BOTH versions
+    // through their manifests and emits the per-(version, status)
+    // report; the oracle recomputes both version states from the
+    // original table, so a hash match proves v0 is untouched by the
+    // v1 commit AND v1 rewrote exactly the 'O' partition. At 100 TB
+    // the same commit touches one partition's files out of thousands
+    // and the manifest swap is O(metadata).
+    "sink_time_travel" -> ((s, dir) => {
+      val pfx = s"graft_tt_orders_${key(dir)}_"
+      val root = s"/tmp/$pfx${Tables.fingerprint(dir, "orders")}"
+      if (!Files.exists(Paths.get(root, "_COMMITTED"))) {
+        Tables.dropStalePaths(pfx)
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        for (st <- Seq("O", "F", "P"))
+          base.where(col("o_orderstatus") === st)
+            .write.mode("overwrite").parquet(s"$root/data/v0_$st")
+        base.where(col("o_orderstatus") === "O")
+          .withColumn("o_totalprice", col("o_totalprice") * 0.95)
+          .write.mode("overwrite").parquet(s"$root/data/v1_O")
+        Files.writeString(Paths.get(root, "manifest_v0.txt"),
+          Seq("data/v0_O", "data/v0_F", "data/v0_P").mkString("\n"))
+        Files.writeString(Paths.get(root, "manifest_v1.txt"),
+          Seq("data/v1_O", "data/v0_F", "data/v0_P").mkString("\n"))
+        Files.createFile(Paths.get(root, "_COMMITTED"))
+      }
+      def atVersion(v: Int): DataFrame = {
+        val entries = Files.readString(Paths.get(root, s"manifest_v$v.txt"))
+          .split("\n").toSeq
+        s.read.parquet(entries.map(e => s"$root/$e"): _*)
+      }
+      // integer-cents accumulation (Stable.lsumTerm): the v1 prices
+      // carry a *0.95 product whose DECIMAL(28,2) cast lands on a
+      // half-rounding boundary the two engines resolve differently
+      // (measured: one cent per ~500 rows) — floor(x·100 + 0.5) is the
+      // same IEEE expression on both
+      def report(v: Int): DataFrame = atVersion(v)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(Stable.lsumTerm(col("o_totalprice"), 2)).as("price_cents"))
+        .select(lit(v).as("version"), col("status"),
+          col("cnt"), col("price_cents"))
+      report(0).unionByName(report(1)).orderBy("version", "status")
+    }),
+
     // bucketed co-located join: both sides pre-bucketed on the key, so
     // the SortMergeJoin reads bucket i against bucket i — no Exchange
     // anywhere in the plan (PlanSpec "join_bucketed"). The merge hint
@@ -258,6 +317,24 @@ object Storage extends QueryPack {
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // both version states recomputed from the original table: v0 must
+    // be byte-equivalent to the pre-commit snapshot (the v1 commit
+    // can't have leaked into shared files), v1 must show the 'O'
+    // rewrite and nothing else
+    "sink_time_travel" ->
+      """SELECT 0 AS version, o_orderstatus AS status, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 1.0E2 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders GROUP BY 2
+        |UNION ALL
+        |SELECT 1, o_orderstatus, COUNT(*),
+        |  CAST(SUM(CAST(FLOOR((CASE WHEN o_orderstatus = 'O'
+        |                            THEN o_totalprice * 0.95
+        |                            ELSE o_totalprice END) * 1.0E2 + 0.5)
+        |               AS BIGINT)) AS BIGINT)
+        |FROM orders GROUP BY 2
+        |ORDER BY version, status""".stripMargin
   )
 }
