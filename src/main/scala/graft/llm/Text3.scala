@@ -86,6 +86,44 @@ object Text3 extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Interpolated BIGRAM language-model scoring — the next rung of
+    // the KenLM-perplexity ladder above text_unigram_logprob: each
+    // transition is scored P(w₂|w₁) = 0.75·c(w₁w₂)/c(w₁) +
+    // 0.25·c(w₂)/N (Jelinek-Mercer interpolation — on the self-trained
+    // corpus every observed bigram has c ≥ 1, but the unigram backoff
+    // is what makes the same model applicable to a DELTA corpus, the
+    // dedup_incr_* pattern), per-doc mean nll over the bigram
+    // positions. Bigrams are built MAP-SIDE from the token array (a
+    // transform over sequence, no per-token window shuffle); the
+    // count model is two token-keyed aggregates + one scoring join,
+    // the same doc_id-keyed exchange discipline as the unigram key.
+    // Per-transition nll rounds before the decimal-exact mean (davg).
+    "text_bigram_logprob" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val bi = base.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      val toks = base.select(col("doc_id"),
+        explode(col("toks")).as("tok"))
+      val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val cu = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+      val tot = toks.agg(count(lit(1)).as("ntot"))
+      bi.join(cb, Seq("w1", "w2"))
+        .join(cu.select(col("tok").as("w1"), col("cu").as("c1")), Seq("w1"))
+        .join(cu.select(col("tok").as("w2"), col("cu").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          round(lit(0.0) - log(
+            lit(0.75) * (col("cb").cast("double") / col("c1")) +
+            lit(0.25) * (col("c2").cast("double") / col("ntot"))), 6).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          graft.relational.Stable.davg(col("nll")).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // Sub-document boilerplate scrub (the paragraph/line-dedup stage of
     // a crawl pipeline, expressed on the fixture's single-line docs as
     // fixed 8-token segments): a segment appearing in MORE than 3
@@ -200,6 +238,29 @@ object Text3 extends QueryPack {
         |              ROUND(0.0 - ln(CAST(ctok AS DOUBLE) / ntot), 6) AS nll
         |       FROM t JOIN tf USING (tok) CROSS JOIN n)
         |SELECT doc_id, COUNT(*) AS n_toks,
+        |       ROUND(CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4)
+        |         AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+        |                  unnest(string_split(text,' ')) AS tok FROM documents),
+        |b AS (SELECT doc_id, tok AS w1,
+        |             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |      FROM t),
+        |bi AS (SELECT doc_id, w1, w2 FROM b WHERE w2 IS NOT NULL),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |cu AS (SELECT tok, count(*) AS cu FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS ntot FROM t),
+        |sc AS (SELECT doc_id,
+        |              ROUND(0.0 - ln(
+        |                0.75 * (CAST(cb AS DOUBLE) / c1.cu) +
+        |                0.25 * (CAST(c2.cu AS DOUBLE) / ntot)), 6) AS nll
+        |       FROM bi JOIN cb USING (w1, w2)
+        |       JOIN cu c1 ON c1.tok = bi.w1
+        |       JOIN cu c2 ON c2.tok = bi.w2
+        |       CROSS JOIN n)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
         |       ROUND(CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4)
         |         AS avg_nll
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
