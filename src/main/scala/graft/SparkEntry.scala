@@ -90,7 +90,8 @@ object SparkEntry {
     "dedup_edit_banded", "dedup_embed_lsh", "dedup_incr_edit_banded",
     "dedup_incr_embed",
     "dedup_near", "dedup_semantic_ann", "dedup_semantic_cells",
-    "embed_cluster_profile", "embed_label_purity_ann", "embed_pca_power",
+    "embed_cluster_drift", "embed_cluster_profile",
+    "embed_label_purity_ann", "embed_pca_power",
     "embed_pq", "sample_cluster_balanced",
     "sim_edge_histogram_ann", "sim_ivf_ann", "sim_knn_graph_ann",
     "sample_kcenter", "sim_lsh_ann", "sim_mmr_rerank",

@@ -40,24 +40,61 @@ object Clustering extends QueryPack {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
-  /** (vec_id, cell, aff): nearest-centroid (home cell, P = 1)
-    * assignment plus the cosine affinity to that centroid. Affinity is
-    * recomputed by a K×dim broadcast join-back rather than widening
-    * assignCells' contract — one extra map-side pass, no shuffle
-    * beyond the vec_id equi-join. Per-row affinity is a fused
-    * sequential dot product (geometry-independent by construction). */
-  private[graft] def homeCells(s: SparkSession, dir: String): DataFrame = {
+  /** Assign an arbitrary (vec_id, v, nrm) frame to `dir`'s learned
+    * cells, carrying the cosine affinity. Affinity is recomputed by a
+    * K×dim broadcast join-back rather than widening assignCells'
+    * contract — one extra map-side pass, no shuffle beyond the vec_id
+    * equi-join. Per-row affinity is a fused sequential dot product
+    * (geometry-independent by construction). */
+  private[graft] def assignTo(s: SparkSession, dir: String,
+                              e: DataFrame): DataFrame = {
     val n = Tables.embeddings(s, dir).count()
     val k = Similarity.ivfCells(n)
     val cents = Similarity.learnedCentroids(s, dir, k)
     val normed = cents.select(col("cent_id").cast("long").as("cell"),
       transform(col("cv"), x => x / sqrt(dot(col("cv"), col("cv")))).as("cv"))
-    val e = vecs(s, dir)
     Similarity.assignCells(e, cents, 1, Similarity.assignViaBroadcast(k))
       .join(e, Seq("vec_id"))
       .join(broadcast(normed), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         (dot(col("v"), col("cv")) / col("nrm")).as("aff"))
+  }
+
+  /** (vec_id, cell, aff): nearest-centroid (home cell, P = 1)
+    * assignment of the whole corpus. */
+  private[graft] def homeCells(s: SparkSession, dir: String): DataFrame =
+    assignTo(s, dir, vecs(s, dir))
+
+  /** Per-cell PSI terms between two sub-corpora assigned to the SAME
+    * learned cells — the population-stability report. Laplace-smoothed
+    * shares over all K declared cells (empty cells included: a topic
+    * appearing from nothing is exactly the drift to surface). The
+    * day-1 side's counts would be a recorded day-0 statistic at scale
+    * (the text_bpe_drift precedent); the delta side is one assignment
+    * pass + a K-row reduce. */
+  private[graft] def driftReport(s: SparkSession, dir: String,
+                                 day1: DataFrame, delta: DataFrame): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    val k = Similarity.ivfCells(n)
+    val allCells = Similarity.learnedCentroids(s, dir, k)
+      .select(col("cent_id").cast("long").as("cell"))
+    def cellCounts(e: DataFrame, name: String): DataFrame =
+      assignTo(s, dir, e).groupBy("cell")
+        .agg(count(lit(1)).as(name))
+    val joined = allCells
+      .join(cellCounts(day1, "c_day1"), Seq("cell"), "left")
+      .join(cellCounts(delta, "c_delta"), Seq("cell"), "left")
+      .na.fill(0L, Seq("c_day1", "c_delta"))
+    // totals ride a 1-row broadcast off the K-row frame (the census
+    // pattern), never a global window
+    val tots = joined.agg(sum(col("c_day1")).as("n1"),
+      sum(col("c_delta")).as("nd"))
+    val p1 = (col("c_day1") + 0.5) / (col("n1") + 0.5 * k)
+    val pd = (col("c_delta") + 0.5) / (col("nd") + 0.5 * k)
+    joined.crossJoin(broadcast(tots))
+      .select(col("cell"), col("c_day1"), col("c_delta"),
+        round((pd - p1) * log(pd / p1), 8).as("psi_term"))
+      .orderBy("cell")
   }
 
   /** Selection budget for the balanced sample: 25 % of the corpus,
@@ -82,6 +119,23 @@ object Clustering extends QueryPack {
           Stable.davg(col("aff"), 4).as("cohesion"),
           round(min(col("aff")), 4).as("aff_min"))
         .orderBy("cell")),
+
+    // Embedding-distribution drift monitor — the vector-side sibling
+    // of dq_drift_psi and text_bpe_drift: assign yesterday's corpus
+    // and today's delta to the SAME learned cells and report the
+    // per-cell PSI terms (Laplace-smoothed over all K declared cells,
+    // so a topic appearing from nothing is loud). Day-1/delta split is
+    // the incremental family's vec_id % 4 convention. Total PSI =
+    // Σ terms; the LlmSpec gate asserts the in-distribution split
+    // stays quiet AND a crafted half-negated delta (the ScaleGen
+    // decorrelation isometry — same norms, scrambled directions)
+    // trips loud.
+    "embed_cluster_drift" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      driftReport(s, dir,
+        e.where(col("vec_id") % 4 =!= 0),
+        e.where(col("vec_id") % 4 === 0))
+    }),
 
     // Cluster-balanced prototype selection: within each home cell keep
     // the `cap` most prototypical members (highest cosine to the

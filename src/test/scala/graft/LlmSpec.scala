@@ -768,6 +768,38 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_cluster_drift: quiet on the in-distribution split, loud on a scrambled delta") {
+    import org.apache.spark.sql.functions._
+    val rows = q("embed_cluster_drift").collect()
+    assert(rows.nonEmpty)
+    val n = Tables.embeddings(spark, dir).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == n,
+      "day1 + delta populations must cover the corpus")
+    val quiet = rows.map(_.getDouble(3)).sum
+    assert(quiet < 0.25,
+      s"in-distribution vec_id % 4 split should be stable: PSI $quiet")
+    // crafted drift: EMBEDDING COLLAPSE — the delta degenerates to a
+    // single constant direction (the upstream failure a drift monitor
+    // exists to catch: a broken encoder emitting near-identical
+    // vectors). All delta mass lands in one cell → the population
+    // shares shift massively. (A pure isometry like full negation is
+    // measured NOT to trip this monitor — it permutes assignments but
+    // roughly preserves the aggregate cell-population SHAPE, which is
+    // what share-based PSI watches; quiet=0.19 loud=0.24 at sf0.001.)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.DotProduct.dot(col("v"), col("v"))))
+    val collapsed = e.where(col("vec_id") % 4 === 0)
+      .withColumn("v", expr(
+        "transform(v, (x, i) -> CAST(CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE))"))
+      .withColumn("nrm", lit(1.0))
+    val loud = graft.llm.Clustering
+      .driftReport(spark, dir, e.where(col("vec_id") % 4 =!= 0), collapsed)
+      .collect().map(_.getDouble(3)).sum
+    assert(loud > 4 * quiet && loud > 1.0,
+      s"collapsed delta must trip the monitor: quiet=$quiet loud=$loud")
+  }
+
   test("sample_cluster_balanced respects the per-cell cap and keeps each cell's top-affinity members") {
     val n = Tables.embeddings(spark, dir).count()
     val k = graft.llm.Similarity.ivfCells(n)
