@@ -553,4 +553,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"),
       s"the per-order aggregate must run two-phase over lineitem:\n$plan")
   }
+
+  test("dedup_weighted_jaccard: tf join consumes admitted pairs only; minsum is two-phase") {
+    val plan = physical("dedup_weighted_jaccard")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"weighted rescoring must never cross-join:\n$plan")
+    // the set-Jaccard >= 0.3 admission must sit BELOW (deeper than)
+    // the token-frequency join, so the tf stream is the near-dup
+    // pairs, never the full candidate set (the measured 35-67s trap)
+    val tfJoinAt = plan.indexOf("tok#")
+    val admissionAt = plan.indexOf(">= 0.3")
+    assert(tfJoinAt >= 0 && admissionAt >= 0,
+      s"expected both the tf join and the admission predicate:\n$plan")
+    assert(admissionAt > tfJoinAt,
+      s"admission filter must be a child of the tf join, not above it:\n$plan")
+    assert(plan.contains("partial_sum(least(tfa"),
+      s"the min-tf sum must run partial+final:\n$plan")
+  }
+
+  test("sample_cluster_balanced: the cap prunes map-side via WindowGroupLimit; window partitions by cell") {
+    val plan = physical("sample_cluster_balanced")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=cap must push into a group limit (map-side top-cap pruning):\n$plan")
+    assert(plan.contains("hashpartitioning(cell"),
+      s"the rank window must partition by cell, never globally:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"no global single-partition stage belongs in this plan:\n$plan")
+  }
 }
