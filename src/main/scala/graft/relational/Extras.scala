@@ -230,40 +230,52 @@ object Extras extends QueryPack {
     // parse-based routing recovers ground truth exactly. Scale: the
     // classify+aggregate is one map-side pass to a 3-row report;
     // decimal-stable sums (Stable.dsum contract). */
-    "source_jsonl_quarantine" -> ((s, dir) => {
-      val pfx = s"graft_jsonlq_${graft.Tables.pathKey(dir)}_"
-      val tmp = s"/tmp/$pfx${graft.Tables.fingerprint(dir, "orders")}"
-      if (!Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS"))) {
-        graft.Tables.dropStalePaths(pfx)
-        val full = to_json(struct(col("o_orderkey"), col("o_custkey"),
-          col("o_orderstatus"), col("o_totalprice")))
-        val drift = to_json(struct(col("o_custkey"),
-          col("o_orderstatus"), col("o_totalprice")))
-        Tables.orders(s, dir).select(
-          when(col("o_orderkey") % 37 === 0,
-            full.substr(lit(1), length(full) - 5))
-            .when(col("o_orderkey") % 41 === 0, drift)
-            .otherwise(full).as("value"))
-          .write.mode("overwrite").text(tmp)
-      }
-      val p = from_json(col("value"),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "o_orderkey BIGINT, o_custkey BIGINT, " +
-          "o_orderstatus STRING, o_totalprice DOUBLE"))
-      s.read.text(tmp)
-        .select(p.as("p"))
-        .select(
-          when(col("p").isNull || col("p.o_custkey").isNull, lit("corrupt"))
-            .when(col("p.o_orderkey").isNull, lit("schema_drift"))
-            .otherwise(lit("ok")).as("status"),
-          col("p.o_orderkey").as("k"), col("p.o_totalprice").as("price"))
+    "source_jsonl_quarantine" -> ((s, dir) =>
+      jsonlClassify(s.read.text(jsonlArtifact(s, dir)))
         .groupBy("status")
         .agg(count(lit(1)).as("cnt"),
           sum(col("k")).as("okey_sum"),
           Stable.dsum(col("price"), 2).as("price_sum"))
-        .orderBy("status")
-    })
+        .orderBy("status"))
   )
+
+  /** Write-once corrupted-JSONL landing-zone artifact (the quarantine
+    * key + the StreamSpec streaming-routing gate read the same files),
+    * keyed per orders fingerprint like the other roundtrip layouts. */
+  private[graft] def jsonlArtifact(s: SparkSession, dir: String): String = {
+    val pfx = s"graft_jsonlq_${graft.Tables.pathKey(dir)}_"
+    val tmp = s"/tmp/$pfx${graft.Tables.fingerprint(dir, "orders")}"
+    if (!Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS"))) {
+      graft.Tables.dropStalePaths(pfx)
+      val full = to_json(struct(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice")))
+      val drift = to_json(struct(col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice")))
+      Tables.orders(s, dir).select(
+        when(col("o_orderkey") % 37 === 0,
+          full.substr(lit(1), length(full) - 5))
+          .when(col("o_orderkey") % 41 === 0, drift)
+          .otherwise(full).as("value"))
+        .write.mode("overwrite").text(tmp)
+    }
+    tmp
+  }
+
+  /** Parse-outcome classifier over raw JSONL `value` lines — the ONE
+    * definition shared by the batch report and the streaming DLQ
+    * routing (StreamSpec), so the two paths cannot fork. */
+  private[graft] def jsonlClassify(lines: DataFrame): DataFrame = {
+    val p = from_json(col("value"),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE"))
+    lines.select(col("value"), p.as("p"))
+      .select(col("value"),
+        when(col("p").isNull || col("p.o_custkey").isNull, lit("corrupt"))
+          .when(col("p.o_orderkey").isNull, lit("schema_drift"))
+          .otherwise(lit("ok")).as("status"),
+        col("p.o_orderkey").as("k"), col("p.o_totalprice").as("price"))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "agg_percentile" ->

@@ -1336,4 +1336,50 @@ class StreamSpec extends AnyFunSuite {
         .where(col("event_type") === "a").count() >= 2, "on-time windows finalized")
     } finally q.stop()
   }
+
+  test("source_jsonl_quarantine: the streaming ingest routes ok/quarantine identically to the batch classifier") {
+    import graft.relational.Extras
+    // the corrupted landing-zone artifact (built once by the batch key)
+    val path = Extras.jsonlArtifact(spark, dir)
+    val okSink = Files.createTempDirectory("graft_jsonlq_ok").toString
+    val dlqSink = Files.createTempDirectory("graft_jsonlq_dlq").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_jsonlq").toString
+    val q = spark.readStream
+      .schema("value STRING").text(path)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the ONE shared classifier (Extras.jsonlClassify) routes each
+        // micro-batch; the DLQ keeps the RAW line for replay
+        val c = Extras.jsonlClassify(batch)
+        c.where(col("status") === "ok")
+          .select("k", "price")
+          .write.mode("append").parquet(okSink)
+        c.where(col("status") =!= "ok")
+          .select("value", "status")
+          .write.mode("append").parquet(dlqSink)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val batchC = Extras.jsonlClassify(spark.read.text(path)).cache()
+    try {
+      // ok stream == ok batch (count + exact key sum)
+      val okStream = spark.read.parquet(okSink)
+      val okBatch = batchC.where(col("status") === "ok")
+      assert(okStream.count() == okBatch.count(), "ok row counts diverge")
+      assert(okStream.agg(sum("k")).head.getLong(0) ==
+        okBatch.agg(sum("k")).head.getLong(0), "ok key sums diverge")
+      // the DLQ holds EXACTLY the batch-classified bad lines, raw
+      val dlq = spark.read.parquet(dlqSink)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val bad = batchC.where(col("status") =!= "ok")
+        .select("value", "status")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(dlq == bad,
+        s"DLQ diverges from batch classification (dlq=${dlq.size}, batch=${bad.size})")
+      assert(bad.exists(_._2 == "corrupt") && bad.exists(_._2 == "schema_drift"),
+        "fixture must exercise both quarantine classes")
+    } finally batchC.unpersist()
+  }
 }
