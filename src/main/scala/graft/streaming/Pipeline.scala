@@ -230,6 +230,29 @@ object Pipeline {
         date_format(col("ts_sec"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
   }
 
+  /** Compacted-topic read view — broker topic compaction (the
+    * PIP-105-era Pulsar feature letting a new reader bootstrap state
+    * without replaying history): only the LATEST message per key
+    * survives, older ones are compacted away. The dual of firstPerKey,
+    * same (second-truncated ts, event_id) total-order discipline, with
+    * the VALUE carried — the retained payload is the point of
+    * compaction. The streaming form is a keep-latest aggregation
+    * (max of the (ts_sec, event_id, value) struct per key — per-key
+    * O(1) state, exactly what a broker's compactor holds); StreamSpec
+    * asserts stream == batch. */
+  def compactLatest(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_sec").desc, col("event_id").desc)
+    events
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"),
+        date_format(col("ts_sec"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+  }
+
   /** Stream-static enrichment join. */
   def enrich(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(broadcast(customer), col("user_id") === col("c_custkey"), "inner")

@@ -26,6 +26,11 @@ object Streams extends QueryPack {
     "stream_dedup" -> ((s, dir) =>
       Pipeline.firstPerKey(Tables.events(s, dir)).orderBy("user_id", "event_type")),
 
+    // broker topic compaction: latest message per key (see
+    // Pipeline.compactLatest); stream==batch in StreamSpec
+    "stream_topic_compaction" -> ((s, dir) =>
+      Pipeline.compactLatest(Tables.events(s, dir)).orderBy("user_id", "event_type")),
+
     "stream_static_join" -> ((s, dir) =>
       Pipeline.enrich(Tables.events(s, dir), Tables.customer(s, dir))
         .orderBy("event_id")),
@@ -246,6 +251,14 @@ object Streams extends QueryPack {
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
         |  ORDER BY date_trunc('second', ts), event_id) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "stream_topic_compaction" ->
+      """SELECT user_id, event_type, event_id, value,
+        |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY date_trunc('second', ts) DESC, event_id DESC) = 1
         |ORDER BY user_id, event_type""".stripMargin,
 
     "stream_static_join" ->

@@ -347,6 +347,37 @@ class StreamSpec extends AnyFunSuite {
     assertSameRows(streamed, batch)
   }
 
+  test("topic compaction: the streamed keep-latest state == the batch compacted view") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Timestamp, Long, String, Double)].collect()
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    mem.addData(rows.toSeq)
+    val ckpt = Files.createTempDirectory("graft_ckpt_compaction").toString
+    // the compactor's actual state shape: per-key max of the
+    // (ts_sec, event_id, value) struct — field-by-field struct
+    // ordering IS the batch window's (ts_sec DESC, event_id DESC)
+    // argmax, and the state is O(1) per key
+    val q = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .groupBy("user_id", "event_type")
+      .agg(max(struct(col("ts_sec"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.event_id").as("event_id"), col("m.value").as("value"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("compaction")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("compaction")
+    val batch = Pipeline.compactLatest(Tables.events(spark, dir))
+      .select("user_id", "event_type", "event_id", "value")
+    assertSameRows(streamed, batch)
+  }
+
   test("union of two filtered streams: stream == batch") {
     // two DISTINCT file-stream sources (separate dirs, separate offset
     // logs) — a self-union of one source would not exercise the
