@@ -40,6 +40,26 @@ object DebugNg {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "editstages") {
+      // stage decomposition of the chunk-candidate miner (round 9:
+      // where do dedup_edit_banded's ~5 s go once the verify is
+      // amortized into the artifact?)
+      import graft.llm.Dedup
+      val d = Tables.documents(spark, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      println("docs=" + d.count())
+      val ck = Dedup.chunkKeys(d, 4)
+      for (i <- 1 to 2) time(s"chunkKeys r$i")(println("  n=" + ck.count()))
+      val posting = ck.groupBy("g1", "g2")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n_chars"))))
+          .as("ds"))
+        .where(size(col("ds")).between(2, 100))
+      for (i <- 1 to 2) time(s"posting r$i")(println("  n=" + posting.count()))
+      val cand = Dedup.editChunkCandidates(d, 4, 100, 12)
+      for (i <- 1 to 2) time(s"cand r$i")(println("  n=" + cand.count()))
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "ivfassign") {
       // A/B the two assignCells shapes at the current corpus scale
       import graft.llm.Similarity

@@ -16,11 +16,15 @@ object DebugWeighted {
       println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val tot = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("s"))
+    // admission = trigram set-Jaccard >= 0.3 off the shared mining
+    // pass — the SHIPPED key's predicate (ADVICE r08: an earlier
+    // length-ratio stand-in measured a different candidate set)
     def cand = graft.llm.Dedup.ngramSharedCountsPublic(docs)
+      .where(col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")) >= 0.3)
       .select(col("id_a"), col("id_b"))
       .join(tot.select(col("doc_id").as("id_a"), col("s").as("sa")), Seq("id_a"))
       .join(tot.select(col("doc_id").as("id_b"), col("s").as("sb")), Seq("id_b"))
-      .where(least(col("sa"), col("sb")).cast("double") / greatest(col("sa"), col("sb")) >= 0.5)
     val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     def variantExplodeBcast = cand

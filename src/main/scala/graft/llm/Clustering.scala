@@ -39,6 +39,10 @@ object Clustering extends QueryPack {
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      // exclude zero-norm vectors (ADVICE r08, mirroring sample_kcenter):
+      // aff = dot/0 would be NaN and silently poison cohesion / PSI /
+      // the balanced-sample ranking instead of failing loudly
+      .where(col("nrm") > 0)
 
   /** Assign an arbitrary (vec_id, v, nrm) frame to `dir`'s learned
     * cells, carrying the cosine affinity. Affinity is recomputed by a

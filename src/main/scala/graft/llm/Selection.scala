@@ -48,9 +48,10 @@ import org.apache.spark.sql.functions._
   *    (cosine distance) from the already-picked set, K times. The
   *    standard diversity-pruning primitive (a 2-approximation of the
   *    k-center objective); the emitted `radius` sequence is the
-  *    coverage curve — radius_k is the max distance of ANY corpus
-  *    vector to its nearest selected center after k picks, the number
-  *    a pruning team reads to choose K. Each round is inherently
+  *    coverage curve — the radius at rank k is the coverage radius of
+  *    the FIRST k−1 centers (the farthest-point distance measured
+  *    before pick k joins the set; rank 1's radius is null), the
+  *    number a pruning team reads to choose K. Each round is inherently
   *    sequential (the argmax depends on all prior picks), so the
   *    distributed shape is: one codegen'd job per round — min-distance
   *    over the K-so-far centers as a rebuilt literal expression (flat

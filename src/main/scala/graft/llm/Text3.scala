@@ -101,7 +101,13 @@ object Text3 extends QueryPack {
     "text_bigram_logprob" -> ((s, dir) => {
       val base = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val bi = base.select(col("doc_id"), explode(expr(
+      // size(toks) >= 2 guard (ADVICE r08): sequence(1, 0) is DESCENDING
+      // [1, 0] for a 1-token doc, so toks[1] would be evaluated — an
+      // INVALID_ARRAY_INDEX throw under ANSI mode. The filter matches
+      // the oracle exactly (lead() IS NOT NULL emits zero bigram rows
+      // for short docs) and the trainMerges/trigrams guard idiom.
+      val bi = base.where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(toks) - 1), " +
           "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("bg"))
         .select(col("doc_id"), col("bg.w1"), col("bg.w2"))

@@ -249,6 +249,15 @@ object Text5 extends QueryPack {
     t
   }
 
+  /** EXACT name of the day-1 merge artifact (the incremental-family
+    * training slice, doc_id % 4 =!= 0) — exposed so consumers (the
+    * drift key, the LlmSpec crafted-drift gate, the retrain policy)
+    * resolve the same keyed table instead of a prefix-listTables guess
+    * that could pick a stale fingerprint's artifact (ADVICE r08). */
+  private[graft] def bpeDay1Table(s: SparkSession, dir: String): String =
+    bpeTrainedTable(s, dir, "day1",
+      ss => Tables.documents(ss, dir).where(col("doc_id") % 4 =!= 0))
+
   /** Per-lang fertility (units/token) of `docs` under a FIXED merge
     * cascade: segmentation over the distinct vocab, corpus side joins.
     * The text_bpe_compression layout factored for reuse. */
@@ -344,8 +353,7 @@ object Text5 extends QueryPack {
     "text_bpe_drift" -> ((s, dir) => {
       val day1 = Tables.documents(s, dir).where(col("doc_id") % 4 =!= 0)
       val delta = Tables.documents(s, dir).where(col("doc_id") % 4 === 0)
-      val merges = s.table(bpeTrainedTable(s, dir, "day1",
-          ss => Tables.documents(ss, dir).where(col("doc_id") % 4 =!= 0)))
+      val merges = s.table(bpeDay1Table(s, dir))
         .orderBy("rank")
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       bpeDriftReport(merges, day1, delta)

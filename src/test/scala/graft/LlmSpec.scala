@@ -723,8 +723,9 @@ class LlmSpec extends AnyFunSuite {
     val crafted = Tables.documents(spark, dir).where(col("doc_id") % 4 === 0)
       .withColumn("text", expr(
         "array_join(transform(split(text, ' '), t -> reverse(t)), ' ')"))
-    val day1Merges = spark.table(spark.catalog.listTables().collect()
-        .map(_.name).filter(_.startsWith("bpe_merges_day1_")).head)
+    // exact keyed name (ADVICE r08): a prefix-.head over listTables
+    // could resolve a stale fingerprint's artifact in a shared warehouse
+    val day1Merges = spark.table(graft.llm.Text5.bpeDay1Table(spark, dir))
       .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
     val rows = graft.llm.Text5.bpeDriftReport(day1Merges, day1, crafted).collect()
     assert(rows.exists(_.getBoolean(4)),
