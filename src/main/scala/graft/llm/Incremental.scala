@@ -492,6 +492,35 @@ object Incremental extends QueryPack {
         .as("b"))
       .select(col("doc_id"), col("h"), col("b.band_id"), col("b.band_val"))
 
+  /** The chunk-blocked edit probe over delta-shaped `docs` (doc_id,
+    * text, n_chars — plus any carried columns): candidates from the
+    * persisted day-1 chunk-postings index (editChunkIndex, df ≤ 100
+    * capped at build, bucket-to-bucket join), then the EXACT
+    * thresholded-levenshtein verify over per-candidate fetched texts.
+    * ONE definition serves both the standalone dedup_incr_edit_banded
+    * key and the v3 ingest gate's edit stage — the cannot-fork
+    * discipline of the curate pipelines (a gate that re-derived its own
+    * candidate logic could silently drift from the measured one). */
+  private def editBandedPairs(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    val k = 12
+    val cidx = s.table(editChunkIndex(s, dir))
+    val dck = Dedup.chunkKeys(
+        docs.select("doc_id", "text", "n_chars"), p = 4)
+      .select(col("doc_id").as("delta_id"), col("n_chars").as("ld"),
+        col("g1"), col("g2"))
+    val cand = dck.join(cidx, Seq("g1", "g2"))
+      .where(abs(col("ld") - col("ln")) <= k)
+      .select("delta_id", "idx_id").distinct()
+    val dtext = docs.select(col("doc_id").as("delta_id"), col("text").as("td"))
+    cand.join(dtext, Seq("delta_id"))
+      .join(s.table(editIndex(s, dir)).select(col("idx_id"), col("tx")),
+        Seq("idx_id"))
+      .withColumn("dist", levenshtein(col("td"), col("tx"), k).cast("long"))
+      .where(col("dist") >= 0)
+      .select(col("delta_id"), col("idx_id"), col("dist"))
+  }
+
   /** The quality → exact-vs-corpus → exact-within-delta head plus the
     * trigram-jaccard probe's drop ids — the shared stage definitions
     * pipeline_curate_incr and its v2 widening both compose (the
@@ -553,10 +582,10 @@ object Incremental extends QueryPack {
     // probes run on the SHARED stage definitions (curateIncrHead /
     // simhashProbeDocs — cannot fork from the standalone keys), each
     // over the quality-surviving delta. The edit stage here is the
-    // EXACT band probe so the whole stack stays oracle-able; at corpus
-    // scale it swaps for the chunk-blocked sibling
-    // (dedup_incr_edit_banded's candidates, same verify) exactly like
-    // the standalone pair.
+    // EXACT band probe so the whole stack stays oracle-able; v3 below
+    // is the 100 TB form with the chunk-blocked swap wired in, and
+    // this key is its declared oracle twin — exactly the standalone
+    // dedup_incr_edit / dedup_incr_edit_banded pairing.
     "pipeline_curate_incr_v2" -> ((s, dir) => {
       val (exDelta, jdrops) = curateIncrHead(s, dir)
       val shdrops = simhashProbeDocs(s, exDelta.select("doc_id", "text"),
@@ -572,6 +601,32 @@ object Incremental extends QueryPack {
         .join(idx, Seq("bkt"))
         .where(abs(col("ld") - col("ln")) <= k &&
           levenshtein(col("td"), col("tx"), k) >= 0)
+        .select("delta_id").distinct()
+      val drops = jdrops.union(shdrops).union(eddrops).distinct()
+      exDelta.join(drops, exDelta("doc_id") === drops("delta_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // The 100 TB ingest gate (VERDICT r08 item 2 — the documented
+    // chunk-blocked swap, wired): identical to v2 except the edit
+    // stage calls editBandedPairs — dedup_incr_edit_banded's candidate
+    // machinery (persisted day-1 chunk-postings index, df ≤ 100 cap,
+    // bounded fan-out) instead of the length-band probe whose
+    // candidate set is quadratic within a band. Every other stage is
+    // the SHARED definition (curateIncrHead / simhashProbeDocs), so
+    // the two gates cannot diverge anywhere but the edit stage. The
+    // swap makes the composed key probabilistic in RECALL only (the
+    // banded candidates are a subset of the exact band's; the verify
+    // is the same exact thresholded levenshtein, so no false drops
+    // appear) — hence exempt, with v2 as the declared oracle twin and
+    // an LlmSpec gate asserting keep(v2) ⊆ keep(v3) with agreement
+    // ≥ 0.95 (the dedup_edit_near/banded pairing, at pipeline level).
+    "pipeline_curate_incr_v3" -> ((s, dir) => {
+      val (exDelta, jdrops) = curateIncrHead(s, dir)
+      val shdrops = simhashProbeDocs(s, exDelta.select("doc_id", "text"),
+        simhashIndex(s, dir)).select("delta_id").distinct()
+      val eddrops = editBandedPairs(s, dir, exDelta)
         .select("delta_id").distinct()
       val drops = jdrops.union(shdrops).union(eddrops).distinct()
       exDelta.join(drops, exDelta("doc_id") === drops("delta_id"), "left_anti")
@@ -631,26 +686,9 @@ object Incremental extends QueryPack {
     // pair editing every shared chunk, or all-hot chunks, is missed):
     // no SQL oracle; LlmSpec measures recall ≥ 0.95 vs the exact
     // dedup_incr_edit and asserts the subset property.
-    "dedup_incr_edit_banded" -> ((s, dir) => {
-      val k = 12
-      val cidx = s.table(editChunkIndex(s, dir))
-      val dck = Dedup.chunkKeys(
-          delta(s, dir).select("doc_id", "text", "n_chars"), p = 4)
-        .select(col("doc_id").as("delta_id"), col("n_chars").as("ld"),
-          col("g1"), col("g2"))
-      val cand = dck.join(cidx, Seq("g1", "g2"))
-        .where(abs(col("ld") - col("ln")) <= k)
-        .select("delta_id", "idx_id").distinct()
-      val dtext = delta(s, dir)
-        .select(col("doc_id").as("delta_id"), col("text").as("td"))
-      cand.join(dtext, Seq("delta_id"))
-        .join(s.table(editIndex(s, dir)).select(col("idx_id"), col("tx")),
-          Seq("idx_id"))
-        .withColumn("dist", levenshtein(col("td"), col("tx"), k).cast("long"))
-        .where(col("dist") >= 0)
-        .select(col("delta_id"), col("idx_id"), col("dist"))
-        .orderBy("delta_id", "idx_id")
-    }),
+    "dedup_incr_edit_banded" -> ((s, dir) =>
+      editBandedPairs(s, dir, delta(s, dir))
+        .orderBy("delta_id", "idx_id")),
 
     // delta docs vs the persisted trigram postings: shared counts via
     // one equi-join on ng (fan-out bounded by the df ≤ 20 pruning baked

@@ -522,22 +522,20 @@ object Similarity extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
-    // exact kNN: top-5 neighbors per vector by cosine, via the fused
-    // TopKByScore aggregate — candidates are reduced to k rows per group
-    // on the map side, instead of shuffling every (id_a, id_b, cos) row
-    // into a per-group window sort. Same (cos DESC, id_b ASC) order as
-    // the rank-filter pattern; oracle unchanged.
+    // exact kNN: top-5 neighbors per vector by cosine. The O(n²)
+    // scoring + fused TopKByScore reduction runs once per fingerprint
+    // inside knnDirectedTable (the artifact every graph/purity
+    // consumer already reads — VERDICT r08 item 1 discipline); the key
+    // reconstructs rn from the artifact rows with a 5-row-per-group
+    // window in TopKByScore's own deterministic (cos DESC, id_b ASC)
+    // order, so the rows are identical to the inline form's.
     "sim_topk" -> ((s, dir) => {
-      import graft.functions.TopKByScore.topk
-      val (a, b) = sides(s, dir)
-      a.join(b, col("id_a") =!= col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          cosOf(col("va"), col("na"), col("vb"), col("nb")).as("cos"))
-        .groupBy(col("id_a"))
-        .agg(topk(col("cos"), col("id_b"), 5).as("top"))
-        .select(col("id_a"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("id_a"), (col("pos") + 1).as("rn"),
-          col("t.payload").as("id_b"), round(col("t.score"), 4).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+      s.table(knnDirectedTable(s, dir, ann = false))
+        .withColumn("rn", row_number().over(w))
+        .select(col("id_a"), col("rn"), col("id_b"),
+          round(col("cos"), 4).as("cos_sim"))
         .orderBy("id_a", "rn")
     }),
 

@@ -293,6 +293,36 @@ object Text5 extends QueryPack {
       .orderBy("lang")
   }
 
+  /** The documented BPE re-train policy (VERDICT r08 item 6 — the
+    * drift monitor finally has a consumer, mirroring pqRetrainDue /
+    * ivfRetrainDue): the day-1 merge table stays CORRECT indefinitely
+    * (segmentation is deterministic given the merges) but its
+    * fertility degrades when the ingested distribution drifts — the
+    * frozen merges stop firing on character sequences new text is
+    * made of. Policy: token-weighted mean of the PER-LANG drift
+    * ratios (delta fertility under the day-1 model ÷ day-1's own
+    * fertility under the same model) above `maxDrift` → re-train.
+    * Relative per language, not absolute, for the same misfire reason
+    * bookFidelity records for PQ: per-lang fertility varies across
+    * languages far more than the 2 % threshold (scripts differ in
+    * chars/token), so an absolute fertility floor either never fires
+    * or always fires depending on the delta's language mix; the
+    * per-lang ratio cancels the mix term BEFORE weighting, and the
+    * delta-token weighting then prices each language by its actual
+    * traffic. Cost: two fertilityUnder passes (vocab-sized
+    * segmentation, corpus sides only join) and a 1-row driver fetch. */
+  def bpeRetrainDue(merges: Seq[(String, String)], day1: DataFrame,
+      delta: DataFrame, maxDrift: Double = BPE_DRIFT_MAX): Boolean = {
+    val chain = trainedChain(merges)
+    fertilityUnder(day1, chain, "day1")
+      .join(fertilityUnder(delta, chain, "delta"), Seq("lang"))
+      .agg((sum(col("n_tokens_delta") *
+          ((col("n_units_delta").cast("double") / col("n_tokens_delta")) /
+           (col("n_units_day1").cast("double") / col("n_tokens_day1")))) /
+        sum(col("n_tokens_delta"))).as("wdrift"))
+      .head().getDouble(0) > maxDrift
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_source_caps" -> ((s, dir) => {
       val q = Tables.documents(s, dir).select(col("doc_id"), col("source"),

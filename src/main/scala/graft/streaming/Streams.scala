@@ -79,17 +79,36 @@ object Streams extends QueryPack {
     }),
 
     // Per-user running profile through the Spark 4 transformWithState
-    // API (state v2: named ValueState on RocksDB, TTL, timers) —
-    // judged via this batch form; StreamSpec drives the REAL
-    // StatefulProcessor (StateV2.profileStream) through a multi-batch
-    // run and a truncated-commit restart and asserts final state ==
-    // this twin. The profile is order-independent (count + max) by
-    // design, so micro-batch boundaries cannot show through.
+    // API (state v2: named ValueState on RocksDB) — judged via this
+    // batch form; StreamSpec drives the REAL StatefulProcessor
+    // (StateV2.profileStream) through a multi-batch run and a
+    // truncated-commit restart and asserts final state == this twin.
+    // The profile is order-independent (count + max) by design, so
+    // micro-batch boundaries cannot show through. TTL and timers are
+    // covered by the SIBLINGS, not this key: stream_session_timeout
+    // exercises event-time timers (registerTimer /
+    // handleExpiredTimer), and StreamSpec's TTL test exercises
+    // TTLConfig expiry on this same processor shape.
     "stream_state_profile" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
         .orderBy("user_id")),
+
+    // Session timeout via transformWithState event-time TIMERS
+    // (VERDICT r08 item 3): per-user session state; a key idle past
+    // the gap is EVICTED by its timer when the watermark passes
+    // last_event + gap — the canonical session-timeout /
+    // state-eviction shape. Judged via the gaps-and-islands closed
+    // form gated on the final watermark (Pipeline.sessionTimeoutBatch,
+    // fully oracle-checked); StreamSpec drives StateV2.sessionStream
+    // (the real SessionProcessor with registerTimer /
+    // handleExpiredTimer on RocksDB) multi-batch and asserts
+    // stream == this twin, including a crafted idle key that only a
+    // firing timer can emit.
+    "stream_session_timeout" -> ((s, dir) =>
+      Pipeline.sessionTimeoutBatch(Tables.events(s, dir))
+        .orderBy("user_id", "sess_start")),
 
     // multi-source fan-in: two filtered streams unioned into one
     // windowed aggregate, judged via the batch form; the two-file-stream
@@ -204,6 +223,33 @@ object Streams extends QueryPack {
     "stream_state_profile" ->
       """SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_session_timeout" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, $epochSec AS ts_s FROM events),
+         |flg AS (
+         |  SELECT user_id, event_id, ts_s,
+         |    CASE WHEN lag(ts_s) OVER w IS NULL
+         |           OR ts_s - lag(ts_s) OVER w > 600 THEN 1 ELSE 0 END AS is_new
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts_s,
+         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+         |                      ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM flg),
+         |agg AS (
+         |  SELECT user_id, sess_id,
+         |    MIN(ts_s) AS sess_start, MAX(ts_s) AS sess_end,
+         |    COUNT(*) AS n_events
+         |  FROM sess GROUP BY user_id, sess_id),
+         |mx AS (SELECT MAX(ts_s) AS max_s FROM ev),
+         |lst AS (
+         |  SELECT *, sess_id = MAX(sess_id) OVER (PARTITION BY user_id) AS is_last
+         |  FROM agg)
+         |SELECT user_id, sess_start, sess_end, n_events
+         |FROM lst, mx
+         |WHERE NOT is_last OR sess_end + 1200 <= max_s
+         |ORDER BY user_id, sess_start""".stripMargin,
 
     "stream_cdc_apply" ->
       """WITH e AS (SELECT user_id, event_id,

@@ -180,6 +180,22 @@ class LlmSpec extends AnyFunSuite {
     assert(banded.subsetOf(exact), "banded incr pairs must pass the exact verify")
   }
 
+  test("pipeline_curate_incr_v3: keep(v2) subset of keep(v3), agreement >= 0.95") {
+    // the chunk-blocked edit swap can only MISS edit-dups (candidate
+    // subset, same exact verify), so v3 keeps a superset of v2's docs;
+    // agreement bounds how much recall the swap gave up on the fixture
+    val v2 = q("pipeline_curate_incr_v2").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val v3 = q("pipeline_curate_incr_v3").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(v2.nonEmpty, "the v2 gate should keep documents on the fixture")
+    assert(v2.subsetOf(v3),
+      "v3 dropped a doc v2 kept — the banded stage produced a false drop")
+    val agreement = v2.size.toDouble / v3.size
+    assert(agreement >= 0.95,
+      s"v3 kept ${v3.size} vs v2 ${v2.size} — agreement $agreement < 0.95")
+  }
+
   test("dedup_incr_embed: recall >= 0.9 vs exact delta-x-day1 pairs, zero false positives") {
     import org.apache.spark.sql.functions._
     import graft.functions.DotProduct.dot
@@ -730,6 +746,14 @@ class LlmSpec extends AnyFunSuite {
     val rows = graft.llm.Text5.bpeDriftReport(day1Merges, day1, crafted).collect()
     assert(rows.exists(_.getBoolean(4)),
       s"crafted reversed-token delta must trip the drift flag: ${rows.map(_.mkString(", ")).mkString(" | ")}")
+    // the policy CONSUMING the monitor (VERDICT r08 item 6): quiet on
+    // the in-distribution delta, due on the crafted drifted one — the
+    // pqRetrainDue discipline applied to the tokenizer
+    val fixtureDelta = Tables.documents(spark, dir).where(col("doc_id") % 4 === 0)
+    assert(!graft.llm.Text5.bpeRetrainDue(day1Merges, day1, fixtureDelta),
+      "retrain policy misfired on an in-distribution delta")
+    assert(graft.llm.Text5.bpeRetrainDue(day1Merges, day1, crafted),
+      "retrain policy must fire on the drifted delta the monitor flags")
   }
 
   test("embed_cluster_profile conserves mass and assigns argmax-affinity home cells") {
