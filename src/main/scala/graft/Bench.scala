@@ -3,7 +3,16 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default 32: the harness contract's stated geometry (local[32],
+    // shuffle partitions 32 — 32 executor threads on this host). The
+    // bench self-handicapped at 4 threads since round 1; same code,
+    // same host, same reps measured 149.7 s @4 vs 139.9 s @32 over 345
+    // keys (2026-08-15) — the heavy keys (wedge join, LSH/IVF serving,
+    // curate pipelines) parallelize, the long tail is plan-overhead
+    // bound either way. Geometry independence of RESULTS is proven
+    // separately (BASELINE.md byte-identical sweeps across partition
+    // counts).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // min-of-N self-defense against host-VM contention (VERDICT r03: a
     // single contended sweep recorded 120 s for an 84 s build): rerun
     // the whole sweep N times, report the minimum total (and per-query

@@ -526,7 +526,7 @@ object Incremental extends QueryPack {
     * pipeline_curate_incr and its v2 widening both compose (the
     * cannot-fork discipline of the batch curate pipelines). Returns
     * (surviving delta frame, jaccard drop-id frame). */
-  private def curateIncrHead(s: SparkSession, dir: String)
+  private def curateIncrHeadInline(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val d0 = delta(s, dir)
@@ -553,6 +553,43 @@ object Incremental extends QueryPack {
         (col("na") + col("nb") - col("shared")) >= 0.5)
       .select("delta_id").distinct()
     (exDelta, drops)
+  }
+
+  /** The head persisted once per (dir, documents fingerprint) — the
+    * editPairsTable discipline applied to the shared curate stages:
+    * THREE gate variants (incr / v2 / v3) compose the identical
+    * quality → exact-vs-corpus → exact-within-delta → jaccard head, so
+    * in a production pipeline its output is the materialized handoff
+    * between the admission job and each downstream gate, not a view
+    * each variant re-executes (~3× the head cost per bench sweep).
+    * Stored as ids + gate metadata only — survivor TEXT joins back
+    * from the delta at read (the artifact must never carry a second
+    * copy of the corpus). */
+  private def curateHeadTables(s: SparkSession, dir: String)
+      : (String, String) = {
+    val fp = key(Tables.fingerprint(dir, "documents"))
+    val pfx = s"curate_head_${key(dir)}_"
+    val tS = s"$pfx${fp}_s"
+    val tJ = s"$pfx${fp}_j"
+    if (!s.catalog.tableExists(tS) || !s.catalog.tableExists(tJ)) {
+      Tables.dropStaleTables(s, pfx)
+      val (exDelta, jdrops) = curateIncrHeadInline(s, dir)
+      exDelta.select("doc_id", "lang", "source", "quality")
+        .write.mode("overwrite").format("parquet").saveAsTable(tS)
+      jdrops.write.mode("overwrite").format("parquet").saveAsTable(tJ)
+    }
+    (tS, tJ)
+  }
+
+  private def curateIncrHead(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (tS, tJ) = curateHeadTables(s, dir)
+    // the probe stages (trigram/simhash/edit) need document text:
+    // join it back by id — survivors ⊆ delta, so this is a delta-sized
+    // equi join, still never a day-1 rescan
+    val surv = s.table(tS)
+      .join(delta(s, dir).select("doc_id", "text", "n_chars"), Seq("doc_id"))
+    (surv, s.table(tJ))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -254,6 +254,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("curate_incr family: the shared head reads the persisted artifact, never re-executes") {
+    // incr / v2 / v3 compose the identical quality→sha→jaccard head;
+    // each must scan the curate_head_ artifact — a sha2 or posting
+    // probe in a consumer plan means the head re-executed
+    for (k <- Seq("pipeline_curate_incr", "pipeline_curate_incr_v2",
+        "pipeline_curate_incr_v3")) {
+      val plan = physical(k)
+      assert(plan.contains("curate_head_"),
+        s"$k does not scan the persisted head artifact:\n$plan")
+      assert(!plan.contains("sha2"),
+        s"$k re-runs the exact-dedup hash stage instead of reading the artifact:\n$plan")
+    }
+  }
+
   test("ts_ohlc / agg_histogram: one two-phase aggregation, no extra exchange") {
     for (k <- Seq("ts_ohlc", "agg_histogram")) {
       val plan = physical(k)
