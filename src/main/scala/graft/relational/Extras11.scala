@@ -47,9 +47,20 @@ object Extras11 extends QueryPack {
   /** Distinct supplier co-occurrence edges (a < b) mined per order via
     * a bounded HOF pair expansion — one groupBy shuffle, no lineitem
     * self-join. */
-  private def coEdges(s: SparkSession, dir: String): DataFrame =
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+    // corpus-scaled group width (the ngramCountsTable remedy): the
+    // per-order collect_set is an object-hash aggregate whose task
+    // memory ∝ groups per partition × concurrent tasks — at the fixed
+    // session width a 100× lineitem (60 M rows, 15 M orders) OOM'd the
+    // default heap under local[32]. One metadata-cheap count sizes the
+    // shuffle so a partition's group buffers fit a task; the build is
+    // write-once per fingerprint.
+    val n = Tables.lineitem(s, dir).count()
+    val parts = math.max(s.sessionState.conf.numShufflePartitions,
+      (n / 500000L).toInt)
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .repartition(parts, col("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ss"))
       .where(size(col("ss")) >= 2)
@@ -59,6 +70,7 @@ object Extras11 extends QueryPack {
           y => struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
+  }
 
   /** Node degrees of the undirected co-occurrence graph. */
   private def degrees(e: DataFrame): DataFrame =
@@ -72,6 +84,10 @@ object Extras11 extends QueryPack {
     * triangle join consume the bucket layout with no exchange).
     * Fingerprint-keyed on lineitem; rebuilt only when the fixture
     * changes. Returns (orientedEdgesTable, degreeTable). */
+  /** The oriented-edge artifact as a frame (DebugTri's A/B input). */
+  private[graft] def triEdges(s: SparkSession, dir: String): DataFrame =
+    s.table(triGraph(s, dir)._1)
+
   private def triGraph(s: SparkSession, dir: String): (String, String) = {
     val fp = Tables.pathKey(Tables.fingerprint(dir, "lineitem"))
     val te = s"graph_tri_e_${Tables.pathKey(dir)}_$fp"
@@ -252,11 +268,24 @@ object Extras11 extends QueryPack {
       val (te, td) = triGraph(s, dir)
       val o = s.table(te)
       val deg = s.table(td)
-      val tri = o.as("e1")
-        .join(o.as("e2"), col("e1.v") === col("e2.u"))
-        .select(col("e1.u").as("x"), col("e2.v").as("z"))
-        .join(o.as("e3"), col("x") === col("e3.u") && col("z") === col("e3.v"))
-        .agg(count(lit(1)).as("n_triangles"))
+      // edge-iterator census over the oriented edges: per edge (u, v),
+      // count |N⁺(u) ∩ N⁺(v)| on sorted out-adjacency arrays — each
+      // triangle (x < y < z in orientation order) is found exactly once
+      // at its base edge (x, y). Same O(m^1.5) bound as the wedge join
+      // (orientation caps out-degree at O(√m), so arrays stay bounded
+      // and Σ(du+dv) = Σdeg² is the wedge count), but no wedge-row
+      // stream materializes through a second hash probe: DebugTri
+      // measured 0.81 s vs 4.35 s for the wedge-join form at sf0.1
+      // (min-of-3, identical counts). The adjacency groupBy rides the
+      // bucket layout (zero exchange); the v-side join is the one edge
+      // shuffle.
+      val adj = o.groupBy(col("u"))
+        .agg(sort_array(collect_list(col("v"))).as("ns"))
+      val tri = o
+        .join(adj.select(col("u"), col("ns").as("nu")), Seq("u"))
+        .join(adj.select(col("u").as("v"), col("ns").as("nv")), Seq("v"))
+        .agg(coalesce(sum(size(array_intersect(col("nu"), col("nv")))
+          .cast("long")), lit(0L)).as("n_triangles"))
       // integer `div`, not `/`: Spark's `/` promotes to double (lossy
       // past 2^53) and its double→long cast truncates while DuckDB's
       // rounds — keep both engines in exact integer arithmetic

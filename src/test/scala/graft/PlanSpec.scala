@@ -280,10 +280,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("graph_triangles: wedge joins are equi joins, never a cross product") {
-    // the oriented-edge wedge enumeration must plan as ordinary hash/
-    // merge joins on (u, v) — a nested-loop over the edge set is n^2
-    // at link-graph scale; the only CartesianProduct allowed is the
-    // final 1-row × 1-row census assembly
+    // the edge-iterator census must plan as ordinary hash/merge joins
+    // on u and v (adjacency fetch per edge) — a nested-loop over the
+    // edge set is n^2 at link-graph scale; the only CartesianProduct
+    // allowed is the final 1-row × 1-row census assembly
     val plan = physical("graph_triangles")
     assert(!plan.contains("CartesianProduct"),
       s"wedge join degenerated to a cartesian product:\n$plan")
