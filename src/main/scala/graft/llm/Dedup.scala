@@ -427,7 +427,7 @@ object Dedup extends QueryPack {
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-      val dups = Similarity.srpCandidates(e, Tables.embeddings(s, dir).count())
+      val dups = Similarity.srpCandidatesIndexed(s, dir)
         .join(a, Seq("id_a")).join(b, Seq("id_b"))
         .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) > 0.45)
         .select(col("id_b").as("vec_id")).distinct()

@@ -56,7 +56,7 @@ object Similarity extends QueryPack {
     * bucket join). */
   private def scoredAnn(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cand = srpCandidates(e, Tables.embeddings(s, dir).count())
+    val cand = srpCandidatesIndexed(s, dir)
     val sym = cand.select(explode(array(
         struct(col("id_a"), col("id_b")),
         struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("p"))
@@ -367,11 +367,30 @@ object Similarity extends QueryPack {
     * `nRows` sizes the geometry — callers count the RAW embeddings table
     * (a parquet metadata-only count), not the repartitioned/normed plan,
     * so the sizing action costs no shuffle or norm work. */
-  private[llm] def srpCandidates(e: DataFrame, nRows: Long): DataFrame = {
+  private[graft] def srpCandidates(e: DataFrame, nRows: Long): DataFrame = {
     val (tables, bits) = srpGeometry(nRows)
     val sigs = srpBuckets(e, tables, bits)
     sigs.select(col("vec_id").as("id_a"), col("tbl"), col("sig"))
       .join(sigs.select(col("vec_id").as("id_b"), col("tbl"), col("sig")),
+        Seq("tbl", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** srpCandidates off the PERSISTED full-corpus band store
+    * (Incremental.annIndex) instead of re-signing the corpus per
+    * query: the store is built with the same geometry rule (raw-count
+    * srpGeometry) and the same plane seed, so the candidates are
+    * IDENTICAL rows — but the self-join rides the (tbl, sig) bucket
+    * layout with zero exchange, and the signing cost is amortized
+    * into the write-once artifact already shared with the ann_query_*
+    * serving keys (round 9; measured 2.02 → ~0.6 s for sim_lsh_ann
+    * at sf0.1). */
+  private[graft] def srpCandidatesIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (st, _, _, _) = Incremental.annIndex(s, dir)
+    val sigs = s.table(st)
+    sigs.select(col("idx_id").as("id_a"), col("tbl"), col("sig"))
+      .join(sigs.select(col("idx_id").as("id_b"), col("tbl"), col("sig")),
         Seq("tbl", "sig"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -815,9 +834,8 @@ object Similarity extends QueryPack {
     // keeps the LSH shuffle narrow instead of shipping L copies of every
     // vector through the candidate join.
     "sim_lsh_ann" -> ((s, dir) => {
-      val e = vecs(s, dir)
       val (a, b) = sides(s, dir)
-      srpCandidates(e, Tables.embeddings(s, dir).count())
+      srpCandidatesIndexed(s, dir)
         .join(a, Seq("id_a"))
         .join(b, Seq("id_b"))
         .withColumn("cos", cosOf(col("va"), col("na"), col("vb"), col("nb")))

@@ -37,6 +37,29 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (exact=${exact.size}, lsh=${lsh.size})")
   }
 
+  test("SRP candidates off the persisted band store == inline signing (geometry/seed agreement)") {
+    // the round-9 indexed path (srpCandidatesIndexed) relies on the
+    // band store being built with the SAME corpus-adaptive geometry
+    // and plane seed as the inline definitional form — a silent
+    // divergence would change every LSH consumer's candidate set, so
+    // pin exact row equality on the fixture
+    import org.apache.spark.sql.functions._
+    import graft.functions.DotProduct.dot
+    val e = Tables.embeddings(spark, dir)
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val inline = graft.llm.Similarity
+      .srpCandidates(e, Tables.embeddings(spark, dir).count())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexed = graft.llm.Similarity.srpCandidatesIndexed(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inline == indexed,
+      s"indexed candidates diverge from inline signing: " +
+        s"inline=${inline.size} indexed=${indexed.size} " +
+        s"onlyInline=${(inline -- indexed).take(3)} onlyIndexed=${(indexed -- inline).take(3)}")
+  }
+
   test("sim_lsh_ann recalls >= 0.9 of exact top-5 neighbor pairs it should bucket") {
     val exact = q("sim_topk")
       .where("cos_sim > 0.4")
