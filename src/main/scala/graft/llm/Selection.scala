@@ -118,6 +118,24 @@ object Selection extends QueryPack {
     t
   }
 
+  /** Full-corpus importance table, persisted per fingerprint — the
+    * DSIR weight table IS the method's trained model (the published
+    * pipeline trains it once, then scores corpora against it), so
+    * sample_dsir reads this artifact exactly as the ingest gate reads
+    * its day-1 variant above; the census explode stops re-running per
+    * query (round 9 — the dsirWeightsTable precedent applied to the
+    * batch key). */
+  private def dsirFullWeightsTable(s: SparkSession, dir: String): String = {
+    val pfx = s"dsir_wf_${Tables.pathKey(dir)}_"
+    val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "documents"))}"
+    if (!s.catalog.tableExists(t)) {
+      Tables.dropStaleTables(s, pfx)
+      dsirWeights(s, Tables.documents(s, dir))
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+    t
+  }
+
   /** Feature-hashed linear logits over `docs` with weight table
     * `wtab(bkt, w)` — one definition for the batch key and the
     * streaming ingest gate (StreamSpec asserts stream == batch). */
@@ -145,7 +163,7 @@ object Selection extends QueryPack {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("source"))
       val bc = dsirBuckets(Tables.documents(s, dir))
-      val scores = bc.join(broadcast(dsirWeights(s, Tables.documents(s, dir))),
+      val scores = bc.join(broadcast(s.table(dsirFullWeightsTable(s, dir))),
           Seq("bkt"))
         .groupBy("doc_id").agg(sum(col("c") * col("w")).as("imp_score"))
       scores.join(docs, Seq("doc_id"))
