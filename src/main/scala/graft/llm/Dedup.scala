@@ -524,13 +524,18 @@ object Dedup extends QueryPack {
       // implies |Δlen| ≤ k, inside the exact length-band blocking), so
       // candidates ∩ artifact ≡ candidates-then-verify, row for row,
       // and the inner join keeps the key's recall exactly what the
-      // chunk-candidate stage admits. Tiny verified side → broadcast.
+      // chunk-candidate stage admits. No broadcast hint (ADVICE r09):
+      // on the 100 TB path an all-pairs dist ≤ 12 table can exceed the
+      // broadcast limit / driver heap, turning a workable shuffle join
+      // into a hard failure — AQE picks broadcast when the artifact is
+      // actually small (it is at every fixture SF) and a shuffle join
+      // when it isn't.
       // 100 TB note: at a scale where the exact length-band miner is
       // no longer runnable, this artifact would be PRODUCED by the
       // chunk-candidate miner itself (candidates → verify → persist)
       // and the exact sibling retires into its oracle-twin role.
       pairs
-        .join(broadcast(s.table(editPairsTable(s, dir))), Seq("id_a", "id_b"))
+        .join(s.table(editPairsTable(s, dir)), Seq("id_a", "id_b"))
         .select(col("id_a"), col("id_b"), col("dist"))
         .orderBy("id_a", "id_b")
     })
@@ -631,8 +636,15 @@ object Dedup extends QueryPack {
     val toks = col("toks")
     val isBnd = (i: Column) =>
       pmod(xxhash64(element_at(toks, i + 1)), lit(p)) === 0
+    // size(toks) >= 2 guard (ADVICE r09 — the Text3 bigram idiom): for
+    // a 1-token doc sequence(1, 0) is DESCENDING [1, 0], so the lambda
+    // would evaluate element_at(toks, 2) — an INVALID_ARRAY_INDEX throw
+    // under ANSI mode. A 1-token doc has no interior boundary positions
+    // and emits its whole text as the single chunk.
     val starts = concat(array(lit(0)),
-      filter(sequence(lit(1), size(toks) - 1), i => isBnd(i)))
+      when(size(toks) >= 2,
+        filter(sequence(lit(1), size(toks) - 1), i => isBnd(i)))
+        .otherwise(array().cast("array<int>")))
     val ends = concat(slice(col("starts"), lit(2),
       greatest(size(col("starts")) - 1, lit(0))), array(size(toks)))
     val chunks = zip_with(col("starts"), col("ends"),

@@ -314,13 +314,25 @@ object Text5 extends QueryPack {
   def bpeRetrainDue(merges: Seq[(String, String)], day1: DataFrame,
       delta: DataFrame, maxDrift: Double = BPE_DRIFT_MAX): Boolean = {
     val chain = trainedChain(merges)
-    fertilityUnder(day1, chain, "day1")
-      .join(fertilityUnder(delta, chain, "delta"), Seq("lang"))
+    // RIGHT join from the delta side (ADVICE r09): a language present
+    // only in the delta is the strongest possible distribution drift
+    // for a frozen tokenizer — an inner join silently excluded exactly
+    // those languages from the weighted mean (and an all-new-language
+    // delta made the aggregate null and head().getDouble throw).
+    // Unmatched languages get the conservative ratio 2.0 (double the
+    // "no drift" fertility — far past any threshold in use), so a
+    // delta dominated by unseen languages always fires.
+    val r = fertilityUnder(day1, chain, "day1")
+      .join(fertilityUnder(delta, chain, "delta"), Seq("lang"), "right")
       .agg((sum(col("n_tokens_delta") *
-          ((col("n_units_delta").cast("double") / col("n_tokens_delta")) /
-           (col("n_units_day1").cast("double") / col("n_tokens_day1")))) /
+          coalesce(
+            (col("n_units_delta").cast("double") / col("n_tokens_delta")) /
+              (col("n_units_day1").cast("double") / col("n_tokens_day1")),
+            lit(2.0))) /
         sum(col("n_tokens_delta"))).as("wdrift"))
-      .head().getDouble(0) > maxDrift
+      .head()
+    // empty delta → null aggregate → no drift evidence → not due
+    !r.isNullAt(0) && r.getDouble(0) > maxDrift
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -537,18 +537,32 @@ object Pipeline {
     * gaps-and-islands sessionization (gap > gapSec splits) restricted
     * to CLOSED sessions — every session except a user's last is closed
     * by data (its user's next event proves the gap); the last is
-    * closed iff the final watermark (max corpus ts − watermark delay,
-    * here = gapSec) passed its end + gapSec, i.e. end + 2·gapSec ≤
-    * max_ts. The streaming side emits exactly these rows: data-gap
-    * closures from handleInputRows, idle-key evictions from the
-    * event-time timer in handleExpiredTimer. With watermark delay ≤
-    * gap the stream's sequential fold is EXACT (any accepted
-    * out-of-order event is ≤ delay behind the global max ts, hence
-    * within gap of the open session's span — an event that could
-    * belong to an earlier island is by definition late and dropped).
+    * closed iff the final watermark (max corpus ts − watermark delay)
+    * passed its end + gapSec, i.e. end + gapSec + delay ≤ max_ts. The
+    * delay is THREADED as a parameter defaulting to gapSec, matching
+    * StateV2.sessionStream's derived watermark (ADVICE r09 — the old
+    * hardcoded 2·gapSec silently assumed delay == gap). The gate is
+    * NON-STRICT (≤) because Spark's timer expiry is non-strict: the
+    * TimerStateImpl expired-timer iterator keeps timers with
+    * `timer_ts <= watermark` (lcmp/ifgt on expiryTimestampMs in the
+    * 4.1.2 bytecode), so a timer at end+gap fires exactly when
+    * max − delay ≥ end + gap — StreamSpec pins the equality boundary
+    * with a fixture where end + gap + delay == max ts. The streaming
+    * side emits exactly these rows: data-gap closures from
+    * handleInputRows, idle-key evictions from the event-time timer in
+    * handleExpiredTimer. With watermark delay ≤ gap the stream's
+    * sequential fold is EXACT (any accepted out-of-order event is ≤
+    * delay behind the global max ts, hence within gap of the open
+    * session's span — an event that could belong to an earlier island
+    * is by definition late and dropped).
     * One window per user partition + a 1-row broadcast max; per-user
     * work is user-sized, never corpus-sized. */
-  def sessionTimeoutBatch(events: DataFrame, gapSec: Long = 600L): DataFrame = {
+  def sessionTimeoutBatch(events: DataFrame, gapSec: Long = 600L,
+      delaySec: Long = -1L): DataFrame = {
+    val delay = if (delaySec < 0) gapSec else delaySec
+    require(delay <= gapSec,
+      s"session watermark delay $delay s > gap $gapSec s (see " +
+        "StateV2.sessionStream — the twin contract requires delay <= gap)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -566,7 +580,8 @@ object Pipeline {
         count(lit(1)).as("n_events"))
       .withColumn("is_last", col("sess_id") === max("sess_id").over(lastW))
       .crossJoin(broadcast(mx))
-      .where(!col("is_last") || col("sess_end") + 2 * gapSec <= col("max_s"))
+      .where(!col("is_last") ||
+        col("sess_end") + gapSec + delay <= col("max_s"))
       .select(col("user_id"), col("sess_start"), col("sess_end"),
         col("n_events"))
   }

@@ -144,14 +144,26 @@ object StateV2 {
     * timers; closed sessions append exactly once — by data (a gap in
     * the key's own stream) or by timer (idle-key eviction when the
     * watermark passes last_event + gap). Batch twin:
-    * stream_session_timeout. */
+    * stream_session_timeout.
+    *
+    * The watermark delay is DERIVED from the delay parameter shared
+    * with the batch twin (ADVICE r09 — a free-form watermark string
+    * let the pair be called with delay ≠ the `2·gapSec` the batch gate
+    * hardcoded, silently breaking stream == batch); delay ≤ gap is
+    * REQUIRED — it is what makes the sequential in-batch fold exact
+    * (see sessionTimeoutBatch's contract note). */
   def sessionStream(events: DataFrame, gapSec: Long,
-      watermark: String = "10 minutes"): Dataset[SessionClosed] = {
+      delaySec: Long = -1L): Dataset[SessionClosed] = {
+    val delay = if (delaySec < 0) gapSec else delaySec
+    require(delay <= gapSec,
+      s"session watermark delay $delay s > gap $gapSec s: an accepted " +
+        "out-of-order event could belong to an already-closed island — " +
+        "the stream's sequential fold is only exact for delay <= gap")
     val s = events.sparkSession
     import s.implicits._
     events
       .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", watermark)
+      .withWatermark("ts", s"$delay seconds")
       // ts stays in the frame (as[T] resolves by name and keeps extra
       // columns) so the watermark column physically survives to the
       // stateful operator's validation

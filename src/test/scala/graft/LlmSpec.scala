@@ -777,6 +777,43 @@ class LlmSpec extends AnyFunSuite {
       "retrain policy misfired on an in-distribution delta")
     assert(graft.llm.Text5.bpeRetrainDue(day1Merges, day1, crafted),
       "retrain policy must fire on the drifted delta the monitor flags")
+    // ADVICE r09: a language present ONLY in the delta is the
+    // strongest possible drift — the old inner join silently dropped
+    // exactly those rows (and an all-new-language delta made the
+    // weighted mean null and head().getDouble(0) throw). The right
+    // join + conservative-ratio fallback must FIRE here, not throw.
+    val newLang = fixtureDelta
+      .withColumn("lang", concat(lit("zz_"), col("lang")))
+    assert(graft.llm.Text5.bpeRetrainDue(day1Merges, day1, newLang),
+      "an all-new-language delta must trip the retrain policy")
+    // and an empty delta is no drift EVIDENCE, not an error
+    assert(!graft.llm.Text5.bpeRetrainDue(day1Merges, day1,
+      fixtureDelta.limit(0)),
+      "an empty delta must return false, not throw")
+  }
+
+  test("chunkKeys: a 1-token doc emits its whole text as one chunk and survives ANSI mode") {
+    // ADVICE r09 — the INVALID_ARRAY_INDEX trap fixed in
+    // text_bigram_logprob was restaged here: sequence(1, 0) is
+    // DESCENDING [1, 0] for a 1-token doc, so the boundary lambda
+    // evaluated element_at(toks, 2) out of bounds under ANSI.
+    val before = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      import spark.implicits._
+      val docs = Seq((1L, "hello", 5L), (2L, "a b c d e f", 11L))
+        .toDF("doc_id", "text", "n_chars")
+      val ck = graft.llm.Dedup.chunkKeys(docs, 2).collect()
+      val one = ck.filter(_.getLong(0) == 1L)
+      assert(one.length == 1, "1-token doc must emit exactly one chunk")
+      val whole = spark.range(1).select(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.lit(0),
+          org.apache.spark.sql.functions.lit("hello"))).head().getLong(0)
+      assert(one.head.getLong(2) == whole,
+        "the 1-token doc's single chunk must be its whole text")
+      assert(ck.exists(_.getLong(0) == 2L), "multi-token doc still chunks")
+    } finally spark.conf.set("spark.sql.ansi.enabled", before)
   }
 
   test("embed_cluster_profile conserves mass and assigns argmax-affinity home cells") {

@@ -1365,8 +1365,7 @@ class StreamSpec extends AnyFunSuite {
         .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
           "event_type STRING, value DOUBLE, props STRING")
         .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
-      val q = StateV2.sessionStream(src, gapSec = 600L,
-          watermark = "10 minutes")
+      val q = StateV2.sessionStream(src, gapSec = 600L)
         .writeStream.outputMode("append")
         .format("memory").queryName("sess_timeout")
         .option("checkpointLocation", ckpt)
@@ -1383,6 +1382,73 @@ class StreamSpec extends AnyFunSuite {
       val all = mkEvents(Seq((1L, t("10:00"), 1L), (2L, t("10:05"), 1L),
         (3L, t("10:00"), 2L), (4L, t("10:30"), 2L),
         (5L, t("11:30"), 9L), (6L, t("11:35"), 9L)))
+      assertSameRows(got.select("user_id", "sess_start", "sess_end", "n_events"),
+        Pipeline.sessionTimeoutBatch(all, 600L))
+    } finally before match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
+  test("session-timeout boundary: end + gap + delay == max ts closes on BOTH sides (non-strict), one second short stays open") {
+    import graft.streaming.StateV2
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(conf)
+    spark.conf.set(conf, GraftSession.rocksDBProvider)
+    try {
+      // ADVICE r09 — pin the <=/< boundary. gap = delay = 600 s.
+      // Spark's timer expiry is NON-STRICT (timer_ts <= watermark
+      // fires — TimerStateImpl's expired-timer iterator), so the batch
+      // twin's non-strict `end + gap + delay <= max_s` is the matching
+      // gate; this fixture makes equality reachable on both sides:
+      //   user 1 @10:00      → timer 10:10; final watermark
+      //                        = 10:20 − 10 m = 10:10 EXACTLY → fires
+      //                        (batch: 10:00 + 1200 ≤ 10:20 ✓)
+      //   user 3 @10:00:01   → timer 10:10:01 > 10:10 → stays open
+      //                        (batch: 10:20:01 > 10:20 ✗) — one
+      //                        second past the boundary, both sides
+      //   user 2 @10:20      → the max-ts key, its own timer 10:30
+      //                        > 10:10 → stays open
+      // The equality firing happens in the final NO-DATA micro-batch
+      // (AvailableNow runs one when the watermark advances), which is
+      // exactly the "final watermark" the batch twin gates on.
+      def t(hhmmss: String) = Timestamp.valueOf(s"2024-01-01 $hhmmss")
+      def mkEvents(rows: Seq[(Long, Timestamp, Long)]) =
+        spark.createDataFrame(rows.map { case (id, ts, uid) =>
+          (id, ts, uid, "browse", 1.0, "{}") })
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val streamDir = Files.createTempDirectory("graft_stream_sess_bnd")
+      def land(name: String, mtime: Long,
+          rows: Seq[(Long, Timestamp, Long)]): Unit = {
+        val tmp = Files.createTempDirectory(s"graft_sess_bnd_$name").toString
+        mkEvents(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = streamDir.resolve(s"$name.parquet")
+        Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+        ()
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      land("f1", t0, Seq((1L, t("10:00:00"), 1L), (2L, t("10:00:01"), 3L)))
+      land("f2", t0 + 10000, Seq((3L, t("10:20:00"), 2L)))
+      val ckpt = Files.createTempDirectory("graft_ckpt_sess_bnd").toString
+      val src = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      val q = StateV2.sessionStream(src, gapSec = 600L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sess_boundary")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("sess_boundary")
+      val users = got.select("user_id").collect().map(_.getLong(0)).sorted
+      assert(users.toSeq === Seq(1L),
+        s"exactly the boundary-equality key must close, got ${users.toSeq}")
+      val all = mkEvents(Seq((1L, t("10:00:00"), 1L),
+        (2L, t("10:00:01"), 3L), (3L, t("10:20:00"), 2L)))
       assertSameRows(got.select("user_id", "sess_start", "sess_end", "n_events"),
         Pipeline.sessionTimeoutBatch(all, 600L))
     } finally before match {
