@@ -203,6 +203,32 @@ class LlmSpec extends AnyFunSuite {
     assert(banded.subsetOf(exact), "banded incr pairs must pass the exact verify")
   }
 
+  test("editBandGuard: refuses past the candidates-per-doc envelope, warn mode logs instead") {
+    // VERDICT r09 item 1b — the percolationGuard discipline for the
+    // exact length-band edit probe: past the measured envelope the
+    // probe must fail LOUDLY (the 100x corpus measured 1368 s), not
+    // silently burn the time. Craft a delta-band frame hot enough to
+    // exceed the envelope against the fixture's day-1 band counts:
+    // every index band replicated 300x with nDelta = 1.
+    import org.apache.spark.sql.functions._
+    val idxBkts = spark.table(graft.llm.Incremental.editIndex(spark, dir))
+      .select("bkt")
+    val hot = idxBkts.crossJoin(spark.range(300))
+    val ex = intercept[IllegalStateException] {
+      graft.llm.Incremental.editBandGuard(spark, dir, hot, nDelta = 1L)
+    }
+    assert(ex.getMessage.contains("dedup_incr_edit_banded"),
+      "the refusal must name the at-scale remedy")
+    // warn mode: measurement harnesses may force the probe
+    spark.conf.set("graft.edit.bandGuard", "warn")
+    try graft.llm.Incremental.editBandGuard(spark, dir, hot, nDelta = 1L)
+    finally spark.conf.unset("graft.edit.bandGuard")
+    // the fixture corpus itself is comfortably inside the envelope:
+    // building/reading the artifact must not throw
+    assert(spark.table(graft.llm.Incremental.incrEditPairsTable(spark, dir))
+      .count() > 0)
+  }
+
   test("pipeline_curate_incr_v3: keep(v2) subset of keep(v3), agreement >= 0.95") {
     // the chunk-blocked edit swap can only MISS edit-dups (candidate
     // subset, same exact verify), so v3 keeps a superset of v2's docs;
