@@ -87,13 +87,38 @@ object Selection extends QueryPack {
         col("tgt"))
       .agg(count(lit(1)).as("c"))
 
-  /** The 64-row fixed-point importance table over `docs`, COMPLETE
-    * over all buckets: a bucket unseen in the census gets the
-    * smoothed neutral weight 10^6·1/1 (ratio 1 = "as likely in target
-    * as raw") — deterministic whatever the corpus covers, so an
-    * ingest-time score can never silently drop unseen-bucket tokens. */
-  private def dsirWeights(s: SparkSession, docs: DataFrame): DataFrame = {
-    val census = dsirBuckets(docs).groupBy("bkt")
+  /** The featurized corpus, persisted fingerprint-keyed (VERDICT r09
+    * item 5 — the weight-table discipline extended to the
+    * FEATURIZATION): per-(doc, bucket) counts are what the published
+    * DSIR pipeline materializes once per corpus before any
+    * train/score pass, and every consumer here (both weight-table
+    * builds, the batch scorer, the ingest gate's delta slice) reads
+    * this one artifact, so the corpus-wide token explode runs once
+    * per fingerprint, not once per query. doc_id-bucketed: the
+    * per-doc score aggregations downstream group on the bucketing
+    * key. Rows ≤ docs × 64 buckets — far smaller than the exploded
+    * token stream it replaces. */
+  private def dsirBucketsTable(s: SparkSession, dir: String): String = {
+    val pfx = s"dsir_b_${Tables.pathKey(dir)}_"
+    val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "documents"))}"
+    if (!s.catalog.tableExists(t)) {
+      Tables.dropStaleTables(s, pfx)
+      dsirBuckets(Tables.documents(s, dir))
+        .write.mode("overwrite")
+        .bucketBy(16, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(t)
+    }
+    t
+  }
+
+  /** The 64-row fixed-point importance table over a featurized-count
+    * frame, COMPLETE over all buckets: a bucket unseen in the census
+    * gets the smoothed neutral weight 10^6·1/1 (ratio 1 = "as likely
+    * in target as raw") — deterministic whatever the corpus covers, so
+    * an ingest-time score can never silently drop unseen-bucket
+    * tokens. */
+  private def dsirWeights(s: SparkSession, bc: DataFrame): DataFrame = {
+    val census = bc.groupBy("bkt")
       .agg(sum(col("c")).as("r_b"),
         sum(when(col("tgt"), col("c")).otherwise(0L)).as("t_b"))
     s.range(B_DSIR).select(col("id").as("bkt"))
@@ -112,7 +137,8 @@ object Selection extends QueryPack {
     val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "documents"))}"
     if (!s.catalog.tableExists(t)) {
       Tables.dropStaleTables(s, pfx)
-      dsirWeights(s, Tables.documents(s, dir).where(col("doc_id") % 4 =!= 0))
+      dsirWeights(s,
+        s.table(dsirBucketsTable(s, dir)).where(col("doc_id") % 4 =!= 0))
         .write.mode("overwrite").format("parquet").saveAsTable(t)
     }
     t
@@ -130,7 +156,7 @@ object Selection extends QueryPack {
     val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "documents"))}"
     if (!s.catalog.tableExists(t)) {
       Tables.dropStaleTables(s, pfx)
-      dsirWeights(s, Tables.documents(s, dir))
+      dsirWeights(s, s.table(dsirBucketsTable(s, dir)))
         .write.mode("overwrite").format("parquet").saveAsTable(t)
     }
     t
@@ -154,15 +180,17 @@ object Selection extends QueryPack {
         .as("w"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // per-(doc, bucket) counts: one explode, one shuffle keyed by
-    // (doc_id, bkt) (dsirBuckets projects the quality flag BELOW the
-    // explode — the Generate projection-collapse fix, measured
-    // 4.2 s → 0.7 s at sf0.1); the 64-row census broadcasts; top-100
-    // is a TakeOrdered.
+    // scored off the persisted featurization (dsirBucketsTable) + the
+    // persisted trained weight table — per query: an artifact scan,
+    // a broadcast join, a groupBy on the artifact's bucketing key,
+    // and a top-100 TakeOrdered. The corpus explode runs once per
+    // fingerprint inside the artifact build (which keeps the
+    // Generate projection-collapse fix: quality flag projected BELOW
+    // the explode, measured 4.2 s → 0.7 s at sf0.1).
     "sample_dsir" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("source"))
-      val bc = dsirBuckets(Tables.documents(s, dir))
+      val bc = s.table(dsirBucketsTable(s, dir))
       val scores = bc.join(broadcast(s.table(dsirFullWeightsTable(s, dir))),
           Seq("bkt"))
         .groupBy("doc_id").agg(sum(col("c") * col("w")).as("imp_score"))
@@ -182,7 +210,7 @@ object Selection extends QueryPack {
     // integer arithmetic end to end, so the gate is engine-exact.
     "sample_dsir_incr" -> ((s, dir) => {
       val w = s.table(dsirWeightsTable(s, dir))
-      dsirBuckets(Tables.documents(s, dir).where(col("doc_id") % 4 === 0))
+      s.table(dsirBucketsTable(s, dir)).where(col("doc_id") % 4 === 0)
         .join(broadcast(w), Seq("bkt"))
         .groupBy("doc_id")
         .agg(sum(col("c") * col("w")).as("imp_score"),
