@@ -42,6 +42,51 @@ object Filters extends QueryPack {
         x => x.isNotNull)).as("subscription"))
   }
 
+  /** Messages per batched entry (the fixture's producer-batching
+    * convention: entry_id = event_id div k, contiguous publish order —
+    * the multimodal_pack precedent of a deterministic pack). */
+  private[graft] val entryBatchK = 4
+
+  /** The batched-entry selector of the fidelity key, evaluated PER
+    * MESSAGE inside each entry (chosen so the fixture produces all
+    * three entry verdicts at every SF). */
+  private[graft] val entrySelector =
+    "event_type IN ('purchase', 'signup', 'click', 'view') AND value > 40"
+
+  /** Pack events into batched entries (one array<struct> payload per
+    * entry, messages in publish order). The groupBy here is the
+    * FIXTURE's stand-in for producer batching — at the broker, entries
+    * arrive already packed and this shuffle does not exist. */
+  private[graft] def packEntries(ev: DataFrame): DataFrame =
+    ev.groupBy(expr(s"event_id div $entryBatchK").as("entry_id"))
+      .agg(sort_array(collect_list(struct(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props")))).as("msgs"))
+
+  /** PIP-105 batched-entry verdicts over an already-packed entries
+    * frame (entry_id, msgs) — STATELESS and map-only, so the streaming
+    * execution over an unbounded entry source is identical by
+    * construction (StreamSpec asserts it). The selector evaluates
+    * against each message inside the entry via a higher-order filter
+    * on the payload array (the eventsPacked resolver) — the entry is
+    * never unpacked into per-message rows, exactly the broker
+    * constraint the PIP-105 batched-entry rules exist for: an entry is
+    * the unit of dispatch, so ACCEPT only if every message matches,
+    * REJECT only if none does, and a mixed entry must RESCHEDULE (the
+    * broker cannot deliver or drop half an entry). n_msgs/n_match are
+    * the per-message unpack counts consumers use to meter the mixed
+    * entries they must client-side filter. */
+  private[graft] def entryVerdicts(entries: DataFrame): DataFrame = {
+    val ast = Selector.parse(entrySelector)
+    val nMsgs = size(col("msgs")).cast("long")
+    val nMatch = size(filter(col("msgs"),
+      m => Selector.compileExpr(ast, Selector.eventsPacked(m)))).cast("long")
+    entries.select(col("entry_id"), nMsgs.as("n_msgs"), nMatch.as("n_match"),
+      when(nMatch === nMsgs, "ACCEPT")
+        .when(nMatch === 0L, "REJECT")
+        .otherwise("RESCHEDULE").as("verdict"))
+  }
+
   private val evSel =
     "SELECT event_id, strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s, " +
       "user_id, event_type, value"
@@ -149,6 +194,20 @@ object Filters extends QueryPack {
             "AND JMSMessageID LIKE 'ID:%'")),
         (pmod(col("event_id"), lit(3)) + 1).as("delivery_count"))),
 
+    // PIP-105 batched-entry fidelity (VERDICT r09 item 2): the broker
+    // dispatches ENTRIES, and a producer-batched entry holds k
+    // messages — the filter sees one payload and must judge the whole
+    // entry. Pack (fixture convention, entry_id = event_id div 4) →
+    // per-message selector evaluation INSIDE the array payload →
+    // entry-level verdict + unpack counts. See entryVerdicts for the
+    // semantics; the pack groupBy is fixture-only (entries arrive
+    // packed at a broker), and the verdict stage is stateless
+    // map-side work — no join, no second shuffle, selector codegen'd
+    // inside the higher-order filter.
+    "filter_batch_entry" -> ((s, dir) =>
+      entryVerdicts(packEntries(Tables.events(s, dir)))
+        .orderBy("entry_id")),
+
     // Pulsar Key_Shared dispatch (the third subscription subtype next
     // to the filter_subscriptions fan-out): key-hash slots split into
     // contiguous consumer ranges — all of a key's messages reach ONE
@@ -239,6 +298,18 @@ object Filters extends QueryPack {
          |  AND event_id % 3 + 1 < 3
          |  AND event_type <> 'error'
          |ORDER BY event_id""".stripMargin,
+
+    "filter_batch_entry" ->
+      """WITH g AS (
+        |  SELECT event_id // 4 AS entry_id, COUNT(*) AS n_msgs,
+        |    CAST(SUM(CASE WHEN event_type IN ('purchase','signup','click','view')
+        |                       AND value > 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |  FROM events GROUP BY 1)
+        |SELECT entry_id, n_msgs, n_match,
+        |  CASE WHEN n_match = n_msgs THEN 'ACCEPT'
+        |       WHEN n_match = 0 THEN 'REJECT'
+        |       ELSE 'RESCHEDULE' END AS verdict
+        |FROM g ORDER BY entry_id""".stripMargin,
 
     "filter_keyshared" ->
       s"""WITH r AS (

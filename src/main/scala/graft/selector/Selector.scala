@@ -66,6 +66,24 @@ object Selector {
       (get_json_object(col("props"), "$." + key), KProp)
   }
 
+  /** The `events` resolver re-rooted at a packed message struct `m` —
+    * the PIP-105 batched-entry form: a broker-side entry filter
+    * receives ONE batched entry and must evaluate the selector against
+    * each message inside it without unpacking the entry into separate
+    * deliveries, so identifiers resolve to fields of the lambda
+    * variable ranging over the entry's array<struct> payload. Carries
+    * the message-level surface (metadata columns + properties bag);
+    * broker-assigned headers (JMSTimestamp etc.) are entry-level in a
+    * batched entry and stay with the `events` resolver. */
+  def eventsPacked(m: Column): Resolver = {
+    case n @ ("event_id" | "user_id" | "value") => (m.getField(n), KNum)
+    case n @ ("event_type")                     => (m.getField(n), KStr)
+    case "JMSType"                              => (m.getField("event_type"), KStr)
+    case n =>
+      val key = if (n.startsWith("props.")) n.stripPrefix("props.") else n
+      (get_json_object(m.getField("props"), "$." + key), KProp)
+  }
+
   /** Resolver mapping every identifier straight to a column, with an
     * optional kind override (default KNum — kinds only matter when a
     * KProp operand needs coercion, which plain tables never have). */

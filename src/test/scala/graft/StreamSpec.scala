@@ -137,6 +137,39 @@ class StreamSpec extends AnyFunSuite {
     assertSameRows(streamed, SparkEntry.queries("filter_subscriptions")(spark, dir))
   }
 
+  test("batched-entry filter: stream over packed entries == batch, verdicts are entry-level") {
+    // PIP-105 batched-entry fidelity (VERDICT r09 item 2): entries
+    // ARRIVE packed at a broker, so the stream source emits the packed
+    // (entry_id, msgs) frame and the verdict stage runs unchanged —
+    // stateless map-side work, append mode, no watermark.
+    import graft.relational.Filters
+    val entries = Filters.packEntries(Tables.events(spark, dir))
+    val srcDir = Files.createTempDirectory("graft_stream_entries").toString
+    entries.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val src = spark.readStream.schema(entries.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = Filters.entryVerdicts(src)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("entry_verdicts")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_entries").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assertSameRows(spark.table("entry_verdicts"),
+      SparkEntry.queries("filter_batch_entry")(spark, dir))
+    // the entry-level contract: a mixed entry RESCHEDULEs (the broker
+    // cannot split an entry), and the fixture actually exercises all
+    // three verdicts
+    val verdicts = spark.table("entry_verdicts").select("verdict")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(verdicts === Set("ACCEPT", "REJECT", "RESCHEDULE"),
+      s"fixture must exercise all three entry verdicts, got $verdicts")
+    val mixed = spark.table("entry_verdicts")
+      .where(col("n_match") > 0 && col("n_match") < col("n_msgs"))
+    assert(mixed.where(col("verdict") =!= "RESCHEDULE").isEmpty,
+      "every mixed entry must RESCHEDULE")
+  }
+
   test("Key_Shared dispatch: stream == batch, and no key ever splits across consumers") {
     // stateless hash-range routing (the third subscription subtype):
     // the same Pipeline definition routes the unbounded source with
