@@ -113,6 +113,35 @@ object MessageSource {
         col("body.event_type").as("event_type"),
         col("body.value").as("value"), col("props"))
 
+  /** The fixture seek targets (SF-stable: every fixture spans Jan 2024
+    * and ids 0..n-1, n ≥ 1000). */
+  val seekTs = "2024-01-20 00:00:00"
+  val seekMsgId = 500L
+
+  /** Pulsar cursor seek, by-time form (VERDICT r09 item 3):
+    * consumer.seek(timestamp) is position RESOLUTION first — the
+    * cursor lands on the EARLIEST publish position whose publish time
+    * is at-or-after the target — then replay is BY POSITION (the
+    * fixture's publish-order convention is event_id, the same arrival
+    * clock stream_watermark uses). Event times need not be monotone in
+    * position: an early-timestamped message published after the cursor
+    * IS replayed and a late-timestamped one published before it is
+    * NOT — a plain ts filter gets both wrong. At the broker the
+    * resolution is a ledger-index lookup (metadata); here it is a
+    * 1-row min aggregate over a pushed-down ts filter. */
+  def seekCursorByTime(events: DataFrame, ts: String): DataFrame =
+    events.where(col("ts") >= lit(ts).cast("timestamp"))
+      .agg(min(col("event_id")).as("cur"))
+
+  /** Replay everything from a resolved cursor position onward, in
+    * publish order — the broker's cursor rewind. The 1-row cursor
+    * broadcasts; the position predicate is an equi-comparable scan
+    * filter (for a LITERAL cursor it pushes into the parquet scan —
+    * the by-id form below). */
+  def seekReplay(events: DataFrame, cursor: DataFrame): DataFrame =
+    events.crossJoin(broadcast(cursor))
+      .where(col("event_id") >= col("cur")).drop("cur")
+
   /** Pulsar binding stub: compiles the intent without the connector jar.
     * With `pulsar-spark-connector` on the classpath this becomes
     * spark.readStream.format("pulsar").option("service.url", url)

@@ -133,6 +133,27 @@ object Streams extends QueryPack {
         .orderBy("ws", "c_mktsegment")
     }),
 
+    // Pulsar cursor seek/replay (VERDICT r09 item 3): both seek forms —
+    // seek(timestamp) resolves the cursor to the earliest publish
+    // position at-or-after the target then replays by position
+    // (MessageSource.seekCursorByTime/seekReplay), seek(messageId) is
+    // a literal position floor whose predicate pushes into the scan.
+    // The streaming form — a replay source with the cursor applied,
+    // plus a truncated-checkpoint re-replay proving idempotent
+    // delivery — is verified in StreamSpec.
+    "source_seek_replay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def proj(mode: String, df: DataFrame) = df.select(
+        lit(mode).as("mode"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("event_type"))
+      proj("by_time", MessageSource.seekReplay(ev,
+          MessageSource.seekCursorByTime(ev, MessageSource.seekTs)))
+        .unionByName(proj("by_id",
+          ev.where(col("event_id") >= MessageSource.seekMsgId)))
+        .orderBy("mode", "event_id")
+    }),
+
     // PIP-105 redelivery: final disposition + attempt count per message
     // after the RESCHEDULE/redeliver loop (delivery-count-aware routing,
     // dead-letter after maxDeliveries). Judged via the batch twin
@@ -370,6 +391,20 @@ object Streams extends QueryPack {
     // visible-clock = publish second + the per-type backoff; truncation
     // to seconds commutes with adding whole-minute backoffs, so the
     // window arithmetic matches Spark's window(deliver_at) exactly
+    "source_seek_replay" ->
+      """WITH c AS (SELECT MIN(event_id) AS cur FROM events
+        |           WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')
+        |SELECT 'by_time' AS mode, event_id,
+        |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  event_type
+        |FROM events, c WHERE event_id >= c.cur
+        |UNION ALL
+        |SELECT 'by_id' AS mode, event_id,
+        |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  event_type
+        |FROM events WHERE event_id >= 500
+        |ORDER BY mode, event_id""".stripMargin,
+
     "stream_delayed_delivery" ->
       s"""SELECT (($epochSec
          |  + CASE WHEN event_type = 'error' THEN 900
