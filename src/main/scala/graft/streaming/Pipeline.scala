@@ -133,6 +133,90 @@ object Pipeline {
     }
   }
 
+  /** Exponential nack backoff (VERDICT r09 item 4): a RESCHEDULE does
+    * not redeliver immediately — the negative-ack backoff ladder
+    * shifts attempt a+1's deliver-at by base·2^(a−1), composing
+    * stream_delayed_delivery's deliver-at mechanics with the
+    * redelivery loop's attempt accounting. Attempt a therefore
+    * delivers at t + base·(2^(a−1) − 1) (the geometric partial sum),
+    * bounded by maxDeliveries. */
+  val backoffBaseSec = 60L
+
+  /** Batch twin, closed-form on the FINAL WATERMARK (the dlq_ageout
+    * precedent): a ladder is complete only when its final attempt's
+    * deliver-at is at or before the corpus' max event-time second — a
+    * ladder still climbing past that clock has emitted nothing in the
+    * unbounded form, so it is excluded here too (StreamSpec crafts
+    * exactly such a pending ladder and asserts the gate drops it).
+    * delivered_at is the final attempt's visible clock; for a
+    * DEAD_LETTER that is the failed last attempt's deliver-at — when
+    * the DLQ entry lands. Shape: the redeliver() closed form + a
+    * map-side shift + a 1-row broadcast max — no new shuffle. */
+  def redeliverBackoffBatch(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_id"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("t"))
+    val mx = ev.agg(max(col("t")).as("max_t"))
+    redeliver(events)
+      .join(ev, Seq("event_id"))
+      .withColumn("delivered_at", col("t") + lit(backoffBaseSec) *
+        (expr("shiftleft(1L, cast(attempts - 1 AS int))") - 1))
+      .crossJoin(broadcast(mx))
+      .where(col("delivered_at") <= col("max_t"))
+      .select(col("event_id"), col("disposition"), col("attempts"),
+        col("delivered_at"))
+  }
+
+  /** The re-enqueue payload with the ladder clock: deliver_at rides
+    * the message so each nack's shift ACCUMULATES across micro-batches
+    * — the stream derives delivered_at by accumulation, a genuinely
+    * different computation than the batch twin's closed form. */
+  val backoffSchema = redeliverySchema + ", deliver_at LONG"
+
+  /** Streaming backoff ladder: redeliverStream's re-enqueue loop with
+    * the deliver-at shift applied on every nack; final verdicts record
+    * the deliver_at they arrived with. The final-watermark gate
+    * belongs to the CONSUMER of the drained sink (StreamSpec applies
+    * it), exactly as dlqAgeOutBatch gates the DLQ windows. */
+  def redeliverBackoffStream(s: SparkSession, inDir: String, outDir: String,
+      ckpt: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    for (_ <- 1 to maxDeliveries) {
+      val q = s.readStream.schema(backoffSchema).json(inDir)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val routed = routeAttempt(batch).localCheckpoint()
+          // idempotent verdict sink + marker-guarded re-enqueue — the
+          // redeliverStream recipe, payload widened by deliver_at
+          routed.where(col("verdict") =!= "RESCHEDULE" ||
+              col("delivery_count") >= maxDeliveries)
+            .select(col("event_id"),
+              when(col("verdict") === "RESCHEDULE", lit("DEAD_LETTER"))
+                .otherwise(col("verdict")).as("disposition"),
+              col("delivery_count").cast("long").as("attempts"),
+              col("deliver_at").as("delivered_at"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          val markerDir = java.nio.file.Paths.get(inDir, "_reenq")
+          java.nio.file.Files.createDirectories(markerDir)
+          val marker = markerDir.resolve(s"done_$batchId")
+          if (!java.nio.file.Files.exists(marker)) {
+            routed.where(col("verdict") === "RESCHEDULE" &&
+                col("delivery_count") < maxDeliveries)
+              .drop("verdict")
+              .withColumn("deliver_at",
+                col("deliver_at") + lit(backoffBaseSec) *
+                  expr("shiftleft(1L, cast(delivery_count - 1 AS int))"))
+              .withColumn("delivery_count", col("delivery_count") + 1)
+              .write.mode("append").json(inDir)
+            java.nio.file.Files.createFile(marker)
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+  }
+
   /** Dead-letter TTL age-out (VERDICT r05 item 7). Dead-lettering is
     * not terminal storage either: a DLQ retains entries for a bounded
     * TTL (here 5 days of EVENT time) and then evicts them — the

@@ -162,6 +162,17 @@ object Streams extends QueryPack {
     "stream_redelivery" -> ((s, dir) =>
       Pipeline.redeliver(Tables.events(s, dir)).orderBy("event_id")),
 
+    // Exponential nack backoff (VERDICT r09 item 4): the redelivery
+    // ladder with a deliver-at shift of base·2^(attempt−1) per nack —
+    // final disposition, attempts, and the final attempt's visible
+    // clock, gated on the final watermark (a ladder still climbing
+    // past the corpus clock has emitted nothing). Judged via the batch
+    // closed form; the accumulating re-enqueue loop is verified
+    // stream==batch on a crafted multi-batch corpus in StreamSpec.
+    "stream_redelivery_backoff" -> ((s, dir) =>
+      Pipeline.redeliverBackoffBatch(Tables.events(s, dir))
+        .orderBy("event_id")),
+
     // DLQ TTL age-out (VERDICT r05 item 7): dead letters retained for a
     // 5-day event-time TTL, then evicted — per-hour eviction records
     // (window start + count). Judged via the batch twin's final-
@@ -439,6 +450,32 @@ object Streams extends QueryPack {
         |            WHEN event_type = 'error' THEN 3
         |            ELSE 1 END AS BIGINT) AS attempts
         |FROM e ORDER BY event_id""".stripMargin,
+
+    // the redelivery closed form + the geometric ladder shift
+    // 60·(2^(attempts−1) − 1), gated on the corpus max second
+    "stream_redelivery_backoff" ->
+      s"""WITH e AS (SELECT event_id, event_type, value,
+         |                  CAST(props->>'$$.k' AS DOUBLE) AS k,
+         |                  $epochSec AS t FROM events),
+         |r AS (SELECT event_id, t,
+         |  CASE WHEN event_type IN ('purchase','signup') AND k >= 50
+         |            AND value BETWEEN 10 AND 400 THEN 'ACCEPT'
+         |       WHEN event_type = 'error' AND event_id % 4 < 3 THEN 'ACCEPT'
+         |       WHEN event_type = 'error' THEN 'DEAD_LETTER'
+         |       ELSE 'REJECT' END AS disposition,
+         |  CAST(CASE WHEN event_type IN ('purchase','signup') AND k >= 50
+         |                 AND value BETWEEN 10 AND 400 THEN 1
+         |            WHEN event_type = 'error' AND event_id % 4 < 3
+         |              THEN event_id % 4 + 1
+         |            WHEN event_type = 'error' THEN 3
+         |            ELSE 1 END AS BIGINT) AS attempts
+         |  FROM e),
+         |mx AS (SELECT MAX(t) AS m FROM e)
+         |SELECT event_id, disposition, attempts,
+         |  t + 60 * ((1 << (attempts - 1)) - 1) AS delivered_at
+         |FROM r, mx
+         |WHERE t + 60 * ((1 << (attempts - 1)) - 1) <= m
+         |ORDER BY event_id""".stripMargin,
 
     "stream_dlq_ageout" ->
       s"""WITH dl AS (

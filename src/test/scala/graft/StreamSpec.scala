@@ -658,6 +658,55 @@ class StreamSpec extends AnyFunSuite {
       "no message dead-lettered after maxDeliveries")
   }
 
+  test("nack backoff ladder: accumulated deliver-at across micro-batches == closed form; pending ladder gated out") {
+    // VERDICT r09 item 4 — crafted corpus at 10:00 (epoch seconds):
+    //   100 purchase k=60 v=100     → ACCEPT attempt 1, delivered at t
+    //   101 error (%4=1)            → recovers attempt 2, t+60
+    //   102 error (%4=2)            → recovers attempt 3, t+60+120
+    //   103 error (%4=3)            → DEAD_LETTER after 3, t+180
+    //   104 view                    → REJECT attempt 1, t
+    //   107 error (%4=3) @10:58     → ladder lands 11:01 > max ts
+    //                                 (11:00) — PENDING, gated out
+    //   105 click @11:00            → REJECT; sets the final watermark
+    import java.sql.Timestamp
+    val rows = Seq(
+      (100L, "2024-01-01 10:00:00", 7L, "purchase", 100.0, """{"k":60}"""),
+      (101L, "2024-01-01 10:00:00", 7L, "error", 1.0, """{"k":10}"""),
+      (102L, "2024-01-01 10:00:00", 7L, "error", 1.0, """{"k":10}"""),
+      (103L, "2024-01-01 10:00:00", 7L, "error", 1.0, """{"k":10}"""),
+      (104L, "2024-01-01 10:00:00", 7L, "view", 1.0, """{"k":10}"""),
+      (107L, "2024-01-01 10:58:00", 8L, "error", 1.0, """{"k":10}"""),
+      (105L, "2024-01-01 11:00:00", 9L, "click", 1.0, """{"k":10}"""))
+    val ev = spark.createDataFrame(rows.map { case (id, ts, uid, et, v, p) =>
+      (id, Timestamp.valueOf(ts), uid, et, v, p) })
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val inDir = Files.createTempDirectory("graft_backoff_in").toString
+    val outDir = Files.createTempDirectory("graft_backoff_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_backoff").toString
+    ev.select(col("event_id"), col("event_type"), col("value"), col("props"),
+        lit(1).as("delivery_count"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("deliver_at"))
+      .write.mode("append").json(inDir)
+    Pipeline.redeliverBackoffStream(spark, inDir, outDir, ckpt)
+    val drained = spark.read.parquet(outDir)
+      .select("event_id", "disposition", "attempts", "delivered_at")
+    val maxT = ev.agg(max(unix_timestamp(date_trunc("second", col("ts")))))
+      .head().getLong(0)
+    // the loop itself is clockless — the pending ladder IS in the
+    // drained sink, with its accumulated deliver-at past the watermark
+    val pending = drained.where(col("event_id") === 107L).collect()
+    assert(pending.length === 1 && pending.head.getLong(3) > maxT,
+      "the crafted pending ladder must accumulate past the final watermark")
+    // the final-watermark gate (the batch twin's) drops exactly it,
+    // and the accumulated clocks equal the closed form row for row
+    assertSameRows(drained.where(col("delivered_at") <= maxT),
+      Pipeline.redeliverBackoffBatch(ev))
+    // the ladder itself: a recovery on attempt 3 carries 60+120 shift
+    val a3 = drained.where("event_id = 102").head()
+    assert(a3.getLong(2) === 3L && a3.getLong(3) === maxT - 3600 + 180,
+      s"attempt-3 recovery must land at t+180, got ${a3.getLong(3)}")
+  }
+
   test("streaming index maintenance: post-stream band store == batch-built index, probes agree") {
     import graft.llm.Incremental
     val docs = Tables.documents(spark, dir)
