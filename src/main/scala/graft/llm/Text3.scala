@@ -181,14 +181,52 @@ object Text3 extends QueryPack {
     // BASELINE.md; results identical barring a 2^-128 collision, and
     // the string-keyed twin below exists for the A/B instrument).
     "text_dup_spans" -> ((s, dir) =>
-      dupSpans(Tables.documents(s, dir), hashed = true))
+      dupSpans(Tables.documents(s, dir), hashed = true)),
+
+    // the detect→remedy pair completed (VERDICT r09 item 6, the
+    // text_boilerplate_scrub precedent, Lee et al.-shaped span dedup):
+    // every token covered by a ≥2-distinct-doc 10-token window is CUT
+    // and the doc reassembled in order from the survivors. The flag
+    // set is dupFlagged over the SAME dupWins frame the detector uses
+    // (flag and cut cannot disagree); coverage expands each flagged
+    // window to its 10 token positions map-side (a bounded sequence
+    // explode), the cut is a doc_id+position anti join, and reassembly
+    // is the boilerplate_scrub array_sort(collect_list(struct)) idiom
+    // — deterministic under any arrival order. Every shuffle after the
+    // 16-byte window-key census is doc_id-keyed. Docs shorter than 10
+    // tokens have no windows, nothing flagged, and pass through whole.
+    "text_dup_spans_scrub" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val covered = dupFlagged(dupWins(docs, hashed = true))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + 9)).as("tpos"))
+        .distinct()
+      val toks = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("tpos", "tok")))
+      val kept = toks.join(covered, Seq("doc_id", "tpos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("tpos"), col("tok")))),
+            x => x.getField("tok"))).as("clean_text"))
+      docs.select(col("doc_id"), size(split(col("text"), " "))
+          .cast("long").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_scrubbed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    })
   )
 
-  /** Shared body for text_dup_spans: `hashed` selects the 128-bit
-    * hashed window keys (the shipped form) or the literal-string keys
-    * (the definitional twin, kept for the same-JVM A/B instrument). */
-  private[graft] def dupSpans(docs: DataFrame, hashed: Boolean): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The keyed 10-token rolling windows of `docs` — (doc_id, pos, k1,
+    * k2); `hashed` selects the 128-bit hashed keys (the shipped form)
+    * or the literal-string keys (the definitional twin, kept for the
+    * same-JVM A/B instrument). Shared by the detector and the
+    * scrubber so flag and cut can never disagree on a window. */
+  private def dupWins(docs: DataFrame, hashed: Boolean): DataFrame = {
     val raw = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), posexplode(
@@ -196,15 +234,27 @@ object Text3 extends QueryPack {
           transform(col("toks"), (_, i) =>
             concat_ws(" ", slice(col("toks"), i + lit(1), lit(10)))),
           (_, i) => i <= size(col("toks")) - 10)).as(Seq("pos", "ws")))
-    val wins =
-      if (hashed) raw.select(col("doc_id"), col("pos"),
-        xxhash64(lit(0), col("ws")).as("k1"), xxhash64(lit(1), col("ws")).as("k2"))
-      else raw.select(col("doc_id"), col("pos"), col("ws").as("k1"), lit(0L).as("k2"))
+    if (hashed) raw.select(col("doc_id"), col("pos"),
+      xxhash64(lit(0), col("ws")).as("k1"), xxhash64(lit(1), col("ws")).as("k2"))
+    else raw.select(col("doc_id"), col("pos"), col("ws").as("k1"), lit(0L).as("k2"))
+  }
+
+  /** The ≥2-distinct-doc window positions of `wins` — the flag set
+    * both text_dup_spans (census) and text_dup_spans_scrub (remedy)
+    * operate on. */
+  private def dupFlagged(wins: DataFrame): DataFrame = {
     val keys = Seq("k1", "k2")
     val dup = wins.select((col("doc_id") +: keys.map(col)): _*).distinct()
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("dfreq"))
       .where(col("dfreq") >= 2).select(keys.map(col): _*)
-    val flagged = wins.join(dup, keys, "left_semi")
+    wins.join(dup, keys, "left_semi")
+  }
+
+  /** Shared body for text_dup_spans (see dupWins for `hashed`). */
+  private[graft] def dupSpans(docs: DataFrame, hashed: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = dupWins(docs, hashed)
+    val flagged = dupFlagged(wins)
     val runs = flagged
       .withColumn("grp", col("pos") - row_number().over(
         Window.partitionBy("doc_id").orderBy("pos")))
@@ -318,6 +368,36 @@ object Text3 extends QueryPack {
          |       COALESCE(a.max_dup_run, 0) AS max_dup_run
          |FROM nw LEFT JOIN agg a USING (doc_id)
          |ORDER BY nw.doc_id""".stripMargin
+    },
+
+    "text_dup_spans_scrub" -> {
+      val leads = (1 to 9).map(k => s"lead(tok,$k) OVER win").mkString(" || ' ' || ")
+      s"""WITH t AS (
+         |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS p,
+         |         unnest(string_split(text,' ')) AS tok FROM documents),
+         |w AS (
+         |  SELECT doc_id, p, tok || ' ' || $leads AS ws
+         |  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+         |  QUALIFY lead(tok,9) OVER win IS NOT NULL),
+         |d AS (SELECT ws FROM w GROUP BY ws HAVING count(DISTINCT doc_id) >= 2),
+         |f AS (SELECT w.doc_id, w.p FROM w JOIN d USING (ws)),
+         |cov AS (SELECT DISTINCT doc_id, p + i AS tp
+         |        FROM f, UNNEST(range(0, 10)) AS r(i)),
+         |kept AS (SELECT t.doc_id, t.p, t.tok
+         |         FROM t LEFT JOIN cov
+         |           ON t.doc_id = cov.doc_id AND t.p = cov.tp
+         |         WHERE cov.tp IS NULL),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |               string_agg(tok, ' ' ORDER BY p) AS clean_text
+         |        FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+         |        FROM t GROUP BY doc_id)
+         |SELECT tot.doc_id, tot.n_tokens,
+         |       CAST(tot.n_tokens - COALESCE(agg.n_kept, 0) AS BIGINT)
+         |         AS n_scrubbed,
+         |       COALESCE(agg.clean_text, '') AS clean_text
+         |FROM tot LEFT JOIN agg USING (doc_id)
+         |ORDER BY tot.doc_id""".stripMargin
     }
   )
 }

@@ -37,6 +37,30 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (exact=${exact.size}, lsh=${lsh.size})")
   }
 
+  test("text_dup_spans_scrub cuts exactly the docs the detector flags, and only covered tokens") {
+    // detect → remedy consistency (VERDICT r09 item 6): the scrubber
+    // shares the detector's window frame, so a doc loses tokens iff
+    // the detector found duplicated windows in it, and each flagged
+    // run of r windows covers exactly r + 9 tokens (so n_scrubbed >=
+    // n_dup_windows, with equality impossible while runs exist).
+    val det = q("text_dup_spans").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val scrub = q("text_dup_spans_scrub").collect()
+    assert(scrub.exists(_.getLong(2) > 0), "fixture must contain spans to cut")
+    scrub.foreach { r =>
+      val (id, nTok, nScr, clean) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val flagged = det.getOrElse(id, 0L)
+      assert((nScr > 0) == (flagged > 0),
+        s"doc $id: scrubbed $nScr tokens but detector flagged $flagged windows")
+      if (flagged > 0) assert(nScr >= flagged + 9,
+        s"doc $id: a run of r windows covers >= r+9 tokens ($nScr vs $flagged)")
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(kept == nTok - nScr,
+        s"doc $id: reassembled text has $kept tokens, expected ${nTok - nScr}")
+    }
+  }
+
   test("SRP candidates off the persisted band store == inline signing (geometry/seed agreement)") {
     // the round-9 indexed path (srpCandidatesIndexed) relies on the
     // band store being built with the SAME corpus-adaptive geometry
