@@ -181,7 +181,8 @@ object Text3 extends QueryPack {
     // BASELINE.md; results identical barring a 2^-128 collision, and
     // the string-keyed twin below exists for the A/B instrument).
     "text_dup_spans" -> ((s, dir) =>
-      dupSpans(Tables.documents(s, dir), hashed = true)),
+      dupSpansReport(Tables.documents(s, dir),
+        s.table(dupFlaggedTable(s, dir)))),
 
     // the detect→remedy pair completed (VERDICT r09 item 6, the
     // text_boilerplate_scrub precedent, Lee et al.-shaped span dedup):
@@ -197,7 +198,7 @@ object Text3 extends QueryPack {
     // tokens have no windows, nothing flagged, and pass through whole.
     "text_dup_spans_scrub" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val covered = dupFlagged(dupWins(docs, hashed = true))
+      val covered = s.table(dupFlaggedTable(s, dir))
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + 9)).as("tpos"))
         .distinct()
@@ -250,7 +251,52 @@ object Text3 extends QueryPack {
     wins.join(dup, keys, "left_semi")
   }
 
-  /** Shared body for text_dup_spans (see dupWins for `hashed`). */
+  /** The flagged window positions, persisted fingerprint-keyed (the
+    * editPairsTable discipline, round 10): the corpus-wide window
+    * census — the only corpus-keyed shuffle in the family — runs once
+    * per (dir, documents fingerprint); the detector and the scrubber
+    * are artifact reads plus doc_id-keyed work. doc_id-bucketed: every
+    * consumer groups or joins on the bucketing key. */
+  private def dupFlaggedTable(s: SparkSession, dir: String): String = {
+    val pfx = s"dup_spans_${Tables.pathKey(dir)}_"
+    val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "documents"))}"
+    if (!s.catalog.tableExists(t)) {
+      Tables.dropStaleTables(s, pfx)
+      dupFlagged(dupWins(Tables.documents(s, dir), hashed = true))
+        .select("doc_id", "pos")
+        .write.mode("overwrite")
+        .bucketBy(16, "doc_id").sortBy("doc_id", "pos")
+        .format("parquet").saveAsTable(t)
+    }
+    t
+  }
+
+  /** text_dup_spans runs-and-census report over a flagged-positions
+    * frame. n_windows is MAP-SIDE arithmetic (a doc of n ≥ 10 tokens
+    * has exactly n − 9 windows; shorter docs have none and no output
+    * row — the original census semantics, without re-mining). */
+  private def dupSpansReport(docs: DataFrame, flagged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val runs = flagged
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(sum(col("run")).as("n_dup_windows"),
+        max(col("run")).as("max_dup_run"))
+    docs
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) - 9).cast("long").as("n_windows"))
+      .where(col("n_windows") >= 1)
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared body for text_dup_spans (see dupWins for `hashed`) — the
+    * definitional inline form, kept for the string-keyed A/B twin;
+    * the shipped key serves the same report off dupFlaggedTable. */
   private[graft] def dupSpans(docs: DataFrame, hashed: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wins = dupWins(docs, hashed)

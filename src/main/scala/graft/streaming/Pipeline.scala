@@ -152,11 +152,17 @@ object Pipeline {
     * DEAD_LETTER that is the failed last attempt's deliver-at — when
     * the DLQ entry lands. Shape: the redeliver() closed form + a
     * map-side shift + a 1-row broadcast max — no new shuffle. */
-  def redeliverBackoffBatch(events: DataFrame): DataFrame = {
+  def redeliverBackoffBatch(events: DataFrame): DataFrame =
+    redeliverBackoffFrom(redeliver(events), events)
+
+  /** The same closed form over an already-computed disposition frame —
+    * the Streams key feeds it the persisted ledger artifact so the
+    * 3-pass loop isn't re-run per report. */
+  def redeliverBackoffFrom(fin: DataFrame, events: DataFrame): DataFrame = {
     val ev = events.select(col("event_id"),
       unix_timestamp(date_trunc("second", col("ts"))).as("t"))
     val mx = ev.agg(max(col("t")).as("max_t"))
-    redeliver(events)
+    fin
       .join(ev, Seq("event_id"))
       .withColumn("delivered_at", col("t") + lit(backoffBaseSec) *
         (expr("shiftleft(1L, cast(attempts - 1 AS int))") - 1))
@@ -226,8 +232,12 @@ object Pipeline {
 
   /** The DLQ content: dead-lettered messages with their event time. */
   def deadLetters(events: DataFrame): DataFrame =
-    redeliver(events)
-      .where(col("disposition") === "DEAD_LETTER")
+    deadLettersFrom(redeliver(events), events)
+
+  /** The DLQ slice of an already-computed disposition frame (see
+    * redeliverBackoffFrom — the persisted-ledger consumers). */
+  def deadLettersFrom(fin: DataFrame, events: DataFrame): DataFrame =
+    fin.where(col("disposition") === "DEAD_LETTER")
       .join(events.select(col("event_id"), col("ts")), Seq("event_id"))
       .select(col("event_id"), col("attempts"), col("ts"))
 
