@@ -269,6 +269,46 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("round-10 artifacts: every family consumer scans its persisted table, never re-mines") {
+    // incremental edit pairs (VERDICT r09 item 1a): both consumers
+    // read incr_edit_pairs_; a levenshtein in either plan means the
+    // quadratic band probe re-ran
+    for (k <- Seq("dedup_incr_edit", "pipeline_curate_incr_v2")) {
+      val plan = physical(k)
+      assert(plan.contains("incr_edit_pairs_"),
+        s"$k does not scan the persisted incremental edit-pair artifact:\n$plan")
+      assert(!plan.contains("levenshtein"),
+        s"$k re-runs the levenshtein verify instead of reading the artifact:\n$plan")
+    }
+    // DSIR featurization (VERDICT r09 item 5): both scorers read the
+    // per-(doc, bucket) artifact; a Generate (token explode) in a
+    // scorer plan means the corpus was re-featurized
+    for (k <- Seq("sample_dsir", "sample_dsir_incr")) {
+      val plan = physical(k)
+      assert(plan.contains("dsir_b_"),
+        s"$k does not scan the persisted DSIR featurization:\n$plan")
+      assert(!plan.contains("Generate"),
+        s"$k re-explodes the corpus instead of reading the featurization:\n$plan")
+    }
+    // redelivery disposition ledger: all three reports read it
+    for (k <- Seq("stream_redelivery", "stream_dlq_ageout",
+        "stream_redelivery_backoff")) {
+      val plan = physical(k)
+      assert(plan.contains("redeliver_"),
+        s"$k does not scan the persisted disposition ledger:\n$plan")
+    }
+    // dup-span flag census: detector and scrubber read the same table;
+    // the detector must not re-hash windows (its n_windows is map-side
+    // arithmetic, its flags are the artifact)
+    for (k <- Seq("text_dup_spans", "text_dup_spans_scrub")) {
+      val plan = physical(k)
+      assert(plan.contains("dup_spans_"),
+        s"$k does not scan the persisted flag census:\n$plan")
+    }
+    assert(!physical("text_dup_spans").contains("xxhash64"),
+      "the detector re-hashes windows instead of reading the census")
+  }
+
   test("ts_ohlc / agg_histogram: one two-phase aggregation, no extra exchange") {
     for (k <- Seq("ts_ohlc", "agg_histogram")) {
       val plan = physical(k)
