@@ -153,6 +153,34 @@ object Streams extends QueryPack {
         .orderBy("ws", "c_mktsegment")
     }),
 
+    // Subscription backlog report (round 10 — the `pulsar-admin topics
+    // stats` surface): per subscription, the ack position (cursor),
+    // the backlog (messages at positions past it), and the OLDEST
+    // unacked message's publish time (min position past the cursor —
+    // min_by, not min ts: backlog age is a position property, the
+    // metric alerting keys on). Fixture cursors = fixed fractions of
+    // the max position (a fast, a lagging, and a paused subscription —
+    // the paused one's backlog is the whole topic). Shape: a 1-row max,
+    // a 3-row broadcast cursor table, ONE corpus scan through a
+    // broadcast inequality join (each message tests 3 cursors map-side,
+    // no corpus-keyed shuffle), a 3-group aggregate — flat at any SF.
+    "obs_sub_backlog" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val mx = ev.agg(max(col("event_id")).as("m"))
+      val cur = Seq(("sub_fast", 0.9), ("sub_slow", 0.5), ("sub_paused", 0.0))
+        .toDF("subscription", "f")
+        .crossJoin(broadcast(mx))
+        .select(col("subscription"),
+          floor(col("m") * col("f")).cast("long").as("ack_pos"))
+      ev.join(broadcast(cur), col("event_id") > col("ack_pos"))
+        .groupBy("subscription", "ack_pos")
+        .agg(count(lit(1)).as("backlog"),
+          date_format(min_by(col("ts"), col("event_id")),
+            "yyyy-MM-dd HH:mm:ss").as("oldest_ts_s"))
+        .orderBy("subscription")
+    }),
+
     // Pulsar cursor seek/replay (VERDICT r09 item 3): both seek forms —
     // seek(timestamp) resolves the cursor to the earliest publish
     // position at-or-after the target then replays by position
@@ -424,6 +452,19 @@ object Streams extends QueryPack {
     // visible-clock = publish second + the per-type backoff; truncation
     // to seconds commutes with adding whole-minute backoffs, so the
     // window arithmetic matches Spark's window(deliver_at) exactly
+    "obs_sub_backlog" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+        |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9), ('sub_slow', 0.5),
+        |                               ('sub_paused', 0.0)) s(subscription, f)),
+        |c AS (SELECT subscription, CAST(floor(m * f) AS BIGINT) AS ack_pos
+        |      FROM subs, mx)
+        |SELECT c.subscription, c.ack_pos, COUNT(*) AS backlog,
+        |  strftime(date_trunc('second', min_by(e.ts, e.event_id)),
+        |           '%Y-%m-%d %H:%M:%S') AS oldest_ts_s
+        |FROM events e JOIN c ON e.event_id > c.ack_pos
+        |GROUP BY c.subscription, c.ack_pos
+        |ORDER BY c.subscription""".stripMargin,
+
     "source_seek_replay" ->
       """WITH c AS (SELECT MIN(event_id) AS cur FROM events
         |           WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')

@@ -309,6 +309,17 @@ class PlanSpec extends AnyFunSuite {
       "the detector re-hashes windows instead of reading the census")
   }
 
+  test("obs_sub_backlog: broadcast inequality join, no corpus-keyed exchange before the 3-group agg") {
+    val plan = physical("obs_sub_backlog")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 3-row cursor table must broadcast through the inequality join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cursor join degenerated to a cartesian product:\n$plan")
+    // the only shuffle is the 3-key final aggregate (plus the 1-row max)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"unexpected corpus-keyed exchange before the tiny aggregate:\n$plan")
+  }
+
   test("ts_ohlc / agg_histogram: one two-phase aggregation, no extra exchange") {
     for (k <- Seq("ts_ohlc", "agg_histogram")) {
       val plan = physical(k)
