@@ -309,6 +309,16 @@ class PlanSpec extends AnyFunSuite {
       "the detector re-hashes windows instead of reading the census")
   }
 
+  test("source_seek_replay: the by-id cursor pushes into the scan; the by-time cursor broadcasts") {
+    val plan = physical("source_seek_replay")
+    assert(plan.contains("GreaterThanOrEqual(event_id,500)"),
+      s"the literal message-id cursor must reach PushedFilters:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the resolved 1-row by-time cursor must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cursor replay degenerated to a cartesian product:\n$plan")
+  }
+
   test("obs_sub_backlog: broadcast inequality join, no corpus-keyed exchange before the 3-group agg") {
     val plan = physical("obs_sub_backlog")
     assert(plan.contains("BroadcastNestedLoopJoin"),
