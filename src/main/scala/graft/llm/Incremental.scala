@@ -128,17 +128,27 @@ object Incremental extends QueryPack {
     * 23 minutes. graft.edit.bandGuard=warn logs instead (measurement
     * harnesses scoring the exact probe ON an oversized corpus). */
   private[graft] def editBandGuard(s: SparkSession, dir: String,
-      deltaBkts: DataFrame, nDelta: Long): Unit = {
+      deltaBkts: DataFrame,
+      maxPerDoc: Double = editBandCandMaxPerDoc): Unit = {
     val mode = s.conf.get("graft.edit.bandGuard", "enforce")
     val idxPop = s.table(editIndex(s, dir))
       .groupBy("bkt").agg(count(lit(1)).as("ni"))
-    val dPop = deltaBkts.groupBy("bkt").agg(count(lit(1)).as("nd"))
-    val cand = dPop.join(idxPop, Seq("bkt"))
-      .agg(sum(col("nd") * col("ni"))).head().getLong(0)
-    val perDoc = if (nDelta == 0) 0.0 else cand.toDouble / nDelta
-    if (perDoc > editBandCandMaxPerDoc) {
+    // ONE aggregate yields both the candidate estimate and the doc
+    // count (each delta doc contributes exactly 3 exploded band rows —
+    // no separate delta count() scan); LEFT join + coalesce so an
+    // empty or disjoint-band delta measures 0 candidates instead of a
+    // null aggregate.
+    val r = deltaBkts.groupBy("bkt").agg(count(lit(1)).as("nd"))
+      .join(idxPop, Seq("bkt"), "left")
+      .agg(coalesce(sum(col("nd") * coalesce(col("ni"), lit(0L))), lit(0L))
+          .as("cand"),
+        coalesce(sum(col("nd")), lit(0L)).as("bandrows"))
+      .head()
+    val nDelta = r.getLong(1) / 3
+    val perDoc = if (nDelta == 0) 0.0 else r.getLong(0).toDouble / nDelta
+    if (perDoc > maxPerDoc) {
       val msg = f"exact length-band edit probe out of envelope: " +
-        f"$perDoc%.0f candidates/delta-doc > $editBandCandMaxPerDoc%.0f " +
+        f"$perDoc%.0f candidates/delta-doc > $maxPerDoc%.0f " +
         "(quadratic within band — use dedup_incr_edit_banded / the v3 " +
         "gate at this scale, or set graft.edit.bandGuard=warn to force)"
       if (mode == "warn") println(s"WARN $msg")
@@ -169,7 +179,7 @@ object Incremental extends QueryPack {
           col("n_chars").as("ld"))
         .withColumn("bkt", explode(array(floor(col("ld") / w) - 1,
           floor(col("ld") / w), floor(col("ld") / w) + 1)))
-      editBandGuard(s, dir, d, delta(s, dir).count())
+      editBandGuard(s, dir, d)
       d.join(s.table(editIndex(s, dir)), Seq("bkt"))
         .where(abs(col("ld") - col("ln")) <= k)
         .withColumn("dist", levenshtein(col("td"), col("tx"), k).cast("long"))

@@ -77,7 +77,7 @@ object Selector {
     * batched entry and stay with the `events` resolver. */
   def eventsPacked(m: Column): Resolver = {
     case n @ ("event_id" | "user_id" | "value") => (m.getField(n), KNum)
-    case n @ ("event_type")                     => (m.getField(n), KStr)
+    case n @ ("event_type" | "props")           => (m.getField(n), KStr)
     case "JMSType"                              => (m.getField("event_type"), KStr)
     case n =>
       val key = if (n.startsWith("props.")) n.stripPrefix("props.") else n

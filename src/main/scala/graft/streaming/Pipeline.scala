@@ -88,41 +88,54 @@ object Pipeline {
     * so the driver loops passes until the input quiesces — bounded by
     * maxDeliveries because each pass increments every pending message's
     * delivery count. StreamSpec asserts the result == redeliver(). */
-  def redeliverStream(s: SparkSession, inDir: String, outDir: String, ckpt: String): Unit = {
+  def redeliverStream(s: SparkSession, inDir: String, outDir: String, ckpt: String): Unit =
+    reenqueueLoop(s, inDir, outDir, ckpt, redeliverySchema,
+      fin => fin.select(col("event_id"),
+        when(col("verdict") === "RESCHEDULE", lit("DEAD_LETTER"))
+          .otherwise(col("verdict")).as("disposition"),
+        col("delivery_count").cast("long").as("attempts")),
+      p => p.withColumn("delivery_count", col("delivery_count") + 1))
+
+  /** The ONE at-least-once file re-enqueue loop (the broker dispatch
+    * recipe) — redeliverStream and its backoff sibling differ only in
+    * payload schema, final-row projection, and the re-enqueue
+    * transform, so the idempotence machinery cannot drift between
+    * them. Each micro-batch routes its messages; final verdicts land
+    * in an idempotent per-batch sink (each batch OVERWRITES its own
+    * batch=<id> partition dir, so a batch replayed after a mid-write
+    * failure rewrites its own output instead of appending duplicate
+    * dispositions); still-RESCHEDULE'd messages are transformed and
+    * appended BACK into `inDir` under a per-batch marker guard (json
+    * appends have no overwrite-in-place; the marker lives under an
+    * underscore dir, which Spark's file listing treats as hidden — the
+    * stream source never reads it; a crash exactly between the append
+    * and the marker still duplicates — the classic at-least-once
+    * window a real broker closes with transactions). One AvailableNow
+    * pass consumes everything enqueued before it started, so the
+    * driver loops passes until the input quiesces — bounded by
+    * maxDeliveries because each pass increments every pending
+    * message's delivery count. */
+  private def reenqueueLoop(s: SparkSession, inDir: String, outDir: String,
+      ckpt: String, schema: String,
+      finalRows: DataFrame => DataFrame,
+      reenqueue: DataFrame => DataFrame): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     for (_ <- 1 to maxDeliveries) {
-      val q = s.readStream.schema(redeliverySchema).json(inDir)
+      val q = s.readStream.schema(schema).json(inDir)
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val routed = routeAttempt(batch).localCheckpoint()
-          // idempotent verdict sink: each micro-batch owns a batch=<id>
-          // partition dir written with OVERWRITE, so a batch replayed
-          // after a mid-write failure rewrites its own output instead
-          // of appending duplicate dispositions
-          routed.where(col("verdict") =!= "RESCHEDULE" ||
-              col("delivery_count") >= maxDeliveries)
-            .select(col("event_id"),
-              when(col("verdict") === "RESCHEDULE", lit("DEAD_LETTER"))
-                .otherwise(col("verdict")).as("disposition"),
-              col("delivery_count").cast("long").as("attempts"))
+          finalRows(routed.where(col("verdict") =!= "RESCHEDULE" ||
+              col("delivery_count") >= maxDeliveries))
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-          // re-enqueue guarded by a per-batch marker (json appends have
-          // no overwrite-in-place): a replayed batch skips the second
-          // enqueue. The marker lives under an underscore dir, which
-          // Spark's file listing treats as hidden — the stream source
-          // never reads it. A crash exactly between the append and the
-          // marker still duplicates (the classic at-least-once window a
-          // real broker closes with transactions); the verdict sink
-          // above is fully idempotent.
           val markerDir = java.nio.file.Paths.get(inDir, "_reenq")
           java.nio.file.Files.createDirectories(markerDir)
           val marker = markerDir.resolve(s"done_$batchId")
           if (!java.nio.file.Files.exists(marker)) {
-            routed.where(col("verdict") === "RESCHEDULE" &&
+            reenqueue(routed.where(col("verdict") === "RESCHEDULE" &&
                 col("delivery_count") < maxDeliveries)
-              .drop("verdict")
-              .withColumn("delivery_count", col("delivery_count") + 1)
+              .drop("verdict"))
               .write.mode("append").json(inDir)
             java.nio.file.Files.createFile(marker)
           }
@@ -184,44 +197,17 @@ object Pipeline {
     * belongs to the CONSUMER of the drained sink (StreamSpec applies
     * it), exactly as dlqAgeOutBatch gates the DLQ windows. */
   def redeliverBackoffStream(s: SparkSession, inDir: String, outDir: String,
-      ckpt: String): Unit = {
-    import org.apache.spark.sql.streaming.Trigger
-    for (_ <- 1 to maxDeliveries) {
-      val q = s.readStream.schema(backoffSchema).json(inDir)
-        .writeStream.trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val routed = routeAttempt(batch).localCheckpoint()
-          // idempotent verdict sink + marker-guarded re-enqueue — the
-          // redeliverStream recipe, payload widened by deliver_at
-          routed.where(col("verdict") =!= "RESCHEDULE" ||
-              col("delivery_count") >= maxDeliveries)
-            .select(col("event_id"),
-              when(col("verdict") === "RESCHEDULE", lit("DEAD_LETTER"))
-                .otherwise(col("verdict")).as("disposition"),
-              col("delivery_count").cast("long").as("attempts"),
-              col("deliver_at").as("delivered_at"))
-            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-          val markerDir = java.nio.file.Paths.get(inDir, "_reenq")
-          java.nio.file.Files.createDirectories(markerDir)
-          val marker = markerDir.resolve(s"done_$batchId")
-          if (!java.nio.file.Files.exists(marker)) {
-            routed.where(col("verdict") === "RESCHEDULE" &&
-                col("delivery_count") < maxDeliveries)
-              .drop("verdict")
-              .withColumn("deliver_at",
-                col("deliver_at") + lit(backoffBaseSec) *
-                  expr("shiftleft(1L, cast(delivery_count - 1 AS int))"))
-              .withColumn("delivery_count", col("delivery_count") + 1)
-              .write.mode("append").json(inDir)
-            java.nio.file.Files.createFile(marker)
-          }
-          ()
-        }
-        .start()
-      q.awaitTermination()
-    }
-  }
+      ckpt: String): Unit =
+    reenqueueLoop(s, inDir, outDir, ckpt, backoffSchema,
+      fin => fin.select(col("event_id"),
+        when(col("verdict") === "RESCHEDULE", lit("DEAD_LETTER"))
+          .otherwise(col("verdict")).as("disposition"),
+        col("delivery_count").cast("long").as("attempts"),
+        col("deliver_at").as("delivered_at")),
+      p => p.withColumn("deliver_at",
+          col("deliver_at") + lit(backoffBaseSec) *
+            expr("shiftleft(1L, cast(delivery_count - 1 AS int))"))
+        .withColumn("delivery_count", col("delivery_count") + 1))
 
   /** Dead-letter TTL age-out (VERDICT r05 item 7). Dead-lettering is
     * not terminal storage either: a DLQ retains entries for a bounded

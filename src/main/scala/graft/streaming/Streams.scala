@@ -160,7 +160,9 @@ object Streams extends QueryPack {
     // min_by, not min ts: backlog age is a position property, the
     // metric alerting keys on). Fixture cursors = fixed fractions of
     // the max position (a fast, a lagging, and a paused subscription —
-    // the paused one's backlog is the whole topic). Shape: a 1-row max,
+    // the paused one has acked NOTHING, so its cursor is the
+    // before-first position −1 and its backlog is the WHOLE topic,
+    // message 0 included). Shape: a 1-row max,
     // a 3-row broadcast cursor table, ONE corpus scan through a
     // broadcast inequality join (each message tests 3 cursors map-side,
     // no corpus-keyed shuffle), a 3-group aggregate — flat at any SF.
@@ -172,7 +174,9 @@ object Streams extends QueryPack {
         .toDF("subscription", "f")
         .crossJoin(broadcast(mx))
         .select(col("subscription"),
-          floor(col("m") * col("f")).cast("long").as("ack_pos"))
+          when(col("f") === 0.0, lit(-1L))
+            .otherwise(floor(col("m") * col("f")).cast("long"))
+            .as("ack_pos"))
       ev.join(broadcast(cur), col("event_id") > col("ack_pos"))
         .groupBy("subscription", "ack_pos")
         .agg(count(lit(1)).as("backlog"),
@@ -456,7 +460,9 @@ object Streams extends QueryPack {
       """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
         |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9), ('sub_slow', 0.5),
         |                               ('sub_paused', 0.0)) s(subscription, f)),
-        |c AS (SELECT subscription, CAST(floor(m * f) AS BIGINT) AS ack_pos
+        |c AS (SELECT subscription,
+        |        CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
+        |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos
         |      FROM subs, mx)
         |SELECT c.subscription, c.ack_pos, COUNT(*) AS backlog,
         |  strftime(date_trunc('second', min_by(e.ts, e.event_id)),

@@ -231,22 +231,29 @@ class LlmSpec extends AnyFunSuite {
     // VERDICT r09 item 1b — the percolationGuard discipline for the
     // exact length-band edit probe: past the measured envelope the
     // probe must fail LOUDLY (the 100x corpus measured 1368 s), not
-    // silently burn the time. Craft a delta-band frame hot enough to
-    // exceed the envelope against the fixture's day-1 band counts:
-    // every index band replicated 300x with nDelta = 1.
+    // silently burn the time. The guard's statistic (candidates per
+    // delta doc = 3x the weighted mean matched-band population) is
+    // replication-invariant, so the refusal is exercised by tightening
+    // the threshold below the fixture's own healthy measurement —
+    // exactly what a growing corpus does to the fixed 4000 envelope.
     import org.apache.spark.sql.functions._
     val idxBkts = spark.table(graft.llm.Incremental.editIndex(spark, dir))
       .select("bkt")
-    val hot = idxBkts.crossJoin(spark.range(300))
+    val hot = idxBkts.crossJoin(spark.range(3)).select("bkt")
     val ex = intercept[IllegalStateException] {
-      graft.llm.Incremental.editBandGuard(spark, dir, hot, nDelta = 1L)
+      graft.llm.Incremental.editBandGuard(spark, dir, hot, maxPerDoc = 1.0)
     }
     assert(ex.getMessage.contains("dedup_incr_edit_banded"),
       "the refusal must name the at-scale remedy")
     // warn mode: measurement harnesses may force the probe
     spark.conf.set("graft.edit.bandGuard", "warn")
-    try graft.llm.Incremental.editBandGuard(spark, dir, hot, nDelta = 1L)
+    try graft.llm.Incremental.editBandGuard(spark, dir, hot, maxPerDoc = 1.0)
     finally spark.conf.unset("graft.edit.bandGuard")
+    // an empty delta (or one sharing no band with day 1) measures 0
+    // candidates and PASSES — no null-aggregate crash (review round 10)
+    graft.llm.Incremental.editBandGuard(spark, dir, hot.limit(0))
+    graft.llm.Incremental.editBandGuard(spark, dir,
+      hot.select((col("bkt") + 1000000L).as("bkt")))
     // the fixture corpus itself is comfortably inside the envelope:
     // building/reading the artifact must not throw
     assert(spark.table(graft.llm.Incremental.incrEditPairsTable(spark, dir))
