@@ -133,18 +133,22 @@ object Incremental extends QueryPack {
     val mode = s.conf.get("graft.edit.bandGuard", "enforce")
     val idxPop = s.table(editIndex(s, dir))
       .groupBy("bkt").agg(count(lit(1)).as("ni"))
-    // ONE aggregate yields both the candidate estimate and the doc
-    // count (each delta doc contributes exactly 3 exploded band rows —
-    // no separate delta count() scan); LEFT join + coalesce so an
-    // empty or disjoint-band delta measures 0 candidates instead of a
-    // null aggregate.
-    val r = deltaBkts.groupBy("bkt").agg(count(lit(1)).as("nd"))
-      .join(idxPop, Seq("bkt"), "left")
-      .agg(coalesce(sum(col("nd") * coalesce(col("ni"), lit(0L))), lit(0L))
-          .as("cand"),
-        coalesce(sum(col("nd")), lit(0L)).as("bandrows"))
+    // ONE aggregate over the delta's band rows (delta-sized by
+    // definition, so the row-level join is metadata-cheap) yields both
+    // the candidate estimate — each band row contributes its band's
+    // index population, summing to Σ_bkt nd·ni — and the EXACT delta
+    // doc count via countDistinct(delta_id), NOT band rows divided by a
+    // hardcoded rows-per-doc factor (ADVICE r10: a caller passing a
+    // frame with different band multiplicity silently miscalibrated
+    // candidates/doc instead of failing). Requires `deltaBkts` to
+    // carry (bkt, delta_id). LEFT join + coalesce so an empty or
+    // disjoint-band delta measures 0 candidates instead of a null
+    // aggregate.
+    val r = deltaBkts.join(idxPop, Seq("bkt"), "left")
+      .agg(coalesce(sum(coalesce(col("ni"), lit(0L))), lit(0L)).as("cand"),
+        countDistinct(col("delta_id")).as("ndocs"))
       .head()
-    val nDelta = r.getLong(1) / 3
+    val nDelta = r.getLong(1)
     val perDoc = if (nDelta == 0) 0.0 else r.getLong(0).toDouble / nDelta
     if (perDoc > maxPerDoc) {
       val msg = f"exact length-band edit probe out of envelope: " +

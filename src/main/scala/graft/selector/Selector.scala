@@ -71,14 +71,39 @@ object Selector {
     * receives ONE batched entry and must evaluate the selector against
     * each message inside it without unpacking the entry into separate
     * deliveries, so identifiers resolve to fields of the lambda
-    * variable ranging over the entry's array<struct> payload. Carries
-    * the message-level surface (metadata columns + properties bag);
-    * broker-assigned headers (JMSTimestamp etc.) are entry-level in a
-    * batched entry and stay with the `events` resolver. */
+    * variable ranging over the entry's array<struct> payload.
+    *
+    * Every identifier the row resolver can derive FROM THE MESSAGE
+    * ITSELF is mirrored here (VERDICT r10 — these used to fall through
+    * to a `props` JSON probe and silently resolve NULL, so the same
+    * selector string could give different verdicts row-vs-packed):
+    * JMSMessageID/JMSPriority derive from the packed struct exactly as
+    * the row forms derive from the columns, JMSType is the routing tag,
+    * JMSDeliveryMode/JMSCorrelationID are fixture constants. The
+    * genuinely ENTRY-LEVEL identifiers — `ts`/`JMSTimestamp` (the
+    * broker stamps publish time per entry, and packEntries carries no
+    * per-message ts) and `JMSXDeliveryCount` (redelivery counts attach
+    * to the entry's dispatch, streaming.Pipeline) — cannot be resolved
+    * from the payload and REJECT AT COMPILE with a named error rather
+    * than silently diverging; evaluate those row-level after unpack. */
   def eventsPacked(m: Column): Resolver = {
     case n @ ("event_id" | "user_id" | "value") => (m.getField(n), KNum)
     case n @ ("event_type" | "props")           => (m.getField(n), KStr)
     case "JMSType"                              => (m.getField("event_type"), KStr)
+    case "JMSMessageID" =>
+      (concat(lit("ID:"), m.getField("event_id")), KStr)
+    case "JMSPriority" =>
+      (pmod(get_json_object(m.getField("props"), "$.k").cast("long"),
+        lit(10)), KNum)
+    case "JMSDeliveryMode"  => (lit("PERSISTENT"), KStr)
+    case "JMSCorrelationID" => (lit(null).cast("string"), KStr)
+    case n @ ("ts" | "JMSTimestamp" | "JMSXDeliveryCount") =>
+      throw new IllegalArgumentException(
+        s"entry-level identifier '$n' is not available in packed " +
+          "(batched-entry) evaluation: the packed message struct carries " +
+          "no per-message publish time or delivery count — evaluate the " +
+          "selector row-level (Selector.events) after unpack, or thread " +
+          "entry metadata through explicitly")
     case n =>
       val key = if (n.startsWith("props.")) n.stripPrefix("props.") else n
       (get_json_object(m.getField("props"), "$." + key), KProp)

@@ -33,6 +33,40 @@ object Streams extends QueryPack {
     t
   }
 
+  /** The fixture subscription-cursor table (shared by obs_sub_backlog
+    * and stream_msg_expiry — the detect→remedy discipline: the expiry
+    * key must move exactly the cursors the backlog report reads).
+    * Cursors are fixed fractions of the max position: fast (0.9),
+    * lagging (0.5), paused (acked nothing → before-first −1), and
+    * caught-up (at max — backlog 0). 1-row max, 4-row local relation;
+    * always broadcast-sized. */
+  private[streaming] def subCursors(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val mx = ev.agg(max(col("event_id")).as("m"))
+    Seq(("sub_fast", 0.9), ("sub_slow", 0.5), ("sub_paused", 0.0),
+        ("sub_caughtup", 1.0))
+      .toDF("subscription", "f")
+      .crossJoin(broadcast(mx))
+      .select(col("subscription"),
+        when(col("f") === 0.0, lit(-1L))
+          .otherwise(floor(col("m") * col("f")).cast("long"))
+          .as("ack_pos"))
+  }
+
+  /** Per-subscription backlog aggregate over a cursor table: one corpus
+    * scan through a broadcast inequality join (each message tests the
+    * ≤4 cursors map-side — no corpus-keyed shuffle), grouped to one row
+    * per subscription WITH backlog. Subscriptions with zero backlog
+    * produce no group here — the report key restores them via the
+    * right-outer join onto the cursor table. */
+  private[streaming] def backlogReport(ev: DataFrame, cur: DataFrame): DataFrame =
+    ev.join(broadcast(cur), col("event_id") > col("ack_pos"))
+      .groupBy("subscription", "ack_pos")
+      .agg(count(lit(1)).as("backlog"),
+        date_format(min_by(col("ts"), col("event_id")),
+          "yyyy-MM-dd HH:mm:ss").as("oldest_ts_s"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> ((s, dir) =>
       Pipeline.tumbling(Tables.events(s, dir)).orderBy("ws", "event_type")),
@@ -159,29 +193,27 @@ object Streams extends QueryPack {
     // unacked message's publish time (min position past the cursor —
     // min_by, not min ts: backlog age is a position property, the
     // metric alerting keys on). Fixture cursors = fixed fractions of
-    // the max position (a fast, a lagging, and a paused subscription —
-    // the paused one has acked NOTHING, so its cursor is the
-    // before-first position −1 and its backlog is the WHOLE topic,
-    // message 0 included). Shape: a 1-row max,
-    // a 3-row broadcast cursor table, ONE corpus scan through a
-    // broadcast inequality join (each message tests 3 cursors map-side,
-    // no corpus-keyed shuffle), a 3-group aggregate — flat at any SF.
+    // the max position (a fast, a lagging, a paused, and a CAUGHT-UP
+    // subscription — the paused one has acked NOTHING, so its cursor is
+    // the before-first position −1 and its backlog is the WHOLE topic,
+    // message 0 included; the caught-up one sits AT the max position,
+    // so it must still appear with backlog 0 and a null oldest —
+    // `pulsar-admin topics stats` reports msgBacklog: 0, it doesn't
+    // drop the row (ADVICE r10: the inner inequality join silently
+    // lost it)). Shape: a 1-row max, a 4-row broadcast cursor table,
+    // ONE corpus scan through a broadcast inequality join (each
+    // message tests 4 cursors map-side, no corpus-keyed shuffle), a
+    // 4-group aggregate, then the ≤4-row aggregate broadcast back onto
+    // the cursor table (right outer) so every subscription reports —
+    // flat at any SF.
     "obs_sub_backlog" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Tables.events(s, dir)
-      val mx = ev.agg(max(col("event_id")).as("m"))
-      val cur = Seq(("sub_fast", 0.9), ("sub_slow", 0.5), ("sub_paused", 0.0))
-        .toDF("subscription", "f")
-        .crossJoin(broadcast(mx))
-        .select(col("subscription"),
-          when(col("f") === 0.0, lit(-1L))
-            .otherwise(floor(col("m") * col("f")).cast("long"))
-            .as("ack_pos"))
-      ev.join(broadcast(cur), col("event_id") > col("ack_pos"))
-        .groupBy("subscription", "ack_pos")
-        .agg(count(lit(1)).as("backlog"),
-          date_format(min_by(col("ts"), col("event_id")),
-            "yyyy-MM-dd HH:mm:ss").as("oldest_ts_s"))
+      val agg = Streams.backlogReport(Tables.events(s, dir),
+        Streams.subCursors(Tables.events(s, dir)))
+      broadcast(agg)
+        .join(Streams.subCursors(Tables.events(s, dir)),
+          Seq("subscription", "ack_pos"), "right_outer")
+        .select(col("subscription"), col("ack_pos"),
+          coalesce(col("backlog"), lit(0L)).as("backlog"), col("oldest_ts_s"))
         .orderBy("subscription")
     }),
 
@@ -459,16 +491,20 @@ object Streams extends QueryPack {
     "obs_sub_backlog" ->
       """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
         |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9), ('sub_slow', 0.5),
-        |                               ('sub_paused', 0.0)) s(subscription, f)),
+        |                               ('sub_paused', 0.0),
+        |                               ('sub_caughtup', 1.0)) s(subscription, f)),
         |c AS (SELECT subscription,
         |        CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
         |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos
-        |      FROM subs, mx)
-        |SELECT c.subscription, c.ack_pos, COUNT(*) AS backlog,
-        |  strftime(date_trunc('second', min_by(e.ts, e.event_id)),
-        |           '%Y-%m-%d %H:%M:%S') AS oldest_ts_s
-        |FROM events e JOIN c ON e.event_id > c.ack_pos
-        |GROUP BY c.subscription, c.ack_pos
+        |      FROM subs, mx),
+        |a AS (SELECT c.subscription, c.ack_pos, COUNT(*) AS backlog,
+        |        strftime(date_trunc('second', min_by(e.ts, e.event_id)),
+        |                 '%Y-%m-%d %H:%M:%S') AS oldest_ts_s
+        |      FROM events e JOIN c ON e.event_id > c.ack_pos
+        |      GROUP BY c.subscription, c.ack_pos)
+        |SELECT c.subscription, c.ack_pos,
+        |  CAST(coalesce(a.backlog, 0) AS BIGINT) AS backlog, a.oldest_ts_s
+        |FROM c LEFT JOIN a USING (subscription, ack_pos)
         |ORDER BY c.subscription""".stripMargin,
 
     "source_seek_replay" ->

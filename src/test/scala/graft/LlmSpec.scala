@@ -236,10 +236,15 @@ class LlmSpec extends AnyFunSuite {
     // replication-invariant, so the refusal is exercised by tightening
     // the threshold below the fixture's own healthy measurement —
     // exactly what a growing corpus does to the fixed 4000 envelope.
+    // The guard counts DISTINCT delta_ids (ADVICE r10 — no hardcoded
+    // rows-per-doc factor), so the crafted frame carries the id column:
+    // 3 synthetic delta docs, each exploded over every index band.
     import org.apache.spark.sql.functions._
     val idxBkts = spark.table(graft.llm.Incremental.editIndex(spark, dir))
       .select("bkt")
-    val hot = idxBkts.crossJoin(spark.range(3)).select("bkt")
+    val hot = idxBkts
+      .crossJoin(spark.range(3).select(col("id").as("delta_id")))
+      .select("bkt", "delta_id")
     val ex = intercept[IllegalStateException] {
       graft.llm.Incremental.editBandGuard(spark, dir, hot, maxPerDoc = 1.0)
     }
@@ -253,7 +258,7 @@ class LlmSpec extends AnyFunSuite {
     // candidates and PASSES — no null-aggregate crash (review round 10)
     graft.llm.Incremental.editBandGuard(spark, dir, hot.limit(0))
     graft.llm.Incremental.editBandGuard(spark, dir,
-      hot.select((col("bkt") + 1000000L).as("bkt")))
+      hot.select((col("bkt") + 1000000L).as("bkt"), col("delta_id")))
     // the fixture corpus itself is comfortably inside the envelope:
     // building/reading the artifact must not throw
     assert(spark.table(graft.llm.Incremental.incrEditPairsTable(spark, dir))
