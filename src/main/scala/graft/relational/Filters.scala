@@ -87,6 +87,68 @@ object Filters extends QueryPack {
         .otherwise("RESCHEDULE").as("verdict"))
   }
 
+  /** PIP-37 chunked-message fixture convention (the inverse of
+    * packEntries: there a producer batches k messages into one entry,
+    * here ONE oversized message splits across k entries). The payload
+    * is a deterministic string of the message's own fields; it splits
+    * into total_chunks = event_id mod 3 + 1 chunks of [[chunkWidth]]
+    * chars (last chunk takes the remainder — any fixed-boundary split
+    * reassembles losslessly, so the sha oracle is exact), keyed by
+    * (producer_id = user_id mod 8, msg_seq = event_id). Chunk 2 of
+    * every 13th multi-chunk message is LOST in transit — the
+    * incomplete-message case the consumer's reassembly timeout
+    * (`expireTimeOfIncompleteChunkedMessage`) exists for. */
+  private[graft] val chunkWidth = 7
+
+  private[graft] def chunkPayload: Column =
+    concat_ws(":", col("event_type"), col("user_id").cast("string"),
+      col("props"))
+
+  private[graft] def chunkRows(ev: DataFrame): DataFrame =
+    ev.select(
+        pmod(col("user_id"), lit(8)).as("producer_id"),
+        col("event_id").as("msg_seq"),
+        (pmod(col("event_id"), lit(3)) + 1).as("total_chunks"),
+        chunkPayload.as("payload"), col("ts"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(1), col("total_chunks").cast("int"))))
+      .withColumn("chunk", col("payload").substr(
+        (col("chunk_id") - 1) * chunkWidth + 1,
+        when(col("chunk_id") < col("total_chunks"), lit(chunkWidth))
+          .otherwise(lit(1000000))))
+      .where(!(pmod(col("msg_seq"), lit(13)) === 0 &&
+        col("total_chunks") >= 2 && col("chunk_id") === 2))
+      .select("producer_id", "msg_seq", "total_chunks", "chunk_id", "chunk",
+        "ts")
+
+  /** Reassembly over a drained chunk corpus — the batch twin of
+    * StateV2.chunkStream: group by (producer, msg_seq), verify
+    * completeness against the declared chunk count, concatenate in
+    * chunk order, and sha256 the reassembled payload (the oracle
+    * computes the sha on the ORIGINAL payload, so any mis-split,
+    * mis-order, or mis-merge hash-mismatches). A message still missing
+    * chunks once the corpus is drained has timed out by definition —
+    * the stream's timer emits exactly that row. Shape: one shuffle on
+    * the (producer, seq) key; per-group state is total_chunks-bounded
+    * (≤3 here — the max-message/chunk-size ratio, never stream
+    * length), so the collect_list is safe at any corpus size. */
+  private[graft] def reassemble(chunks: DataFrame): DataFrame = {
+    val joined = array_join(transform(
+      sort_array(collect_list(struct(col("chunk_id"), col("chunk")))),
+      x => x.getField("chunk")), "")
+    chunks.groupBy("producer_id", "msg_seq")
+      .agg(max(col("total_chunks")).as("total_chunks"),
+        count(lit(1)).as("n_received"),
+        joined.as("payload"))
+      .select(col("producer_id"), col("msg_seq"), col("total_chunks"),
+        col("n_received"),
+        when(col("n_received") === col("total_chunks"), lit("COMPLETE"))
+          .otherwise(lit("TIMED_OUT")).as("disposition"),
+        when(col("n_received") === col("total_chunks"),
+          sha2(col("payload"), 256))
+          .otherwise(lit(null).cast("string")).as("payload_sha"))
+  }
+
   private val evSel =
     "SELECT event_id, strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s, " +
       "user_id, event_type, value"
@@ -208,6 +270,20 @@ object Filters extends QueryPack {
       entryVerdicts(packEntries(Tables.events(s, dir)))
         .orderBy("entry_id")),
 
+    // PIP-37 chunked-message reassembly (VERDICT r10 item 3) — the
+    // inverse of filter_batch_entry: one oversized payload arrives as
+    // k chunk entries and the consumer must reassemble by (producer,
+    // sequence), verify completeness against the declared chunk count,
+    // and expire incomplete messages. The sha256 of the reassembled
+    // payload is computed against the ORIGINAL payload by the oracle,
+    // so reassembly order and completeness are exactly checked. The
+    // chunk explode is the fixture's stand-in for producer-side
+    // splitting (at a broker chunks arrive pre-split); the operator is
+    // the one (producer, seq)-keyed shuffle + bounded-group merge.
+    "filter_chunked_reassembly" -> ((s, dir) =>
+      reassemble(chunkRows(Tables.events(s, dir)))
+        .orderBy("msg_seq")),
+
     // Pulsar Key_Shared dispatch (the third subscription subtype next
     // to the filter_subscriptions fan-out): key-hash slots split into
     // contiguous consumer ranges — all of a key's messages reach ONE
@@ -310,6 +386,25 @@ object Filters extends QueryPack {
         |       WHEN n_match = 0 THEN 'REJECT'
         |       ELSE 'RESCHEDULE' END AS verdict
         |FROM g ORDER BY entry_id""".stripMargin,
+
+    // the oracle shortcut IS the check: a lossless split must
+    // reassemble to the original payload, so the oracle computes the
+    // sha directly on the payload and the dispositions closed-form —
+    // Spark's exploded/shuffled/merged result must land on the same
+    // hashes and the same TIMED_OUT set
+    "filter_chunked_reassembly" ->
+      """SELECT CAST(user_id % 8 AS BIGINT) AS producer_id,
+        |  event_id AS msg_seq,
+        |  CAST(event_id % 3 + 1 AS BIGINT) AS total_chunks,
+        |  CAST(CASE WHEN event_id % 13 = 0 AND event_id % 3 + 1 >= 2
+        |            THEN event_id % 3 ELSE event_id % 3 + 1 END AS BIGINT)
+        |    AS n_received,
+        |  CASE WHEN event_id % 13 = 0 AND event_id % 3 + 1 >= 2
+        |       THEN 'TIMED_OUT' ELSE 'COMPLETE' END AS disposition,
+        |  CASE WHEN event_id % 13 = 0 AND event_id % 3 + 1 >= 2 THEN NULL
+        |       ELSE sha256(event_type || ':' || CAST(user_id AS VARCHAR)
+        |                   || ':' || props) END AS payload_sha
+        |FROM events ORDER BY msg_seq""".stripMargin,
 
     "filter_keyshared" ->
       s"""WITH r AS (

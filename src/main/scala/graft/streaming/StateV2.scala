@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig,
+  ValueState}
 
 /** Spark 4 transformWithState (state v2) processors — named state
   * variables on the RocksDB store, explicit TTL, timer hooks. Three
@@ -108,6 +109,98 @@ class SessionProcessor(gapSec: Long)
   }
 }
 
+/** Producer effectively-once dedup shapes (PIP-6): one message per row,
+  * keyed by producer; the state is the producer's high watermark — ONE
+  * long, exactly what a broker's dedup map holds per producer. */
+case class ProducerMsg(producer_id: Long, seq_id: Long, event_id: Long)
+
+class ProducerDedupProcessor
+    extends StatefulProcessor[Long, ProducerMsg, ProducerMsg] {
+  @transient private var hw: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    hw = getHandle.getValueState[Long]("hw", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[ProducerMsg],
+      tv: TimerValues): Iterator[ProducerMsg] = {
+    // per-key per-batch buffer, sorted to publish order (event_id) so
+    // within-batch arrivals fold exactly like the batch closed form
+    val msgs = rows.toArray.sortBy(_.event_id)
+    var cur = if (hw.exists()) hw.get() else Long.MinValue
+    val out = msgs.filter { m =>
+      if (m.seq_id > cur) { cur = m.seq_id; true } else false
+    }
+    hw.update(cur)
+    out.iterator
+  }
+}
+
+/** PIP-37 chunked-message reassembly shapes: chunks keyed by
+  * (producer, message sequence); state = the chunk pieces received so
+  * far (bounded by total_chunks, itself bounded by the producer's
+  * max-message/chunk-size ratio — NOT by stream length) plus one
+  * event-time timer per open message at last-chunk-arrival + timeout.
+  * `ts_s` is the chunk's arrival second (the timer clock). */
+case class ChunkIn(producer_id: Long, msg_seq: Long, total_chunks: Long,
+  chunk_id: Int, chunk: String, ts_s: Long)
+case class ChunkPiece(chunk_id: Int, chunk: String, total_chunks: Long)
+case class ChunkOut(producer_id: Long, msg_seq: Long, total_chunks: Long,
+  n_received: Long, disposition: String, payload_sha: String)
+
+class ChunkReassemblyProcessor(timeoutSec: Long)
+    extends StatefulProcessor[(Long, Long), ChunkIn, ChunkOut] {
+  @transient private var st: ListState[ChunkPiece] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getListState[ChunkPiece]("chunks",
+      Encoders.product[ChunkPiece], TTLConfig.NONE)
+
+  /** Hex sha256 of the reassembled payload — MUST match Spark's
+    * sha2(payload, 256) and DuckDB's sha256(payload) (both lowercase
+    * hex), so the stream, the batch twin, and the oracle agree. */
+  private def sha(payload: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(payload.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  override def handleInputRows(key: (Long, Long), rows: Iterator[ChunkIn],
+      tv: TimerValues): Iterator[ChunkOut] = {
+    val incoming = rows.toArray
+    val had = st.exists()
+    val pieces = ((if (had) st.get().toArray else Array.empty[ChunkPiece]) ++
+      incoming.map(c => ChunkPiece(c.chunk_id, c.chunk, c.total_chunks)))
+      .distinctBy(_.chunk_id) // a redelivered chunk is idempotent
+    val total = pieces.head.total_chunks
+    if (pieces.length == total) {
+      // complete: emit exactly once, drop state and the pending timer
+      st.clear()
+      if (had) getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      val payload = pieces.sortBy(_.chunk_id).map(_.chunk).mkString
+      Iterator.single(ChunkOut(key._1, key._2, total, total,
+        "COMPLETE", sha(payload)))
+    } else {
+      // still missing chunks: re-arm the single per-key timer at the
+      // newest arrival + timeout (the broker's incomplete-chunked-
+      // message expiry clock restarts on every chunk)
+      st.put(pieces)
+      if (had) getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer((incoming.map(_.ts_s).max + timeoutSec) * 1000L)
+      Iterator.empty
+    }
+  }
+
+  override def handleExpiredTimer(key: (Long, Long), tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[ChunkOut] = {
+    // watermark passed last chunk + timeout with the message still
+    // incomplete: evict, reporting what arrived — exactly once
+    if (!st.exists()) return Iterator.empty
+    val pieces = st.get().toArray
+    st.clear()
+    Iterator.single(ChunkOut(key._1, key._2, pieces.head.total_chunks,
+      pieces.length.toLong, "TIMED_OUT", null))
+  }
+}
+
 object StateV2 {
   /** The streaming side (requires the RocksDB state-store provider —
     * a transformWithState contract, not a choice). The batch twin is
@@ -138,6 +231,49 @@ object StateV2 {
       .groupByKey(_.user_id)
       .transformWithState(new ProfileProcessor(TTLConfig(ttl)),
         TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
+  /** Producer effectively-once dedup stream (PIP-6): per-producer
+    * high-watermark ValueState; a message at or below it is dropped as
+    * a duplicate, an accepted one advances it and emits — Append mode,
+    * each accepted message exactly once. Input frame must carry
+    * (producer_id, seq_id, event_id). Batch twin:
+    * Pipeline.producerDedupBatch (the stream_producer_dedup oracle). */
+  def producerDedupStream(msgs: DataFrame): Dataset[ProducerMsg] = {
+    val s = msgs.sparkSession
+    import s.implicits._
+    msgs.select(col("producer_id").cast("long").as("producer_id"),
+        col("seq_id").cast("long").as("seq_id"),
+        col("event_id").cast("long").as("event_id"))
+      .as[ProducerMsg]
+      .groupByKey(_.producer_id)
+      .transformWithState(new ProducerDedupProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Chunked-message reassembly stream (PIP-37): chunks keyed by
+    * (producer, msg_seq); COMPLETE messages emit (with the payload
+    * sha) the moment their last chunk lands, incomplete ones emit
+    * TIMED_OUT exactly once when the watermark passes last-chunk +
+    * timeout. Input must carry the ChunkIn columns plus a raw `ts`
+    * timestamp for the watermark. Batch twin: Filters.reassemble over
+    * the drained corpus (filter_chunked_reassembly). */
+  def chunkStream(chunks: DataFrame, timeoutSec: Long,
+      delaySec: Long): Dataset[ChunkOut] = {
+    val s = chunks.sparkSession
+    import s.implicits._
+    chunks
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", s"$delaySec seconds")
+      .select(col("producer_id").cast("long").as("producer_id"),
+        col("msg_seq").cast("long").as("msg_seq"),
+        col("total_chunks").cast("long").as("total_chunks"),
+        col("chunk_id").cast("int").as("chunk_id"), col("chunk"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_s"), col("ts"))
+      .as[ChunkIn]
+      .groupByKey(c => (c.producer_id, c.msg_seq))
+      .transformWithState(new ChunkReassemblyProcessor(timeoutSec),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Session-timeout stream: event-time watermark drives per-key

@@ -330,6 +330,54 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected corpus-keyed exchange before the tiny aggregate:\n$plan")
   }
 
+  test("source_topic_pattern: the regex subscription is partition pruning on the topic layout") {
+    val plan = physical("source_topic_pattern")
+    // the pattern must land in PartitionFilters (non-matching topics'
+    // files are never opened) and the scan must read ONLY ts — the
+    // provenance column is the partition value, not a data column
+    assert(plan.contains("PartitionFilters: [isnotnull(topic") &&
+      plan.contains("RLIKE(topic"),
+      s"topic pattern did not reach PartitionFilters:\n$plan")
+    assert(plan.contains("ReadSchema: struct<ts:timestamp>"),
+      s"scan reads more than the ts column:\n$plan")
+  }
+
+  test("stream_producer_dedup: one producer-keyed shuffle feeds both windows") {
+    // fixture rank + dedup watermark share the (producer, publish
+    // order) partitioning — a second hash exchange would mean the
+    // windows stopped sharing it
+    val plan = physical("stream_producer_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one producer-keyed exchange:\n$plan")
+    assert("Window ".r.findAllIn(plan).size == 2,
+      s"expected the rank + high-watermark window pair:\n$plan")
+  }
+
+  test("filter_chunked_reassembly: map-side split, one (producer,seq) shuffle, partial object agg") {
+    val plan = physical("filter_chunked_reassembly")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one reassembly-key exchange:\n$plan")
+    // the bounded collect_list must combine map-side (partial_) before
+    // the shuffle — per-group state is total_chunks-bounded
+    assert(plan.contains("partial_collect_list"),
+      s"chunk merge is not map-side partial:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"chunk split is not a map-side generate:\n$plan")
+  }
+
+  test("stream_msg_expiry: broadcast inequality passes only, no corpus-keyed exchange") {
+    val plan = physical("stream_msg_expiry")
+    assert(!plan.contains("CartesianProduct"),
+      s"expiry join degenerated to a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the moved-cursor table must broadcast through the inequality joins:\n$plan")
+    // the only hash exchanges are the two ≤4-group aggregates (expiry
+    // count + post-expiry backlog); the moved-cursor subtree is
+    // localCheckpoint-pinned so its corpus aggregates run once
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"unexpected corpus-keyed exchange:\n$plan")
+  }
+
   test("ts_ohlc / agg_histogram: one two-phase aggregation, no extra exchange") {
     for (k <- Seq("ts_ohlc", "agg_histogram")) {
       val plan = physical(k)

@@ -1813,4 +1813,208 @@ class StreamSpec extends AnyFunSuite {
         "fixture must exercise both quarantine classes")
     } finally batchC.unpersist()
   }
+
+  test("producer effectively-once dedup: stream == batch across micro-batches; restart-safe") {
+    import graft.streaming.StateV2
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(conf)
+    spark.conf.set(conf, GraftSession.rocksDBProvider)
+    try {
+      // the REAL fixture messages (producer = user_id mod 8, seq with
+      // every-5th retransmission), split in PUBLISH ORDER into three
+      // files → maxFilesPerTrigger=1 forces the per-producer high
+      // watermark to genuinely carry across micro-batch boundaries
+      // (publish order across batches matters — dedup is order-
+      // dependent, unlike the profile test's count+max)
+      val msgs = Pipeline.producerSeqFixture(Tables.events(spark, dir))
+        .cache()
+      val streamDir = Files.createTempDirectory("graft_stream_pdedup")
+      def land(name: String, mtime: Long, part: DataFrame): Unit = {
+        val tmp = Files.createTempDirectory(s"graft_pdedup_$name").toString
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = streamDir.resolve(s"$name.parquet")
+        Files.move(f.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+        ()
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      land("f1", t0, msgs.where(col("event_id") < 300))
+      land("f2", t0 + 10000,
+        msgs.where(col("event_id") >= 300 && col("event_id") < 700))
+      land("f3", t0 + 20000, msgs.where(col("event_id") >= 700))
+      val ckpt = Files.createTempDirectory("graft_ckpt_pdedup").toString
+      val outDir = Files.createTempDirectory("graft_pdedup_out").toString
+      def run(): Unit = {
+        val q = StateV2.producerDedupStream(
+            spark.readStream
+              .schema("event_id LONG, producer_id LONG, seq_id LONG")
+              .option("maxFilesPerTrigger", "1").parquet(streamDir.toString))
+          .writeStream.outputMode("append")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.ProducerMsg],
+             id: Long) =>
+              b.write.mode("overwrite").parquet(s"$outDir/batch=$id"); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      run()
+      val twin = Pipeline.producerDedupBatch(msgs)
+      def got() = spark.read.parquet(s"$outDir/batch=*")
+        .select("producer_id", "seq_id", "event_id")
+      assertSameRows(got(), twin)
+      // duplicates were genuinely dropped (the every-5th retransmission)
+      assert(got().count() < msgs.count(),
+        "fixture must exercise duplicate drops")
+      // truncated-commit restart: the replayed epoch re-reads the
+      // rewound watermark and overwrites its own batch dir — idempotent
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+      commits.last.delete()
+      if (crc.exists()) crc.delete()
+      run()
+      assertSameRows(got(), twin)
+      msgs.unpersist()
+      ()
+    } finally before match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
+  test("chunked-message reassembly: complete on last chunk, missing chunk times out exactly once; stream == batch") {
+    import graft.streaming.StateV2
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(conf)
+    spark.conf.set(conf, GraftSession.rocksDBProvider)
+    try {
+      // crafted chunk corpus, one file per micro-batch; timeout 600 s,
+      // watermark delay 0:
+      //   msg A (p1, seq 10, 2 chunks): chunk 1 in f1, chunk 2 in f2 —
+      //     COMPLETE emits in batch 2, the moment reassembly closes
+      //   msg B (p1, seq 20, 2 chunks): chunk 1 in f1 ONLY — its timer
+      //     (10:00 + 600 s = 10:10) fires once the watermark passes it
+      //   f3 (p2, seq 30, 1 chunk @11:00) advances the watermark;
+      //   f4 (p2, seq 40, 1 chunk @11:05) then RUNS with watermark
+      //     11:00 > 10:10 → B is evicted as TIMED_OUT in batch 4
+      def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+      def mkChunks(rows: Seq[(Long, Long, Long, Int, String, Timestamp)]) =
+        spark.createDataFrame(rows)
+          .toDF("producer_id", "msg_seq", "total_chunks", "chunk_id",
+            "chunk", "ts")
+      val streamDir = Files.createTempDirectory("graft_stream_chunks")
+      def land(name: String, mtime: Long,
+          rows: Seq[(Long, Long, Long, Int, String, Timestamp)]): Unit = {
+        val tmp = Files.createTempDirectory(s"graft_chunks_$name").toString
+        mkChunks(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = streamDir.resolve(s"$name.parquet")
+        Files.move(f.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+        ()
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      land("f1", t0, Seq(
+        (1L, 10L, 2L, 1, "hello-", t("10:00")),
+        (1L, 20L, 2L, 1, "orphan", t("10:00"))))
+      land("f2", t0 + 10000, Seq((1L, 10L, 2L, 2, "world", t("10:05"))))
+      land("f3", t0 + 20000, Seq((2L, 30L, 1L, 1, "solo", t("11:00"))))
+      land("f4", t0 + 30000, Seq((2L, 40L, 1L, 1, "last", t("11:05"))))
+      val ckpt = Files.createTempDirectory("graft_ckpt_chunks").toString
+      val src = spark.readStream
+        .schema("producer_id LONG, msg_seq LONG, total_chunks LONG, " +
+          "chunk_id INT, chunk STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      val q = StateV2.chunkStream(src, timeoutSec = 600L, delaySec = 0L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("chunk_reasm")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("chunk_reasm")
+      // the missing-chunk message timed out EXACTLY once, reporting
+      // what arrived; only the timer can have emitted it (no chunk of
+      // B arrives after f1)
+      val b = got.where(col("msg_seq") === 20).collect()
+      assert(b.length === 1, s"expected one timeout row, got ${b.length}")
+      assert(b.head.getAs[String]("disposition") === "TIMED_OUT")
+      assert(b.head.getAs[Long]("n_received") === 1L)
+      assert(b.head.getAs[String]("payload_sha") == null)
+      // stream == the batch twin over the same drained corpus — this
+      // also cross-checks the processor's MessageDigest sha against
+      // the batch twin's sha2() on the reassembled "hello-world"
+      val all = mkChunks(Seq(
+        (1L, 10L, 2L, 1, "hello-", t("10:00")),
+        (1L, 20L, 2L, 1, "orphan", t("10:00")),
+        (1L, 10L, 2L, 2, "world", t("10:05")),
+        (2L, 30L, 1L, 1, "solo", t("11:00")),
+        (2L, 40L, 1L, 1, "last", t("11:05"))))
+      assertSameRows(got.select("producer_id", "msg_seq", "total_chunks",
+          "n_received", "disposition", "payload_sha"),
+        graft.relational.Filters.reassemble(all))
+    } finally before match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
+  test("topic-pattern subscription: between-batch topic discovery, discovered exactly once, never reprocessed") {
+    // Pulsar's regex consumerPattern discovers topics BETWEEN batches:
+    // a topic dir that appears after run 1 must be consumed by run 2
+    // exactly once, already-consumed topics must not replay, and
+    // non-matching topics must never be read. The file source's
+    // partition-dir discovery over one checkpoint is exactly that
+    // contract.
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def mkEvents(rows: Seq[(Long, Timestamp)]) =
+      spark.createDataFrame(rows).toDF("event_id", "ts")
+    val root = Files.createTempDirectory("graft_topics_disc")
+    def landTopic(topic: String, rows: Seq[(Long, Timestamp)]): Unit = {
+      mkEvents(rows).coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/topic=$topic")
+      ()
+    }
+    landTopic("topic_click", Seq((1L, t("10:00")), (2L, t("10:30"))))
+    landTopic("topic_error", Seq((90L, t("10:00")))) // never matches
+    val ckpt = Files.createTempDirectory("graft_ckpt_topics").toString
+    val outDir = Files.createTempDirectory("graft_topics_out").toString
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, topic STRING")
+        .parquet(root.toString)
+        .where(col("topic").rlike(graft.streaming.Streams.topicPattern))
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite")
+            .parquet(s"$outDir/run=${new java.io.File(outDir).list().length}_$id")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val after1 = spark.read.parquet(s"$outDir/*")
+    assert(after1.count() === 2, "run 1 must read exactly the click topic")
+    assert(after1.select("topic").distinct().collect()
+      .map(_.getString(0)).toSet === Set("topic_click"),
+      "non-matching topics must never be read")
+    // a new MATCHING topic (and a new non-matching one) appear between
+    // the AvailableNow restarts — the pattern consumer's discovery tick
+    landTopic("topic_view", Seq((3L, t("11:00"))))
+    landTopic("topic_signup", Seq((91L, t("11:00"))))
+    run()
+    val after2 = spark.read.parquet(s"$outDir/*")
+    assert(after2.count() === 3, "run 2 must add ONLY the new topic's rows")
+    assert(after2.where(col("topic") === "topic_click").count() === 2,
+      "already-consumed topic must not replay")
+    assert(after2.where(col("topic") === "topic_view")
+      .collect().map(_.getAs[Long]("event_id")).toSeq === Seq(3L),
+      "the discovered topic's rows arrive exactly once, with provenance")
+  }
 }
