@@ -62,6 +62,15 @@ object Streams extends QueryPack {
     * auto-acked and the cursor jumps past them. */
   private[streaming] val msgTtl = "INTERVAL 7 DAYS"
 
+  /** Topic retention (`defaultRetentionTimeInMinutes` = 14 days of
+    * event time): acked messages stay replayable this long; only a
+    * ledger prefix both acked-by-all AND past retention is trimmed. */
+  private[streaming] val retention = "INTERVAL 14 DAYS"
+
+  /** Geo-replication lag (minutes): a replica becomes visible in the
+    * remote region this long after its origin publish. */
+  private[streaming] val replLagMin = 2
+
   /** The fixture subscription-cursor table (shared by obs_sub_backlog
     * and stream_msg_expiry — the detect→remedy discipline: the expiry
     * key must move exactly the cursors the backlog report reads).
@@ -81,6 +90,27 @@ object Streams extends QueryPack {
         when(col("f") === 0.0, lit(-1L))
           .otherwise(floor(col("m") * col("f")).cast("long"))
           .as("ack_pos"))
+  }
+
+  /** The TTL-moved cursor table (shared by stream_msg_expiry and
+    * obs_retention_trim): each cursor jumps to max(ack_pos, the newest
+    * position published at-or-before now − TTL) — the broker's
+    * findNewestMatching, positional like seek-by-time. ≤4 rows,
+    * localCheckpoint-pinned: several consumers read it, and without the
+    * pin each re-derives the max/cutoff/expiry corpus aggregates
+    * (observed 3× in the unpinned stream_msg_expiry plan). */
+  private[graft] def movedCursors(ev: DataFrame): DataFrame = {
+    val cutoff = ev.agg((date_trunc("second", max(col("ts")))
+      - expr(msgTtl)).as("cutoff"))
+    val xp = ev.select(col("event_id"),
+        date_trunc("second", col("ts")).as("tss"))
+      .crossJoin(broadcast(cutoff))
+      .where(col("tss") <= col("cutoff"))
+      .agg(coalesce(max(col("event_id")), lit(-1L)).as("expiry_pos"))
+    subCursors(ev).crossJoin(broadcast(xp))
+      .select(col("subscription"), col("ack_pos"),
+        greatest(col("ack_pos"), col("expiry_pos")).as("new_ack_pos"))
+      .localCheckpoint()
   }
 
   /** Per-subscription backlog aggregate over a cursor table: one corpus
@@ -298,21 +328,7 @@ object Streams extends QueryPack {
     // two broadcast inequality passes over the corpus, ≤4-row joins.
     "stream_msg_expiry" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val cutoff = ev.agg((date_trunc("second", max(col("ts")))
-        - expr(Streams.msgTtl)).as("cutoff"))
-      val xp = ev.select(col("event_id"),
-          date_trunc("second", col("ts")).as("tss"))
-        .crossJoin(broadcast(cutoff))
-        .where(col("tss") <= col("cutoff"))
-        .agg(coalesce(max(col("event_id")), lit(-1L)).as("expiry_pos"))
-      // ≤4 rows, localCheckpoint-pinned: three consumers read it (the
-      // expiry count, the post-expiry backlog report, the final join) —
-      // without the pin each re-derives the max/cutoff/expiry corpus
-      // aggregates (observed 3× in the unpinned plan)
-      val moved = Streams.subCursors(ev).crossJoin(broadcast(xp))
-        .select(col("subscription"), col("ack_pos"),
-          greatest(col("ack_pos"), col("expiry_pos")).as("new_ack_pos"))
-        .localCheckpoint()
+      val moved = Streams.movedCursors(ev)
       val nexp = ev.join(broadcast(moved),
           col("event_id") > col("ack_pos") &&
             col("event_id") <= col("new_ack_pos"))
@@ -349,6 +365,157 @@ object Streams extends QueryPack {
         .select(col("topic"), unix_timestamp(col("w.start")).as("ws"),
           col("n"))
         .orderBy("topic", "ws")),
+
+    // Individual-acknowledgment cursor state (round 11 wave 2 — the
+    // managed-ledger individuallyDeletedMessages surface): consumers
+    // ack out of order, so above the cumulative base each subscription
+    // holds SCATTERED acks (fixture: position mod 7 == the sub's index)
+    // — markDeletePosition can only advance to just before the FIRST
+    // unacked position, and everything acked above it is an "ack hole"
+    // the ledger must track (the individually-deleted-ranges bloat a
+    // stuck subscription causes — sub_paused shows ~n/7 holes over a
+    // pinned cursor). Shape: two broadcast inequality passes (find the
+    // first unacked, then census the holes), ≤4-row joins — flat.
+    "obs_ack_holes" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mx = ev.agg(max(col("event_id")).as("m"))
+      val cur = Streams.subCursors(ev).crossJoin(broadcast(mx))
+        .withColumn("k",
+          when(col("subscription") === "sub_fast", 0L)
+            .when(col("subscription") === "sub_slow", 1L)
+            .when(col("subscription") === "sub_paused", 2L)
+            .otherwise(3L))
+        .localCheckpoint()
+      val acked = pmod(col("event_id"), lit(7)) === col("k")
+      // first unacked position above the cumulative base → markDelete;
+      // a fully-acked ledger (caught-up) keeps markDelete at the tail
+      val md = ev.join(broadcast(cur), col("event_id") > col("ack_pos"))
+        .groupBy("subscription")
+        .agg((min(when(!acked, col("event_id"))) - 1).as("md0"))
+      // ≤4 rows, pinned: the hole census and the final report both
+      // read it — unpinned, each re-runs the first-unacked corpus pass
+      val withMd = cur.join(broadcast(md), Seq("subscription"), "left")
+        .select(col("subscription"), col("ack_pos"), col("k"),
+          coalesce(col("md0"), greatest(col("ack_pos"), col("m")))
+            .as("mark_delete"))
+        .localCheckpoint()
+      val census = ev.join(broadcast(withMd),
+          col("event_id") > col("mark_delete"))
+        .groupBy("subscription")
+        .agg(sum(when(acked, 1L).otherwise(0L)).as("n_holes"),
+          sum(when(!acked, 1L).otherwise(0L)).as("n_unacked"))
+      withMd.select(col("subscription"), col("ack_pos"), col("mark_delete"))
+        .join(broadcast(census), Seq("subscription"), "left")
+        .select(col("subscription"), col("ack_pos"), col("mark_delete"),
+          coalesce(col("n_holes"), lit(0L)).as("n_holes"),
+          coalesce(col("n_unacked"), lit(0L)).as("n_unacked"))
+        .orderBy("subscription")
+    }),
+
+    // Retention / ledger trim (round 11 wave 2): the broker deletes a
+    // ledger prefix only when EVERY subscription's markDelete has
+    // passed it AND the messages are older than the retention window
+    // (14 d) — so one stuck subscription pins the whole ledger
+    // (before_ttl: sub_paused at −1 → trim −1, nothing reclaimable, the
+    // classic storage gotcha), and the message-TTL expiry move
+    // (stream_msg_expiry's SAME movedCursors) is what unblocks it
+    // (after_ttl: trim = the expiry position, the ≤ max−14 d prefix
+    // reclaims). Reclaimable bytes use the engine's one payload
+    // convention (Filters.chunkPayload). Output: one row per scenario.
+    "obs_retention_trim" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val retCutoff = ev.agg((date_trunc("second", max(col("ts")))
+        - expr(Streams.retention)).as("rcut"))
+      val trims = Streams.subCursors(ev)
+        .agg(min(col("ack_pos")).as("trim_pos"))
+        .select(lit("before_ttl").as("scenario"), col("trim_pos"))
+        .unionByName(Streams.movedCursors(ev)
+          .agg(min(col("new_ack_pos")).as("trim_pos"))
+          .select(lit("after_ttl").as("scenario"), col("trim_pos")))
+      val stats = ev
+        .select(col("event_id"), date_trunc("second", col("ts")).as("tss"),
+          octet_length(graft.relational.Filters.chunkPayload).as("bytes"))
+        .crossJoin(broadcast(retCutoff))
+        .where(col("tss") <= col("rcut"))
+        .join(broadcast(trims), col("event_id") <= col("trim_pos"))
+        .groupBy("scenario")
+        .agg(count(lit(1)).as("n_deletable"),
+          sum(col("bytes")).cast("long").as("reclaim_bytes"))
+      trims.join(broadcast(stats), Seq("scenario"), "left")
+        .select(col("scenario"), col("trim_pos"),
+          coalesce(col("n_deletable"), lit(0L)).as("n_deletable"),
+          coalesce(col("reclaim_bytes"), lit(0L)).as("reclaim_bytes"))
+        .orderBy("scenario")
+    }),
+
+    // Schema evolution / AUTO_CONSUME (round 11 wave 2): a topic whose
+    // payload schema evolved — v1 messages carry {et, v}, v2 adds a
+    // `tier` field (fixture: version = event_id parity, tier from the
+    // properties bag). The reader decodes EVERY payload with the
+    // LATEST schema (from_json is permissive: missing fields resolve
+    // NULL — Avro/JSON backward compat), normalizing v1 rows with a
+    // default. The oracle computes the census closed-form, so the
+    // Spark side's build→decode round trip through the evolved schema
+    // is exactly checked. Map-side only — no join, one census shuffle.
+    "source_schema_evolution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val payload = when(pmod(col("event_id"), lit(2)) === 0,
+        to_json(struct(col("event_type").as("et"),
+          round(col("value"), 2).as("v"))))
+        .otherwise(to_json(struct(col("event_type").as("et"),
+          round(col("value"), 2).as("v"),
+          when(k >= 50, "gold").otherwise("basic").as("tier"))))
+      val parsed = ev.select(
+          when(pmod(col("event_id"), lit(2)) === 0, "v1").otherwise("v2")
+            .as("schema_version"),
+          from_json(payload, org.apache.spark.sql.types.StructType.fromDDL(
+            "et STRING, v DOUBLE, tier STRING")).as("p"))
+      parsed.select(col("schema_version"),
+          coalesce(col("p.tier"), lit("pre_tier")).as("tier"),
+          col("p.et").as("et"), col("p.v").as("v"))
+        .groupBy("schema_version", "tier", "et")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(28,2)")).cast("double").as("sum_v"))
+        .orderBy("schema_version", "tier", "et")
+    }),
+
+    // Geo-replication + replicated-subscription dedup (round 11 wave
+    // 2): two clusters each host the topic; replication copies every
+    // message to the other region with a 2-minute replication lag, so
+    // an aggregated (multi-cluster) consumer sees each message TWICE —
+    // once from its origin, once as a replica — and must dedup by
+    // message id keeping the earliest-visible copy (the origin, lag >
+    // 0). Output: per-origin-region hourly counts of the deduped view
+    // — which the oracle derives directly from the original corpus,
+    // so the union→dedup mesh must collapse exactly. Shape: map-side
+    // region tagging, one union, one event_id-keyed dedup window, one
+    // census aggregate.
+    "source_geo_replicated" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .withColumn("origin_region",
+          when(pmod(col("user_id"), lit(2)) === 0, "us-east")
+            .otherwise("eu-west"))
+      def clusterView(home: String) = ev.select(col("event_id"),
+        col("origin_region"),
+        when(col("origin_region") === home, col("ts"))
+          .otherwise(col("ts") + expr(s"INTERVAL ${Streams.replLagMin} MINUTES"))
+          .as("visible_ts"),
+        when(col("origin_region") === home, "origin").otherwise("replica")
+          .as("served_from"))
+      val merged = clusterView("us-east").unionByName(clusterView("eu-west"))
+      val w = Window.partitionBy("event_id").orderBy("visible_ts")
+      merged.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .withColumn("ts_sec", date_trunc("second", col("visible_ts")))
+        .groupBy(col("origin_region"),
+          window(col("ts_sec"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("origin_region"),
+          unix_timestamp(col("w.start")).as("ws"), col("n"))
+        .orderBy("origin_region", "ws")
+    }),
 
     // PIP-105 redelivery: final disposition + attempt count per message
     // after the RESCHEDULE/redeliver loop (delivery-count-aware routing,
@@ -618,6 +785,94 @@ object Streams extends QueryPack {
         |  CAST(coalesce(a.backlog, 0) AS BIGINT) AS backlog, a.oldest_ts_s
         |FROM c LEFT JOIN a USING (subscription, ack_pos)
         |ORDER BY c.subscription""".stripMargin,
+
+    // markDelete = first unacked − 1; holes = acked positions above it
+    "obs_ack_holes" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+        |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9, 0), ('sub_slow', 0.5, 1),
+        |                               ('sub_paused', 0.0, 2),
+        |                               ('sub_caughtup', 1.0, 3)) s(subscription, f, k)),
+        |c AS (SELECT subscription,
+        |        CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
+        |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos, k, m
+        |      FROM subs, mx),
+        |md AS (SELECT c.subscription,
+        |         MIN(CASE WHEN e.event_id % 7 <> c.k THEN e.event_id END) - 1
+        |           AS md0
+        |       FROM events e JOIN c ON e.event_id > c.ack_pos GROUP BY 1),
+        |w AS (SELECT c.subscription, c.ack_pos, c.k,
+        |        coalesce(md.md0, greatest(c.ack_pos, c.m)) AS mark_delete
+        |      FROM c LEFT JOIN md USING (subscription)),
+        |h AS (SELECT w.subscription,
+        |        CAST(SUM(CASE WHEN e.event_id % 7 = w.k THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_holes,
+        |        CAST(SUM(CASE WHEN e.event_id % 7 <> w.k THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_unacked
+        |      FROM events e JOIN w ON e.event_id > w.mark_delete GROUP BY 1)
+        |SELECT w.subscription, w.ack_pos, w.mark_delete,
+        |  coalesce(h.n_holes, 0) AS n_holes,
+        |  coalesce(h.n_unacked, 0) AS n_unacked
+        |FROM w LEFT JOIN h USING (subscription)
+        |ORDER BY w.subscription""".stripMargin,
+
+    // trim = min markDelete over subs; deletable = that prefix past the
+    // 14-day retention; after_ttl uses the expiry-moved cursors
+    "obs_retention_trim" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m,
+        |              date_trunc('second', MAX(ts)) - INTERVAL 14 DAY AS rcut,
+        |              date_trunc('second', MAX(ts)) - INTERVAL 7 DAY AS cutoff
+        |            FROM events),
+        |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9), ('sub_slow', 0.5),
+        |                               ('sub_paused', 0.0),
+        |                               ('sub_caughtup', 1.0)) s(subscription, f)),
+        |c AS (SELECT subscription,
+        |        CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
+        |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos
+        |      FROM subs, mx),
+        |xp AS (SELECT coalesce(MAX(e.event_id), -1) AS expiry_pos
+        |       FROM events e, mx WHERE date_trunc('second', e.ts) <= mx.cutoff),
+        |t AS (SELECT 'before_ttl' AS scenario, MIN(ack_pos) AS trim_pos FROM c
+        |      UNION ALL
+        |      SELECT 'after_ttl', MIN(greatest(ack_pos, expiry_pos))
+        |      FROM c, xp),
+        |st AS (SELECT t.scenario, COUNT(*) AS n_deletable,
+        |         -- strlen = BYTE length (DuckDB's octet_length only
+        |         -- takes BLOB); payloads are ASCII so it equals
+        |         -- Spark's octet_length
+        |         CAST(SUM(strlen(e.event_type || ':'
+        |           || CAST(e.user_id AS VARCHAR) || ':' || e.props))
+        |           AS BIGINT) AS reclaim_bytes
+        |       FROM events e CROSS JOIN mx
+        |         JOIN t ON e.event_id <= t.trim_pos
+        |       WHERE date_trunc('second', e.ts) <= mx.rcut
+        |       GROUP BY 1)
+        |SELECT t.scenario, t.trim_pos,
+        |  coalesce(st.n_deletable, 0) AS n_deletable,
+        |  coalesce(st.reclaim_bytes, 0) AS reclaim_bytes
+        |FROM t LEFT JOIN st USING (scenario)
+        |ORDER BY t.scenario""".stripMargin,
+
+    // the census closed-form — the Spark side must round-trip the
+    // payload through the evolved schema and land on the same numbers
+    "source_schema_evolution" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'v1' ELSE 'v2' END
+        |    AS schema_version,
+        |  CASE WHEN event_id % 2 = 0 THEN 'pre_tier'
+        |       WHEN CAST(props->>'$.k' AS BIGINT) >= 50 THEN 'gold'
+        |       ELSE 'basic' END AS tier,
+        |  event_type AS et, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(28,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY schema_version, tier, et""".stripMargin,
+
+    // the deduped aggregated view must equal the original corpus —
+    // origin copies win (replicas arrive replLag later)
+    "source_geo_replicated" ->
+      s"""SELECT CASE WHEN user_id % 2 = 0 THEN 'us-east' ELSE 'eu-west' END
+         |    AS origin_region,
+         |  ($epochSec // 3600) * 3600 AS ws, COUNT(*) AS n
+         |FROM events GROUP BY 1, 2
+         |ORDER BY origin_region, ws""".stripMargin,
 
     // the same two windows, closed-form: accept iff seq exceeds the
     // running max over all PRIOR arrivals in publish order

@@ -378,6 +378,35 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected corpus-keyed exchange:\n$plan")
   }
 
+  test("obs_ack_holes / obs_retention_trim: broadcast inequality passes, tiny aggregates only") {
+    for (k <- Seq("obs_ack_holes", "obs_retention_trim")) {
+      val plan = physical(k)
+      assert(!plan.contains("CartesianProduct"),
+        s"$k degenerated to a cartesian product:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$k: the cursor/trim table must broadcast through the inequality join:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+        s"$k: unexpected corpus-keyed exchange:\n$plan")
+    }
+  }
+
+  test("source_schema_evolution: map-side decode, one census exchange, no join") {
+    val plan = physical("source_schema_evolution")
+    assert(!plan.contains("Join"), s"decode must not join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly the census exchange:\n$plan")
+    assert(plan.contains("from_json"), s"the evolved-schema decode is gone:\n$plan")
+  }
+
+  test("source_geo_replicated: union + one id-keyed dedup window + census, no cartesian") {
+    val plan = physical("source_geo_replicated")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"the replication mesh must be a union, not a join:\n$plan")
+    assert(plan.contains("Union"), s"missing the two-cluster union:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"expected the dedup window + census exchanges only:\n$plan")
+  }
+
   test("ts_ohlc / agg_histogram: one two-phase aggregation, no extra exchange") {
     for (k <- Seq("ts_ohlc", "agg_histogram")) {
       val plan = physical(k)

@@ -1963,6 +1963,38 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("ack-holes / retention / expiry compose: the stuck subscription pins the ledger until the TTL move unblocks it") {
+    // the round-11 broker-state triad reads ONE cursor fixture, so the
+    // invariants must hold across keys, not just inside each oracle:
+    //  - markDelete never regresses below the cumulative base, and the
+    //    caught-up subscription reports a clean ledger (no holes)
+    //  - the paused subscription's scattered acks are exactly the
+    //    ledger's individually-deleted bloat (holes > 0)
+    //  - retention trim before the TTL move is pinned at −1 by the
+    //    paused cursor (nothing reclaimable); after the move it equals
+    //    the min MOVED cursor and reclaims a real prefix
+    val holes = SparkEntry.queries("obs_ack_holes")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    holes.foreach { case (s, (ack, md, _, _)) =>
+      assert(md >= ack, s"$s: markDelete $md regressed below base $ack")
+    }
+    assert(holes("sub_paused")._3 > 0, "paused sub must carry ack holes")
+    assert(holes("sub_caughtup")._3 == 0 && holes("sub_caughtup")._4 == 0,
+      "caught-up sub must report a clean ledger")
+    val trim = SparkEntry.queries("obs_retention_trim")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(trim("before_ttl") == ((-1L, 0L, 0L)),
+      s"stuck subscription must pin the ledger: ${trim("before_ttl")}")
+    val expiry = SparkEntry.queries("stream_msg_expiry")(spark, dir)
+      .collect().map(r => r.getLong(2)).min
+    assert(trim("after_ttl")._1 == expiry,
+      s"after_ttl trim ${trim("after_ttl")._1} != min moved cursor $expiry")
+    assert(trim("after_ttl")._2 > 0 && trim("after_ttl")._3 > 0,
+      "the TTL move must unblock a real reclaimable prefix")
+  }
+
   test("topic-pattern subscription: between-batch topic discovery, discovered exactly once, never reprocessed") {
     // Pulsar's regex consumerPattern discovers topics BETWEEN batches:
     // a topic dir that appears after run 1 must be consumed by run 2
