@@ -44,7 +44,12 @@ object Streams extends QueryPack {
     val pfx = s"graft_topics_${Tables.pathKey(dir)}_"
     val path =
       s"/tmp/$pfx${Tables.pathKey(Tables.fingerprint(dir, "events"))}"
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))) {
+    // _SUCCESS, not isDirectory — the repo-wide write-once convention
+    // (Similarity/Quantize): a crash mid-write leaves the directory but
+    // not the marker, so the layout rebuilds instead of reading a
+    // partial topic tree
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_SUCCESS"))) {
       Tables.dropStalePaths(pfx)
       Tables.events(s, dir)
         .withColumn("topic", concat(lit("topic_"), col("event_type")))
