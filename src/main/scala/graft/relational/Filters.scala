@@ -284,6 +284,39 @@ object Filters extends QueryPack {
       reassemble(chunkRows(Tables.events(s, dir)))
         .orderBy("msg_seq")),
 
+    // Pulsar subscription TYPES (round 11 wave 3 — completing the
+    // subtype model around filter_keyshared): EXCLUSIVE — one consumer
+    // owns the subscription and receives everything in order;
+    // FAILOVER — one ACTIVE consumer at a time, the next in line takes
+    // over on failure (fixture: consumer-0 dies at the mid position,
+    // the handover point is exact); SHARED — round-robin across the
+    // consumer group per message in arrival order, trading ordering
+    // for throughput. Output: the per-(type, consumer) dispatch census
+    // with position spans — the handover and the round-robin striping
+    // are both visible in min/max_pos. ONE corpus scan, all three
+    // subscriptions routed map-side (the filter_subscriptions explode
+    // idiom), one census aggregate.
+    "filter_subscription_modes" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mx = ev.agg(max(col("event_id")).as("m"))
+      ev.select(col("event_id")).crossJoin(broadcast(mx))
+        .select(col("event_id"), explode(array(
+          struct(lit("exclusive").as("sub_type"),
+            lit("consumer-0").as("consumer")),
+          struct(lit("failover").as("sub_type"),
+            when(col("event_id") <= expr("m div 2"), "consumer-0")
+              .otherwise("consumer-1").as("consumer")),
+          struct(lit("shared").as("sub_type"),
+            concat(lit("consumer-"), pmod(col("event_id"), lit(3)))
+              .as("consumer")))).as("r"))
+        .select(col("r.sub_type").as("sub_type"),
+          col("r.consumer").as("consumer"), col("event_id"))
+        .groupBy("sub_type", "consumer")
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_pos"),
+          max("event_id").as("max_pos"))
+        .orderBy("sub_type", "consumer")
+    }),
+
     // Pulsar Key_Shared dispatch (the third subscription subtype next
     // to the filter_subscriptions fan-out): key-hash slots split into
     // contiguous consumer ranges — all of a key's messages reach ONE
@@ -405,6 +438,24 @@ object Filters extends QueryPack {
         |       ELSE sha256(event_type || ':' || CAST(user_id AS VARCHAR)
         |                   || ':' || props) END AS payload_sha
         |FROM events ORDER BY msg_seq""".stripMargin,
+
+    "filter_subscription_modes" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+        |r AS (
+        |  SELECT 'exclusive' AS sub_type, 'consumer-0' AS consumer, event_id
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'failover',
+        |    CASE WHEN event_id <= m // 2 THEN 'consumer-0'
+        |         ELSE 'consumer-1' END, event_id
+        |  FROM events, mx
+        |  UNION ALL
+        |  SELECT 'shared', 'consumer-' || CAST(event_id % 3 AS VARCHAR),
+        |    event_id
+        |  FROM events)
+        |SELECT sub_type, consumer, COUNT(*) AS n,
+        |  MIN(event_id) AS min_pos, MAX(event_id) AS max_pos
+        |FROM r GROUP BY 1, 2 ORDER BY sub_type, consumer""".stripMargin,
 
     "filter_keyshared" ->
       s"""WITH r AS (

@@ -371,6 +371,34 @@ object Streams extends QueryPack {
           col("n"))
         .orderBy("topic", "ws")),
 
+    // Partitioned topics (round 11 wave 3): a Pulsar topic is P
+    // partition sub-topics and the PRODUCER routes each message —
+    // keyed messages by key hash (one key → one partition, so
+    // per-key order survives; the engine's portable md5 slot stands in
+    // for JavaStringHash/Murmur3, the algorithm being a pluggable
+    // detail of the routing contract), keyless messages round-robin
+    // for throughput (fixture: 'error' events are keyless). Census per
+    // (partition, route mode): count, distinct keys, position span —
+    // the striping and the key co-location are both visible. Map-only
+    // routing (no join, no shuffle before the census aggregate).
+    "source_partitioned_topic" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val parts = 4
+      val keyed = col("event_type") =!= "error"
+      val part = when(keyed,
+        pmod(graft.llm.Text.tokHashS(col("user_id").cast("string")),
+          lit(parts)))
+        .otherwise(pmod(col("event_id"), lit(parts)))
+      ev.select(concat(lit("topic-partition-"), part).as("partition"),
+          when(keyed, "key_hash").otherwise("round_robin").as("route_mode"),
+          col("event_id"),
+          when(keyed, col("user_id")).as("key"))
+        .groupBy("partition", "route_mode")
+        .agg(count(lit(1)).as("n"), countDistinct(col("key")).as("n_keys"),
+          min("event_id").as("min_pos"), max("event_id").as("max_pos"))
+        .orderBy("partition", "route_mode")
+    }),
+
     // Individual-acknowledgment cursor state (round 11 wave 2 — the
     // managed-ledger individuallyDeletedMessages surface): consumers
     // ack out of order, so above the cumulative base each subscription
@@ -790,6 +818,24 @@ object Streams extends QueryPack {
         |  CAST(coalesce(a.backlog, 0) AS BIGINT) AS backlog, a.oldest_ts_s
         |FROM c LEFT JOIN a USING (subscription, ack_pos)
         |ORDER BY c.subscription""".stripMargin,
+
+    "source_partitioned_topic" ->
+      s"""WITH r AS (
+         |  SELECT CASE WHEN event_type <> 'error'
+         |           THEN 'topic-partition-' || CAST(
+         |             ${graft.llm.Text.tokHashDOn("CAST(user_id AS VARCHAR)")}
+         |               % 4 AS VARCHAR)
+         |           ELSE 'topic-partition-' || CAST(event_id % 4 AS VARCHAR)
+         |         END AS partition,
+         |         CASE WHEN event_type <> 'error' THEN 'key_hash'
+         |              ELSE 'round_robin' END AS route_mode,
+         |         event_id,
+         |         CASE WHEN event_type <> 'error' THEN user_id END AS key
+         |  FROM events)
+         |SELECT partition, route_mode, COUNT(*) AS n,
+         |  COUNT(DISTINCT key) AS n_keys,
+         |  MIN(event_id) AS min_pos, MAX(event_id) AS max_pos
+         |FROM r GROUP BY 1, 2 ORDER BY partition, route_mode""".stripMargin,
 
     // markDelete = first unacked − 1; holes = acked positions above it
     "obs_ack_holes" ->

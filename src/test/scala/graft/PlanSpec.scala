@@ -407,6 +407,21 @@ class PlanSpec extends AnyFunSuite {
       s"expected the dedup window + census exchanges only:\n$plan")
   }
 
+  test("filter_subscription_modes / source_partitioned_topic: map-side routing, census exchanges only") {
+    // dispatch/routing is per-message map work — a join or a
+    // corpus-keyed shuffle before the census would not survive broker
+    // message rates
+    for (k <- Seq("filter_subscription_modes", "source_partitioned_topic")) {
+      val plan = physical(k)
+      assert(!plan.contains("Join") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$k: routing must not join (1-row max broadcast excepted):\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$k: routing degenerated to a cartesian product:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+        s"$k: unexpected corpus-keyed exchange before the census:\n$plan")
+    }
+  }
+
   test("ts_ohlc / agg_histogram: one two-phase aggregation, no extra exchange") {
     for (k <- Seq("ts_ohlc", "agg_histogram")) {
       val plan = physical(k)
