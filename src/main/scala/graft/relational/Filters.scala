@@ -284,6 +284,36 @@ object Filters extends QueryPack {
       reassemble(chunkRows(Tables.events(s, dir)))
         .orderBy("msg_seq")),
 
+    // Pulsar transactions, the consumer half (round 11 wave 3 —
+    // PIP-31 read-committed visibility): messages carry their
+    // transaction id, and a consumer with READ_COMMITTED isolation
+    // sees a message only once its transaction committed — aborted
+    // txns' messages are filtered at dispatch, never delivered.
+    // Fixture: 10-message transactions (txn = position div 10), every
+    // 7th aborted. The visibility gate goes through a JOIN against the
+    // coordinator's transaction ledger (here derived — at a broker it
+    // is the txn coordinator's log), not an inlined predicate: the
+    // txn-keyed equi join is co-partitionable at any scale. Output:
+    // per-type visible/hidden census with the visible value sum.
+    "filter_txn_read_committed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("txn_id", expr("event_id div 10"))
+      val ledger = ev.groupBy("txn_id").agg(count(lit(1)).as("n_msgs"))
+        .withColumn("status",
+          when(pmod(col("txn_id"), lit(7)) === 0, "ABORTED")
+            .otherwise("COMMITTED"))
+      ev.join(ledger, Seq("txn_id"))
+        .groupBy("event_type")
+        .agg(sum(when(col("status") === "COMMITTED", 1L).otherwise(0L))
+            .as("n_visible"),
+          sum(when(col("status") =!= "COMMITTED", 1L).otherwise(0L))
+            .as("n_aborted_hidden"),
+          sum(when(col("status") === "COMMITTED",
+            round(col("value"), 2).cast("decimal(28,2)")))
+            .cast("double").as("sum_visible"))
+        .orderBy("event_type")
+    }),
+
     // Pulsar subscription TYPES (round 11 wave 3 — completing the
     // subtype model around filter_keyshared): EXCLUSIVE — one consumer
     // owns the subscription and receives everything in order;
@@ -438,6 +468,17 @@ object Filters extends QueryPack {
         |       ELSE sha256(event_type || ':' || CAST(user_id AS VARCHAR)
         |                   || ':' || props) END AS payload_sha
         |FROM events ORDER BY msg_seq""".stripMargin,
+
+    "filter_txn_read_committed" ->
+      """SELECT event_type,
+        |  CAST(SUM(CASE WHEN (event_id // 10) % 7 <> 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_visible,
+        |  CAST(SUM(CASE WHEN (event_id // 10) % 7 = 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_aborted_hidden,
+        |  CAST(SUM(CASE WHEN (event_id // 10) % 7 <> 0
+        |                THEN CAST(ROUND(value, 2) AS DECIMAL(28,2)) END)
+        |       AS DOUBLE) AS sum_visible
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "filter_subscription_modes" ->
       """WITH mx AS (SELECT MAX(event_id) AS m FROM events),

@@ -209,6 +209,45 @@ object Pipeline {
             expr("shiftleft(1L, cast(delivery_count - 1 AS int))"))
         .withColumn("delivery_count", col("delivery_count") + 1))
 
+  /** Transactional multi-sink commit (round 11 — the PIP-31 producer
+    * half, closing the at-least-once window the reenqueueLoop
+    * documents): a micro-batch's writes to SEVERAL sinks become
+    * visible atomically — each sink writes its own epoch dir
+    * (overwrite-idempotent, the repo's epoch recipe), and a single
+    * commit marker lands LAST. [[txnRead]] admits an epoch only if its
+    * marker exists, so a crash anywhere between the first sink write
+    * and the marker exposes NOTHING (the epochs are garbage until the
+    * replayed batch overwrites them and commits). Exactly-once
+    * visibility from at-least-once execution — what a broker
+    * transaction gives a two-topic producer. StreamSpec injects a
+    * crash between the two sink writes and proves the gate. */
+  def txnCommit(batch: DataFrame, batchId: Long, markerDir: String,
+      sinks: Seq[(DataFrame => DataFrame, String)]): Unit = {
+    sinks.foreach { case (part, sink) =>
+      part(batch).write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+    }
+    val md = java.nio.file.Paths.get(markerDir)
+    java.nio.file.Files.createDirectories(md)
+    val m = md.resolve(s"commit_$batchId")
+    if (!java.nio.file.Files.exists(m)) java.nio.file.Files.createFile(m)
+    ()
+  }
+
+  /** Read-committed view of a txnCommit sink: only epochs whose commit
+    * marker exists. Marker listing is per-epoch metadata (bounded by
+    * batch count, not data). */
+  def txnRead(s: SparkSession, sink: String, markerDir: String): DataFrame = {
+    val committed = graft.Tables.listByPrefix(
+        java.nio.file.Paths.get(markerDir), "commit_")
+      .map(_.getFileName.toString.stripPrefix("commit_"))
+      .filter(id => java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(sink, s"batch=$id")))
+      .sorted
+    if (committed.isEmpty) s.emptyDataFrame
+    else committed.map(id => s.read.parquet(s"$sink/batch=$id"))
+      .reduce(_ unionByName _)
+  }
+
   /** Dead-letter TTL age-out (VERDICT r05 item 7). Dead-lettering is
     * not terminal storage either: a DLQ retains entries for a bounded
     * TTL (here 5 days of EVENT time) and then evicts them — the

@@ -422,6 +422,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("filter_txn_read_committed: the coordinator-ledger lookup is an equi join") {
+    // read-committed visibility joins the txn ledger on txn_id — at
+    // broker scale that join must be co-partitionable, never a
+    // nested-loop over the message stream
+    val plan = physical("filter_txn_read_committed")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ledger lookup degenerated to a non-equi join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"expected an equi ledger join:\n$plan")
+  }
+
   test("ts_ohlc / agg_histogram: one two-phase aggregation, no extra exchange") {
     for (k <- Seq("ts_ohlc", "agg_histogram")) {
       val plan = physical(k)

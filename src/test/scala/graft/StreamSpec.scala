@@ -1995,6 +1995,61 @@ class StreamSpec extends AnyFunSuite {
       "the TTL move must unblock a real reclaimable prefix")
   }
 
+  test("transactional two-sink commit: a crash between sink writes exposes neither; replay commits both exactly once") {
+    // the PIP-31 producer guarantee over the epoch-dir recipe: sink A
+    // and sink B must become visible ATOMICALLY. Crash injection: the
+    // first attempt throws after sink A's epoch write but before sink
+    // B and the marker — the read-committed view must show NOTHING
+    // (A's orphan epoch is invisible without its marker). The rerun
+    // replays the same batch from the checkpoint, overwrites A's
+    // orphan, writes B, and commits — both sinks visible exactly once.
+    val streamDir = Files.createTempDirectory("graft_stream_txn")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val ckpt = Files.createTempDirectory("graft_ckpt_txn").toString
+    val sinkA = Files.createTempDirectory("graft_txn_a").toString
+    val sinkB = Files.createTempDirectory("graft_txn_b").toString
+    val markers = Files.createTempDirectory("graft_txn_m").toString
+    val purchases: DataFrame => DataFrame =
+      _.where(col("event_type") === "purchase").select("event_id", "value")
+    val clicks: DataFrame => DataFrame =
+      _.where(col("event_type") === "click").select("event_id", "value")
+    @volatile var crashOnce = true
+    def run(): Unit = {
+      val q = MessageSource.fileStream(spark, streamDir.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (crashOnce) {
+            // simulate the crash window: sink A landed, B + marker not
+            purchases(b).write.mode("overwrite").parquet(s"$sinkA/batch=$id")
+            crashOnce = false
+            throw new RuntimeException("injected crash between sink writes")
+          }
+          Pipeline.txnCommit(b, id, markers,
+            Seq(purchases -> sinkA, clicks -> sinkB))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
+    // after the crash: A's orphan epoch exists on disk, but the
+    // read-committed view admits NEITHER sink
+    assert(new java.io.File(sinkA).listFiles().exists(_.getName.startsWith("batch=")),
+      "the crash must leave A's orphan epoch (or the injection did nothing)")
+    assert(Pipeline.txnRead(spark, sinkA, markers).isEmpty,
+      "orphan epoch visible without its commit marker")
+    assert(Pipeline.txnRead(spark, sinkB, markers).isEmpty)
+    // replay: the same batch re-executes, overwrites the orphan,
+    // writes B, commits — both visible, exactly once, equal to batch
+    run()
+    val ev = Tables.events(spark, dir)
+    assertSameRows(Pipeline.txnRead(spark, sinkA, markers),
+      purchases(ev))
+    assertSameRows(Pipeline.txnRead(spark, sinkB, markers),
+      clicks(ev))
+  }
+
   test("topic-pattern subscription: between-batch topic discovery, discovered exactly once, never reprocessed") {
     // Pulsar's regex consumerPattern discovers topics BETWEEN batches:
     // a topic dir that appears after run 1 must be consumed by run 2
