@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch: events-only scaled corpora for wave-4 posture probes (the
+  * six Broker keys read only the events table). */
+object DebugScaleEv {
+  def main(args: Array[String]): Unit = {
+    val (src, out, n) = (args(0), args(1), args(2).toInt)
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    spark.sparkContext.setLogLevel("WARN")
+    val ev = Tables.events(spark, src)
+    (0 until n).map { c =>
+      ev.select((col("event_id") + c * 1000000000L).as("event_id"), col("ts"),
+        (col("user_id") + c * 1000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+    println(s"wrote ${n}x events of $src to $out")
+    spark.stop()
+  }
+}

@@ -51,7 +51,8 @@ object SparkEntry {
     llm.Multimodal,
     llm.Quantize,
     llm.Curate,
-    streaming.Streams
+    streaming.Streams,
+    streaming.Broker
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

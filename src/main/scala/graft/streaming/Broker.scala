@@ -1,0 +1,410 @@
+package graft.streaming
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 wave 4 — the broker RESOURCE-MANAGEMENT surface. Waves 1-3
+  * closed the message-lifecycle semantics (dedup, chunking, TTL,
+  * transactions, subscription types); this pack covers how a broker
+  * manages the resources those semantics consume: batch-index ack
+  * bitmaps (PIP-54), backlog quotas, dispatch rate limiting, tiered
+  * storage offload, namespace bundle load-balancing, and
+  * priority-level dispatch. Every key is a closed-form batch twin
+  * (3-gate DuckDB oracle) built from the same fixture conventions the
+  * earlier waves pinned: dense 0-based positions (`event_id`),
+  * `subCursors` fractions, the `chunkPayload` byte convention, the
+  * portable md5 slot hash.
+  */
+object Broker extends QueryPack {
+
+  /** PIP-54 ack predicate: content-derived, ~2/3 of messages acked, so
+    * entries land in all three states (full ≈ (2/3)^4, partial,
+    * untouched ≈ (1/3)^4) at every SF. */
+  private def msgAcked: Column = pmod(col("user_id"), lit(3)) =!= 0
+
+  /** Tiered-storage ledger width (messages per ledger). 128 keeps ≥4
+    * ledgers off-bookie even at sf0.001 (1 000 msgs → 8 ledgers). */
+  private[graft] val ledgerWidth = 128
+
+  /** Newest ledgers kept on bookies; older ones are offloaded. */
+  private[graft] val keepLedgers = 4
+
+  /** Per-subscription dispatch rates (msgs/sec) for the throttle key. */
+  private[streaming] val dispatchRates =
+    Seq(("sub_fast", 100L), ("sub_slow", 500L),
+        ("sub_paused", 1000L), ("sub_caughtup", 50L))
+
+  /** Namespace bundle count (hash space 2^16 split evenly). */
+  private[streaming] val bundleCount = 4
+  private[streaming] val hashSpace = 65536L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PIP-54 batch-index-level acknowledgment: entries pack 4 messages
+    // (the packEntries convention, entry_id = event_id div 4); the
+    // consumer acks INDIVIDUAL indices inside an entry. markDelete can
+    // only advance over FULLY-acked entries; the census quantifies the
+    // PIP-54 win — without batch-index acks a partially-acked entry is
+    // redelivered WHOLE on reconnect (acked indices included), with
+    // them only the unacked indices come back. One entry-keyed shuffle
+    // (map-side partial count/sum), then 1-row aggregates over the
+    // n/4-row entry frame.
+    "stream_batch_index_ack" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val k = graft.relational.Filters.entryBatchK
+      val entries = ev
+        .groupBy(expr(s"event_id div $k").as("entry_id"))
+        .agg(count(lit(1)).as("n_msgs"),
+          sum(when(msgAcked, 1L).otherwise(0L)).as("n_acked"))
+        .localCheckpoint() // n/4 rows, read by two aggregates below
+      val full = col("n_acked") === col("n_msgs")
+      // first not-fully-acked entry − 1; a fully-acked ledger keeps
+      // markDelete at the tail (same convention as obs_ack_holes)
+      val md = entries.agg(
+        coalesce(min(when(!full, col("entry_id"))) - 1,
+          max(col("entry_id"))).as("mark_delete_entry"))
+      entries.crossJoin(broadcast(md))
+        .agg(
+          count(lit(1)).as("n_entries"),
+          sum(when(full, 1L).otherwise(0L)).as("full_entries"),
+          sum(when(!full && col("n_acked") > 0, 1L).otherwise(0L))
+            .as("partial_entries"),
+          sum(when(col("n_acked") === 0, 1L).otherwise(0L))
+            .as("untouched_entries"),
+          first(col("mark_delete_entry")).as("mark_delete_entry"),
+          // with PIP-54: only unacked indices above markDelete redeliver
+          sum(when(col("entry_id") > col("mark_delete_entry"),
+            col("n_msgs") - col("n_acked")).otherwise(0L))
+            .as("redeliver_pip54"),
+          // without: every not-fully-acked entry redelivers whole
+          sum(when(col("entry_id") > col("mark_delete_entry") && !full,
+            col("n_msgs")).otherwise(0L))
+            .as("redeliver_entry_level"))
+        .orderBy("mark_delete_entry")
+    }),
+
+    // Backlog quota enforcement (`backlogQuotaDefaultLimitBytes`'s
+    // message-count sibling): quota = 25 % of the corpus; each
+    // subscription carries its configured policy. producer_request_hold
+    // and producer_exception act on the PRODUCER (no cursor movement);
+    // consumer_backlog_eviction moves the cursor forward so the backlog
+    // shrinks to exactly the quota. Reuses the subCursors fixture and
+    // the backlogReport aggregate (detect→remedy: the eviction is
+    // derived from the same backlog the report would show).
+    "obs_backlog_quota" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mx = ev.agg(max(col("event_id")).as("m"),
+        expr("count(1) div 4").as("quota"))
+      val policy = when(col("subscription") === "sub_slow",
+          "producer_exception")
+        .when(col("subscription") === "sub_paused",
+          "consumer_backlog_eviction")
+        .otherwise("producer_request_hold")
+      val cur = Streams.subCursors(ev).crossJoin(broadcast(mx))
+        .withColumn("policy", policy)
+        .localCheckpoint() // 4 rows; the backlog pass and report read it
+      val bl = ev.join(broadcast(cur), col("event_id") > col("ack_pos"))
+        .groupBy("subscription").agg(count(lit(1)).as("backlog"))
+      val exceeded = col("backlog") > col("quota")
+      cur.join(broadcast(bl), Seq("subscription"), "left")
+        .withColumn("backlog", coalesce(col("backlog"), lit(0L)))
+        .select(col("subscription"), col("policy"), col("ack_pos"),
+          col("backlog"), col("quota"),
+          when(!exceeded, "within_quota").otherwise(col("policy"))
+            .as("action"),
+          when(exceeded && col("policy") === "consumer_backlog_eviction",
+            col("m") - col("quota")).otherwise(col("ack_pos"))
+            .as("new_ack_pos"))
+        .withColumn("n_evicted", col("new_ack_pos") - col("ack_pos"))
+        .orderBy("subscription")
+    }),
+
+    // Dispatch rate limiting (`dispatchThrottlingRatePerSubscription`):
+    // each subscription drains its backlog at R msgs/sec in position
+    // order. Positions are DENSE (event_id unique 0-based), so the
+    // delivery slot is pure arithmetic — slot = (pos − ack_pos − 1)
+    // div R — no window function, no per-sub ranking shuffle: one
+    // broadcast inequality pass, map-side slot assignment, 4-group agg.
+    // slot_checksum = Σ slot pins every individual assignment.
+    "stream_dispatch_throttle" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val rates = {
+        import s.implicits._
+        dispatchRates.toDF("subscription", "rate")
+      }
+      val cur = Streams.subCursors(ev)
+        .join(broadcast(rates), Seq("subscription"))
+        .localCheckpoint() // 4 rows; the drain pass and restore read it
+      val drained = ev.join(broadcast(cur), col("event_id") > col("ack_pos"))
+        .select(col("subscription"), col("rate"),
+          expr("(event_id - ack_pos - 1) div rate").as("slot"))
+        .groupBy("subscription", "rate")
+        .agg(count(lit(1)).as("backlog"),
+          (max(col("slot")) + 1).as("drain_seconds"),
+          sum(when(col("slot") === 0, 1L).otherwise(0L)).as("msgs_slot0"),
+          sum(col("slot")).as("slot_checksum"))
+      // restore zero-backlog subscriptions (caught-up drains nothing)
+      cur.join(broadcast(drained), Seq("subscription", "rate"), "left")
+        .select(col("subscription"), col("rate"),
+          coalesce(col("backlog"), lit(0L)).as("backlog"),
+          coalesce(col("drain_seconds"), lit(0L)).as("drain_seconds"),
+          coalesce(col("msgs_slot0"), lit(0L)).as("msgs_slot0"),
+          coalesce(col("slot_checksum"), lit(0L)).as("slot_checksum"))
+        .orderBy("subscription")
+    }),
+
+    // Tiered storage offload (`managedLedgerOffloadThreshold`): the
+    // topic's ledgers (128 positions each) older than the newest 4 are
+    // offloaded to long-term storage; reads UNION the two tiers
+    // transparently. The census proves the split is a partition of the
+    // corpus (n_msgs + pos_checksum reconcile in the spec) and sizes
+    // each tier with the engine's one payload-byte convention
+    // (Filters.chunkPayload). Map-side tiering off a 1-row broadcast
+    // max; one 2-group census exchange.
+    "source_tiered_offload" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mx = ev.agg(max(expr(s"event_id div $ledgerWidth")).as("ml"))
+      ev.crossJoin(broadcast(mx))
+        .select(
+          when(expr(s"event_id div $ledgerWidth") > col("ml") - keepLedgers,
+            "bookkeeper").otherwise("offloaded").as("tier"),
+          expr(s"event_id div $ledgerWidth").as("ledger_id"),
+          col("event_id"),
+          length(graft.relational.Filters.chunkPayload).as("bytes"))
+        .groupBy("tier")
+        .agg(countDistinct(col("ledger_id")).as("n_ledgers"),
+          count(lit(1)).as("n_msgs"),
+          min(col("event_id")).as("min_pos"),
+          max(col("event_id")).as("max_pos"),
+          sum(col("bytes")).as("bytes"),
+          sum(col("event_id")).as("pos_checksum"))
+        .orderBy("tier")
+    }),
+
+    // Namespace bundle load report + hottest-bundle split: topics hash
+    // into 2^16 slots split across 4 contiguous bundle ranges (the
+    // keyshared/partitioned-topic portable md5 slot); the broker
+    // splits the hottest bundle at its midpoint and the report shows
+    // the before/after load. One 5-group corpus agg; everything after
+    // runs on ≤5-row broadcast frames.
+    "obs_bundle_split" -> ((s, dir) => {
+      val s2 = s; import s2.implicits._
+      val ev = Tables.events(s, dir)
+      val width = hashSpace / bundleCount
+      val tc = ev
+        .select(concat(lit("topic_"), col("event_type")).as("topic"))
+        .groupBy("topic").agg(count(lit(1)).as("n"))
+        .withColumn("slot",
+          pmod(graft.llm.Text.tokHashS(col("topic")), lit(hashSpace)))
+        .localCheckpoint() // 5 rows; both phase censuses read it
+      val bundles = (0 until bundleCount)
+        .map(i => (i * width, (i + 1) * width)).toDF("lo", "hi")
+      def census(ranges: DataFrame, phase: String): DataFrame =
+        ranges.join(broadcast(tc),
+            col("slot") >= col("lo") && col("slot") < col("hi"), "left")
+          .groupBy("lo", "hi")
+          .agg(count(col("topic")).as("n_topics"),
+            coalesce(sum(col("n")), lit(0L)).as("n_msgs"))
+          .select(lit(phase).as("phase"), col("lo"), col("hi"),
+            col("n_topics"), col("n_msgs"))
+      val before = census(bundles, "before").localCheckpoint() // 4 rows
+      // hottest bundle: max load, ties to the lowest range start
+      val hot = before.orderBy(col("n_msgs").desc, col("lo")).limit(1)
+        .select(col("lo").as("hlo"), col("hi").as("hhi"))
+      val after = bundles.crossJoin(broadcast(hot))
+        .withColumn("mid", expr("(lo + hi) div 2"))
+        .select(explode(when(col("lo") === col("hlo"),
+            array(struct(col("lo"), col("mid").as("hi")),
+              struct(col("mid").as("lo"), col("hi"))))
+          .otherwise(array(struct(col("lo"), col("hi"))))).as("r"))
+        .select(col("r.lo").as("lo"), col("r.hi").as("hi"))
+      before.unionByName(census(after, "after"))
+        .orderBy("phase", "lo")
+    }),
+
+    // Priority-level dispatch (Shared subscription `priorityLevel`):
+    // two priority-0 consumers (2 permits per tick each, round-robin)
+    // take a tick's messages first; the priority-1 consumer (4
+    // permits) gets the spill; past all permits the tick's remainder
+    // waits (no_permits — redelivered next tick, not modeled: the
+    // census is the broker's dispatch-rate view, not a queue sim).
+    // Tick = 1 h of event time; one tick-keyed window shuffle.
+    "stream_consumer_priority" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tick = date_trunc("hour", col("ts"))
+      val r = row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(tick).orderBy(col("event_id")))
+      ev.select(tick.as("tick"), r.as("r"))
+        .select(col("tick"),
+          when(col("r") <= 4,
+            when(pmod(col("r"), lit(2)) === 1, "c0").otherwise("c1"))
+            .when(col("r") <= 8, "c2")
+            .otherwise("no_permits").as("consumer"),
+          when(col("r") <= 4, 0).when(col("r") <= 8, 1)
+            .otherwise(-1).as("priority"))
+        .groupBy("consumer", "priority")
+        .agg(count(lit(1)).as("n_msgs"),
+          countDistinct(col("tick")).as("n_ticks"))
+        .orderBy("consumer")
+    })
+  )
+
+  private val ackedD = "(user_id % 3) <> 0"
+
+  val oracleSql: Map[String, String] = Map(
+
+    "stream_batch_index_ack" ->
+      s"""WITH e AS (
+         |  SELECT event_id // 4 AS entry_id, COUNT(*) AS n_msgs,
+         |    CAST(SUM(CASE WHEN $ackedD THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_acked
+         |  FROM events GROUP BY 1),
+         |md AS (
+         |  SELECT coalesce(MIN(CASE WHEN n_acked <> n_msgs
+         |                      THEN entry_id END) - 1,
+         |                  MAX(entry_id)) AS mark_delete_entry FROM e)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_entries,
+         |  CAST(SUM(CASE WHEN n_acked = n_msgs THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS full_entries,
+         |  CAST(SUM(CASE WHEN n_acked > 0 AND n_acked <> n_msgs
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS partial_entries,
+         |  CAST(SUM(CASE WHEN n_acked = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS untouched_entries,
+         |  CAST(MIN(md.mark_delete_entry) AS BIGINT) AS mark_delete_entry,
+         |  CAST(SUM(CASE WHEN entry_id > md.mark_delete_entry
+         |    THEN n_msgs - n_acked ELSE 0 END) AS BIGINT)
+         |    AS redeliver_pip54,
+         |  CAST(SUM(CASE WHEN entry_id > md.mark_delete_entry
+         |    AND n_acked <> n_msgs THEN n_msgs ELSE 0 END) AS BIGINT)
+         |    AS redeliver_entry_level
+         |FROM e, md""".stripMargin,
+
+    "obs_backlog_quota" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m,
+        |              COUNT(*) // 4 AS quota FROM events),
+        |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9), ('sub_slow', 0.5),
+        |                               ('sub_paused', 0.0),
+        |                               ('sub_caughtup', 1.0)) s(subscription, f)),
+        |c AS (SELECT subscription,
+        |        CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
+        |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos,
+        |        CASE subscription WHEN 'sub_slow' THEN 'producer_exception'
+        |             WHEN 'sub_paused' THEN 'consumer_backlog_eviction'
+        |             ELSE 'producer_request_hold' END AS policy,
+        |        m, quota
+        |      FROM subs, mx),
+        |b AS (SELECT c.subscription, COUNT(*) AS backlog
+        |      FROM events e JOIN c ON e.event_id > c.ack_pos
+        |      GROUP BY 1)
+        |SELECT c.subscription, c.policy, c.ack_pos,
+        |  CAST(coalesce(b.backlog, 0) AS BIGINT) AS backlog,
+        |  CAST(c.quota AS BIGINT) AS quota,
+        |  CASE WHEN coalesce(b.backlog, 0) <= c.quota THEN 'within_quota'
+        |       ELSE c.policy END AS action,
+        |  CAST(CASE WHEN coalesce(b.backlog, 0) > c.quota
+        |            AND c.policy = 'consumer_backlog_eviction'
+        |       THEN c.m - c.quota ELSE c.ack_pos END AS BIGINT)
+        |    AS new_ack_pos,
+        |  CAST(CASE WHEN coalesce(b.backlog, 0) > c.quota
+        |            AND c.policy = 'consumer_backlog_eviction'
+        |       THEN c.m - c.quota - c.ack_pos ELSE 0 END AS BIGINT)
+        |    AS n_evicted
+        |FROM c LEFT JOIN b USING (subscription)
+        |ORDER BY c.subscription""".stripMargin,
+
+    "stream_dispatch_throttle" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+        |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9, 100),
+        |                               ('sub_slow', 0.5, 500),
+        |                               ('sub_paused', 0.0, 1000),
+        |                               ('sub_caughtup', 1.0, 50))
+        |         s(subscription, f, rate)),
+        |c AS (SELECT subscription, CAST(rate AS BIGINT) AS rate,
+        |        CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
+        |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos
+        |      FROM subs, mx),
+        |d AS (SELECT c.subscription, c.rate, COUNT(*) AS backlog,
+        |        MAX((e.event_id - c.ack_pos - 1) // c.rate) + 1
+        |          AS drain_seconds,
+        |        SUM(CASE WHEN (e.event_id - c.ack_pos - 1) // c.rate = 0
+        |            THEN 1 ELSE 0 END) AS msgs_slot0,
+        |        SUM((e.event_id - c.ack_pos - 1) // c.rate)
+        |          AS slot_checksum
+        |      FROM events e JOIN c ON e.event_id > c.ack_pos
+        |      GROUP BY 1, 2)
+        |SELECT c.subscription, c.rate,
+        |  CAST(coalesce(d.backlog, 0) AS BIGINT) AS backlog,
+        |  CAST(coalesce(d.drain_seconds, 0) AS BIGINT) AS drain_seconds,
+        |  CAST(coalesce(d.msgs_slot0, 0) AS BIGINT) AS msgs_slot0,
+        |  CAST(coalesce(d.slot_checksum, 0) AS BIGINT) AS slot_checksum
+        |FROM c LEFT JOIN d USING (subscription, rate)
+        |ORDER BY c.subscription""".stripMargin,
+
+    "source_tiered_offload" ->
+      """WITH mx AS (SELECT MAX(event_id // 128) AS ml FROM events)
+        |SELECT CASE WHEN event_id // 128 > ml - 4 THEN 'bookkeeper'
+        |            ELSE 'offloaded' END AS tier,
+        |  CAST(COUNT(DISTINCT event_id // 128) AS BIGINT) AS n_ledgers,
+        |  CAST(COUNT(*) AS BIGINT) AS n_msgs,
+        |  MIN(event_id) AS min_pos, MAX(event_id) AS max_pos,
+        |  CAST(SUM(length(event_type || ':' || CAST(user_id AS VARCHAR)
+        |    || ':' || props)) AS BIGINT) AS bytes,
+        |  CAST(SUM(event_id) AS BIGINT) AS pos_checksum
+        |FROM events, mx GROUP BY 1 ORDER BY tier""".stripMargin,
+
+    "obs_bundle_split" -> {
+      val slotD = "(" + graft.llm.Text.tokHashDOn("topic") + " % 65536)"
+      s"""WITH tc AS (
+         |  SELECT topic, n, $slotD AS slot FROM (
+         |    SELECT 'topic_' || event_type AS topic, COUNT(*) AS n
+         |    FROM events GROUP BY 1)),
+         |bundles AS (SELECT * FROM (VALUES (0, 16384), (16384, 32768),
+         |              (32768, 49152), (49152, 65536)) b(lo, hi)),
+         |before AS (
+         |  SELECT b.lo, b.hi, COUNT(tc.topic) AS n_topics,
+         |    coalesce(SUM(tc.n), 0) AS n_msgs
+         |  FROM bundles b LEFT JOIN tc
+         |    ON tc.slot >= b.lo AND tc.slot < b.hi
+         |  GROUP BY 1, 2),
+         |hot AS (SELECT lo AS hlo, hi AS hhi FROM before
+         |        ORDER BY n_msgs DESC, lo LIMIT 1),
+         |ranges AS (
+         |  SELECT b.lo, (b.lo + b.hi) // 2 AS hi FROM bundles b, hot
+         |    WHERE b.lo = hot.hlo
+         |  UNION ALL
+         |  SELECT (b.lo + b.hi) // 2 AS lo, b.hi FROM bundles b, hot
+         |    WHERE b.lo = hot.hlo
+         |  UNION ALL
+         |  SELECT b.lo, b.hi FROM bundles b, hot WHERE b.lo <> hot.hlo),
+         |after AS (
+         |  SELECT r.lo, r.hi, COUNT(tc.topic) AS n_topics,
+         |    coalesce(SUM(tc.n), 0) AS n_msgs
+         |  FROM ranges r LEFT JOIN tc
+         |    ON tc.slot >= r.lo AND tc.slot < r.hi
+         |  GROUP BY 1, 2)
+         |SELECT phase, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+         |  CAST(n_topics AS BIGINT) AS n_topics,
+         |  CAST(n_msgs AS BIGINT) AS n_msgs
+         |FROM (SELECT 'before' AS phase, * FROM before
+         |      UNION ALL SELECT 'after' AS phase, * FROM after)
+         |ORDER BY phase, lo""".stripMargin
+    },
+
+    "stream_consumer_priority" ->
+      """WITH t AS (
+        |  SELECT ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+        |           ORDER BY event_id) AS r,
+        |         date_trunc('hour', ts) AS tick
+        |  FROM events)
+        |SELECT CASE WHEN r <= 4 THEN
+        |         (CASE WHEN r % 2 = 1 THEN 'c0' ELSE 'c1' END)
+        |       WHEN r <= 8 THEN 'c2' ELSE 'no_permits' END AS consumer,
+        |  CAST(CASE WHEN r <= 4 THEN 0 WHEN r <= 8 THEN 1
+        |       ELSE -1 END AS INTEGER) AS priority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_msgs,
+        |  CAST(COUNT(DISTINCT tick) AS BIGINT) AS n_ticks
+        |FROM t GROUP BY 1, 2 ORDER BY consumer""".stripMargin
+  )
+}

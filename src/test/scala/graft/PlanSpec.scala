@@ -778,6 +778,56 @@ class PlanSpec extends AnyFunSuite {
       s"the min-tf sum must run partial+final:\n$plan")
   }
 
+  test("wave-4 broker keys: broadcast inequality passes, bounded exchanges, pruned scans") {
+    // stream_batch_index_ack: corpus work happens once behind the
+    // eager entry-frame checkpoint; the visible plan is the 1-row
+    // markDelete broadcast + single-partition final aggregate
+    val bia = physical("stream_batch_index_ack")
+    assert(bia.contains("BroadcastNestedLoopJoin") &&
+      !bia.contains("CartesianProduct"), s"batch_index_ack:\n$bia")
+    assert(!bia.contains("Exchange hashpartitioning"),
+      s"batch_index_ack: corpus-keyed exchange leaked past the entry frame:\n$bia")
+
+    // obs_backlog_quota / stream_dispatch_throttle: the cursor table
+    // broadcasts through the inequality join (no corpus-keyed shuffle),
+    // the only hash exchange is the ≤4-group census, and the corpus
+    // scan prunes to the position column alone
+    for (k <- Seq("obs_backlog_quota", "stream_dispatch_throttle")) {
+      val plan = physical(k)
+      assert(plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$k:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+        s"$k: unexpected corpus-keyed exchange:\n$plan")
+      assert(plan.contains("ReadSchema: struct<event_id:bigint>"),
+        s"$k: the drain pass must scan positions only:\n$plan")
+    }
+
+    // source_tiered_offload: map-side tiering off a 1-row broadcast
+    // max; the countDistinct pair of exchanges is partial-aggregated
+    // to ~n_ledgers rows before shuffling
+    val to = physical("source_tiered_offload")
+    assert(to.contains("BroadcastNestedLoopJoin") &&
+      !to.contains("CartesianProduct"), s"tiered_offload:\n$to")
+    assert("Exchange hashpartitioning".r.findAllIn(to).size <= 2,
+      s"tiered_offload: unexpected exchange:\n$to")
+    assert(to.contains("partial_count(distinct"),
+      s"tiered_offload: ledger count must partial-aggregate map-side:\n$to")
+
+    // obs_bundle_split: everything after the 5-group census runs on
+    // checkpointed ≤5-row broadcast frames
+    val bs = physical("obs_bundle_split")
+    assert(!bs.contains("CartesianProduct"), s"bundle_split:\n$bs")
+    assert("Exchange hashpartitioning".r.findAllIn(bs).size <= 1,
+      s"bundle_split: unexpected exchange:\n$bs")
+
+    // stream_consumer_priority: the rank window partitions by tick,
+    // never globally
+    val cp = physical("stream_consumer_priority")
+    assert(cp.contains("Window"), s"consumer_priority:\n$cp")
+    assert(!cp.contains("SinglePartition"),
+      s"consumer_priority: no global single-partition stage belongs here:\n$cp")
+  }
+
   test("sample_cluster_balanced: the cap prunes map-side via WindowGroupLimit; window partitions by cell") {
     val plan = physical("sample_cluster_balanced")
     assert(plan.contains("WindowGroupLimit"),

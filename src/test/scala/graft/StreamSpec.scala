@@ -2104,4 +2104,86 @@ class StreamSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("event_id")).toSeq === Seq(3L),
       "the discovered topic's rows arrive exactly once, with provenance")
   }
+
+  test("wave-4 broker resource keys: cross-key invariants hold on the shared fixtures") {
+    // the wave-4 pack reads the SAME subCursors fixture and position
+    // convention as the wave-2 broker-state triad, so the invariants
+    // must hold ACROSS keys, not just inside each oracle (the round-11
+    // composition discipline).
+    val n = Tables.events(spark, dir).count()
+
+    // PIP-54: entry states partition the ledger; the batch-index win is
+    // never negative (acked indices inside partial entries don't redeliver)
+    val bia = SparkEntry.queries("stream_batch_index_ack")(spark, dir)
+      .collect()(0)
+    assert(bia.getAs[Long]("full_entries") + bia.getAs[Long]("partial_entries")
+      + bia.getAs[Long]("untouched_entries") === bia.getAs[Long]("n_entries"))
+    assert(bia.getAs[Long]("redeliver_pip54")
+      <= bia.getAs[Long]("redeliver_entry_level"),
+      "batch-index acks can only shrink the redelivery set")
+    assert(bia.getAs[Long]("mark_delete_entry") >= -1L)
+
+    // backlog quota: the quota key's backlog must agree with the
+    // standalone backlog report, and eviction lands EXACTLY on quota
+    val blMap = SparkEntry.queries("obs_sub_backlog")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("backlog")).toMap
+    val quota = SparkEntry.queries("obs_backlog_quota")(spark, dir).collect()
+    quota.foreach { r =>
+      assert(r.getAs[Long]("backlog") === blMap(r.getString(0)),
+        s"${r.getString(0)}: quota key disagrees with the backlog report")
+      val evicted = r.getAs[String]("action") == "consumer_backlog_eviction"
+      if (evicted)
+        assert(n - 1 - r.getAs[Long]("new_ack_pos") === r.getAs[Long]("quota"),
+          "eviction must shrink the backlog to exactly the quota")
+      else assert(r.getAs[Long]("n_evicted") === 0L,
+        "producer-side policies never move the cursor")
+    }
+
+    // dispatch throttle: drain time is the ceiling division; the first
+    // second saturates the rate (or drains everything)
+    SparkEntry.queries("stream_dispatch_throttle")(spark, dir).collect()
+      .foreach { r =>
+        val (bl, rate) = (r.getAs[Long]("backlog"), r.getAs[Long]("rate"))
+        assert(r.getAs[Long]("drain_seconds") === (bl + rate - 1) / rate,
+          s"${r.getString(0)}: drain != ceil(backlog/rate)")
+        assert(r.getAs[Long]("msgs_slot0") === math.min(rate, bl))
+      }
+
+    // tiered offload: the two tiers partition the corpus exactly
+    // (count + position checksum), and exactly keepLedgers stay hot
+    val tiers = SparkEntry.queries("source_tiered_offload")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(tiers.values.map(_.getAs[Long]("n_msgs")).sum === n)
+    assert(tiers.values.map(_.getAs[Long]("pos_checksum")).sum === n * (n - 1) / 2,
+      "tier split must partition the dense position space")
+    assert(tiers("bookkeeper").getAs[Long]("n_ledgers")
+      === graft.streaming.Broker.keepLedgers.toLong)
+    assert(tiers("offloaded").getAs[Long]("max_pos")
+      < tiers("bookkeeper").getAs[Long]("min_pos"),
+      "offloaded ledgers must be a strict position prefix")
+
+    // bundle split: both phases conserve the corpus; the split halves
+    // the hottest range without touching the other bundles
+    val bs = SparkEntry.queries("obs_bundle_split")(spark, dir).collect()
+    val (before, after) = bs.partition(_.getString(0) == "before")
+    assert(before.length === 4 && after.length === 5)
+    assert(before.map(_.getAs[Long]("n_msgs")).sum === n)
+    assert(after.map(_.getAs[Long]("n_msgs")).sum === n)
+    val hot = before.maxBy(r => (r.getAs[Long]("n_msgs"), -r.getAs[Long]("lo")))
+    val halves = after.filter(r => r.getAs[Long]("lo") >= hot.getAs[Long]("lo")
+      && r.getAs[Long]("hi") <= hot.getAs[Long]("hi"))
+    assert(halves.length === 2, "the hottest bundle must split in two")
+    assert(halves.map(_.getAs[Long]("n_msgs")).sum === hot.getAs[Long]("n_msgs"),
+      "the split must conserve the hot bundle's load")
+
+    // priority dispatch: round-robin gives c0 first pick in every tick,
+    // so it can never trail c1 in messages or active ticks
+    val pr = SparkEntry.queries("stream_consumer_priority")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_msgs"), r.getAs[Long]("n_ticks"))).toMap
+    assert(pr("c0")._1 >= pr("c1")._1 && pr("c0")._2 >= pr("c1")._2)
+    pr.get("c2").foreach { case (_, t2) =>
+      assert(t2 <= pr("c1")._2, "spill to priority 1 needs p0 saturated")
+    }
+  }
 }
