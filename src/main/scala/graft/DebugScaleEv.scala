@@ -16,7 +16,13 @@ object DebugScaleEv {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
-    println(s"wrote ${n}x events of $src to $out")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until n).map { c =>
+      docs.select((col("doc_id") + c * 10000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"wrote ${n}x events+documents of $src to $out")
     spark.stop()
   }
 }

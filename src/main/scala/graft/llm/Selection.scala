@@ -264,6 +264,36 @@ object Selection extends QueryPack {
       } finally { e.unpersist(); e0.unpersist() }
     }),
 
+    // Token-budget epoch planning (the "how many passes over each
+    // domain" decision a training-mix owner makes — Hoffmann-style
+    // budget B split uniformly across languages, each language capped
+    // at 4 epochs before repetition hurts): per-lang token census →
+    // 1-row total broadcast → integer epoch arithmetic. All fixed-
+    // point (div/ceil on BIGINT) so both engines agree exactly. The
+    // deficit column is the planner's signal: a language whose 4-epoch
+    // cap cannot reach its target share needs net-new data, not more
+    // epochs. One lang-keyed census shuffle; everything after runs on
+    // the ≤5-row frame.
+    "sample_epoch_plan" -> ((s, dir) => {
+      val perLang = Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+        .localCheckpoint() // ≤5 rows; the total and the plan read it
+      val tot = perLang.agg(sum(col("tokens")).as("total"),
+        count(lit(1)).as("nl"))
+      perLang.crossJoin(broadcast(tot))
+        .withColumn("target", expr("(2 * total) div nl"))
+        .withColumn("epochs",
+          least(lit(4L), expr("(target + tokens - 1) div tokens")))
+        .withColumn("planned_tokens", col("epochs") * col("tokens"))
+        .withColumn("deficit",
+          greatest(lit(0L), col("target") - col("planned_tokens")))
+        .select("lang", "n_docs", "tokens", "target", "epochs",
+          "planned_tokens", "deficit")
+        .orderBy("lang")
+    }),
+
     "text_classifier_score" -> ((s, dir) =>
       classifierLogits(Tables.documents(s, dir), classifierWeights(s))
         .select(col("doc_id"), col("logit_raw"), col("n_tok"),
@@ -279,6 +309,22 @@ object Selection extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sample_epoch_plan" ->
+      """WITH pl AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+        |          COUNT(*) AS nl FROM pl),
+        |p AS (SELECT pl.*, (2 * total) // nl AS target FROM pl, tot),
+        |e AS (SELECT *, least(4, (target + tokens - 1) // tokens)
+        |        AS epochs FROM p)
+        |SELECT lang, n_docs, tokens, CAST(target AS BIGINT) AS target,
+        |  CAST(epochs AS BIGINT) AS epochs,
+        |  CAST(epochs * tokens AS BIGINT) AS planned_tokens,
+        |  CAST(greatest(0, target - epochs * tokens) AS BIGINT) AS deficit
+        |FROM e ORDER BY lang""".stripMargin,
+
     "sample_dsir" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, source, ${Text.qualityScoreD} AS q FROM documents),

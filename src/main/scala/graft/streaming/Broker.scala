@@ -182,6 +182,53 @@ object Broker extends QueryPack {
         .orderBy("tier")
     }),
 
+    // Size-based retention (`retention_size_in_mb`'s message-scale
+    // analog — the time-based sibling is obs_retention_trim): when the
+    // topic's stored bytes exceed the limit (50 % of total), the broker
+    // deletes the OLDEST whole ledgers, but never past the ack floor
+    // (min moved cursor across subscriptions — the same movedCursors
+    // the TTL-expiry key produces, so the composition discipline
+    // holds: a stuck subscription would pin this trim exactly as it
+    // pins the time-based one until the TTL move unblocks it). A
+    // ledger is trimmed iff it is fully acked AND the size BEFORE
+    // trimming it still exceeds the limit. The running-size window
+    // runs over the per-ledger frame (corpus/128 rows — metadata
+    // scale, ledgers are GB-sized at a real broker), never the corpus.
+    "obs_retention_size" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val minMd = Streams.movedCursors(ev)
+        .agg(min(col("new_ack_pos")).as("min_md"))
+      val ledgers = ev
+        .groupBy(expr(s"event_id div $ledgerWidth").as("ledger_id"))
+        .agg(sum(length(graft.relational.Filters.chunkPayload))
+          .as("bytes"), max(col("event_id")).as("max_pos"))
+        .localCheckpoint() // n/128 rows; totals + trim scan read it
+      val tot = ledgers.agg(sum(col("bytes")).as("total"),
+        count(lit(1)).as("n_ledgers"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("ledger_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      ledgers.crossJoin(broadcast(minMd)).crossJoin(broadcast(tot))
+        .withColumn("limit_bytes", expr("total div 2"))
+        .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .withColumn("trimmed",
+          col("max_pos") <= col("min_md") &&
+          col("total") - col("before") > col("limit_bytes"))
+        .groupBy("n_ledgers", "total", "limit_bytes")
+        .agg(sum(when(col("trimmed"), 1L).otherwise(0L)).as("n_trimmed"),
+          coalesce(sum(when(col("trimmed"), col("bytes"))), lit(0L))
+            .as("bytes_reclaimed"),
+          coalesce(min(when(!col("trimmed"), col("ledger_id"))), lit(-1L))
+            .as("first_kept_ledger"),
+          coalesce(max(when(col("trimmed"), col("max_pos"))), lit(-1L))
+            .as("trim_pos"))
+        .select(col("n_ledgers"), col("total").as("bytes_total"),
+          col("limit_bytes"), col("n_trimmed"), col("bytes_reclaimed"),
+          (col("total") - col("bytes_reclaimed")).as("bytes_remaining"),
+          col("first_kept_ledger"), col("trim_pos"))
+        .orderBy("n_ledgers")
+    }),
+
     // Namespace bundle load report + hottest-bundle split: topics hash
     // into 2^16 slots split across 4 contiguous bundle ranges (the
     // keyshared/partitioned-topic portable md5 slot); the broker
@@ -341,6 +388,52 @@ object Broker extends QueryPack {
         |  CAST(coalesce(d.slot_checksum, 0) AS BIGINT) AS slot_checksum
         |FROM c LEFT JOIN d USING (subscription, rate)
         |ORDER BY c.subscription""".stripMargin,
+
+    "obs_retention_size" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m,
+        |              date_trunc('second', MAX(ts)) - INTERVAL 7 DAY
+        |                AS cutoff
+        |            FROM events),
+        |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9), ('sub_slow', 0.5),
+        |                               ('sub_paused', 0.0),
+        |                               ('sub_caughtup', 1.0)) s(subscription, f)),
+        |c AS (SELECT CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
+        |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos
+        |      FROM subs, mx),
+        |xp AS (SELECT coalesce(MAX(e.event_id), -1) AS expiry_pos
+        |       FROM events e, mx
+        |       WHERE date_trunc('second', e.ts) <= mx.cutoff),
+        |md AS (SELECT MIN(greatest(ack_pos, expiry_pos)) AS min_md
+        |       FROM c, xp),
+        |l AS (SELECT event_id // 128 AS ledger_id,
+        |        CAST(SUM(length(event_type || ':' ||
+        |          CAST(user_id AS VARCHAR) || ':' || props)) AS BIGINT)
+        |          AS bytes,
+        |        MAX(event_id) AS max_pos
+        |      FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(bytes) AS BIGINT) AS total,
+        |          COUNT(*) AS n_ledgers FROM l),
+        |t AS (SELECT l.*, md.min_md, tot.total, tot.n_ledgers,
+        |        tot.total // 2 AS limit_bytes,
+        |        CAST(coalesce(SUM(bytes) OVER (ORDER BY ledger_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS before
+        |      FROM l, md, tot),
+        |tr AS (SELECT *, (max_pos <= min_md AND
+        |         total - before > limit_bytes) AS trimmed FROM t)
+        |SELECT CAST(n_ledgers AS BIGINT) AS n_ledgers,
+        |  total AS bytes_total, CAST(limit_bytes AS BIGINT) AS limit_bytes,
+        |  CAST(SUM(CASE WHEN trimmed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_trimmed,
+        |  CAST(coalesce(SUM(CASE WHEN trimmed THEN bytes END), 0)
+        |    AS BIGINT) AS bytes_reclaimed,
+        |  CAST(total - coalesce(SUM(CASE WHEN trimmed THEN bytes END), 0)
+        |    AS BIGINT) AS bytes_remaining,
+        |  CAST(coalesce(MIN(CASE WHEN NOT trimmed THEN ledger_id END), -1)
+        |    AS BIGINT) AS first_kept_ledger,
+        |  CAST(coalesce(MAX(CASE WHEN trimmed THEN max_pos END), -1)
+        |    AS BIGINT) AS trim_pos
+        |FROM tr GROUP BY 1, 2, 3 ORDER BY n_ledgers""".stripMargin,
 
     "source_tiered_offload" ->
       """WITH mx AS (SELECT MAX(event_id // 128) AS ml FROM events)

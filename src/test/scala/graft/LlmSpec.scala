@@ -971,4 +971,23 @@ class LlmSpec extends AnyFunSuite {
       assert(got == want, s"cell $cell selected $got != expected prototypes $want")
     }
   }
+
+  test("sample_epoch_plan: epoch arithmetic is self-consistent and the deficit fires only at the cap") {
+    val rows = SparkEntry.queries("sample_epoch_plan")(spark, dir).collect()
+    assert(rows.length === 5, "one plan row per fixture language")
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      val (tok, tgt, ep, pl, df) = (r.getAs[Long]("tokens"),
+        r.getAs[Long]("target"), r.getAs[Long]("epochs"),
+        r.getAs[Long]("planned_tokens"), r.getAs[Long]("deficit"))
+      assert(ep >= 1 && ep <= 4, s"${r.getString(0)}: epochs $ep out of [1,4]")
+      assert(pl === ep * tok)
+      // a deficit exists exactly when the 4-epoch cap binds: below the
+      // cap the ceiling division guarantees planned ≥ target
+      assert((df > 0) === (ep == 4L && pl < tgt),
+        s"${r.getString(0)}: deficit $df inconsistent with epochs $ep planned $pl target $tgt")
+      assert(df === math.max(0L, tgt - pl))
+    }
+  }
 }

@@ -2176,6 +2176,24 @@ class StreamSpec extends AnyFunSuite {
     assert(halves.map(_.getAs[Long]("n_msgs")).sum === hot.getAs[Long]("n_msgs"),
       "the split must conserve the hot bundle's load")
 
+    // size-based retention: the trim respects BOTH constraints — never
+    // past the ack floor (the SAME moved cursors the TTL-expiry key
+    // produces), and it stops as soon as the size drops to the limit
+    val rs = SparkEntry.queries("obs_retention_size")(spark, dir)
+      .collect()(0)
+    val minMoved = SparkEntry.queries("stream_msg_expiry")(spark, dir)
+      .collect().map(_.getLong(2)).min
+    assert(rs.getAs[Long]("trim_pos") <= minMoved,
+      "size trim must never pass the min moved cursor")
+    assert(rs.getAs[Long]("bytes_reclaimed") + rs.getAs[Long]("bytes_remaining")
+      === rs.getAs[Long]("bytes_total"))
+    val sizeBinds = rs.getAs[Long]("bytes_remaining") <= rs.getAs[Long]("limit_bytes")
+    val ackBinds = rs.getAs[Long]("trim_pos") + 1 > minMoved - graft.streaming.Broker.ledgerWidth
+    assert(sizeBinds || ackBinds,
+      "trim must stop for a reason: size at/below limit or ack floor reached")
+    assert(rs.getAs[Long]("first_kept_ledger") === rs.getAs[Long]("n_trimmed"),
+      "trimmed ledgers must be exactly the oldest prefix")
+
     // priority dispatch: round-robin gives c0 first pick in every tick,
     // so it can never trail c1 in messages or active ticks
     val pr = SparkEntry.queries("stream_consumer_priority")(spark, dir)
