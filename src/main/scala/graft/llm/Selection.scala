@@ -294,6 +294,45 @@ object Selection extends QueryPack {
         .orderBy("lang")
     }),
 
+    // The dedup→mix feedback loop: exact dedup (the dedup_exact
+    // sha-256 keep-min convention) changes each language's token mass,
+    // which changes its epoch plan — the census a mix owner reruns
+    // after every curation pass. Budget and per-language target stay
+    // pinned to the RAW plan (the budget was set before dedup), so
+    // epoch_delta isolates the dedup effect: a language whose
+    // duplicate share pushed it over its target now needs more epochs
+    // of the deduped corpus. dup_share_bp is fixed-point basis points
+    // (×10⁴ div) so both engines agree exactly. Two corpus passes
+    // (raw census; hash-group then census), both lang/hash-keyed with
+    // map-side partials.
+    "dedup_epoch_interaction" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val raw = docs.groupBy("lang")
+        .agg(sum(nTok).as("tokens_raw"))
+        .localCheckpoint() // 5 rows; the total and the final plan read it
+      val dedup = docs
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min_by(col("lang"), col("doc_id")).as("lang"),
+          min(nTok).as("tok")) // all copies share the text → min is exact
+        .groupBy("lang").agg(sum(col("tok")).as("tokens_dedup"))
+      val tot = raw.agg(sum(col("tokens_raw")).as("total"),
+        count(lit(1)).as("nl"))
+      raw.join(dedup, Seq("lang"))
+        .crossJoin(broadcast(tot))
+        .withColumn("target", expr("(2 * total) div nl"))
+        .withColumn("dup_share_bp",
+          expr("((tokens_raw - tokens_dedup) * 10000) div tokens_raw"))
+        .withColumn("epochs_raw",
+          least(lit(4L), expr("(target + tokens_raw - 1) div tokens_raw")))
+        .withColumn("epochs_dedup",
+          least(lit(4L), expr("(target + tokens_dedup - 1) div tokens_dedup")))
+        .withColumn("epoch_delta", col("epochs_dedup") - col("epochs_raw"))
+        .select("lang", "tokens_raw", "tokens_dedup", "dup_share_bp",
+          "epochs_raw", "epochs_dedup", "epoch_delta")
+        .orderBy("lang")
+    }),
+
     "text_classifier_score" -> ((s, dir) =>
       classifierLogits(Tables.documents(s, dir), classifierWeights(s))
         .select(col("doc_id"), col("logit_raw"), col("n_tok"),
@@ -309,6 +348,34 @@ object Selection extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_epoch_interaction" ->
+      """WITH raw AS (
+        |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |    AS tokens_raw
+        |  FROM documents GROUP BY 1),
+        |dd AS (
+        |  SELECT arg_min(lang, doc_id) AS lang,
+        |    CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS tok
+        |  FROM documents GROUP BY sha256(text)),
+        |ded AS (SELECT lang, CAST(SUM(tok) AS BIGINT) AS tokens_dedup
+        |        FROM dd GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tokens_raw) AS BIGINT) AS total,
+        |          COUNT(*) AS nl FROM raw),
+        |p AS (SELECT raw.lang, tokens_raw, tokens_dedup,
+        |        (2 * total) // nl AS target
+        |      FROM raw JOIN ded USING (lang), tot)
+        |SELECT lang, tokens_raw, tokens_dedup,
+        |  CAST(((tokens_raw - tokens_dedup) * 10000) // tokens_raw
+        |    AS BIGINT) AS dup_share_bp,
+        |  CAST(least(4, (target + tokens_raw - 1) // tokens_raw)
+        |    AS BIGINT) AS epochs_raw,
+        |  CAST(least(4, (target + tokens_dedup - 1) // tokens_dedup)
+        |    AS BIGINT) AS epochs_dedup,
+        |  CAST(least(4, (target + tokens_dedup - 1) // tokens_dedup)
+        |    - least(4, (target + tokens_raw - 1) // tokens_raw)
+        |    AS BIGINT) AS epoch_delta
+        |FROM p ORDER BY lang""".stripMargin,
+
     "sample_epoch_plan" ->
       """WITH pl AS (
         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

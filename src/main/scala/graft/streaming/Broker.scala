@@ -270,6 +270,32 @@ object Broker extends QueryPack {
         .orderBy("phase", "lo")
     }),
 
+    // The pulsar-admin `topics stats` rollup — the one observability
+    // view a topic owner reads first: per-topic message/byte counters,
+    // average message size, distinct producers (the chunkRows
+    // producer convention, user_id mod 8), ledger count (the
+    // 128-position convention) and the position span. One scan, one
+    // 5-group census; avg is integer div so both engines agree.
+    "obs_topic_stats" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select(concat(lit("topic_"), col("event_type")).as("topic"),
+          col("event_id"),
+          pmod(col("user_id"), lit(8)).as("producer_id"),
+          expr(s"event_id div $ledgerWidth").as("ledger_id"),
+          length(graft.relational.Filters.chunkPayload).cast("long")
+            .as("bytes"))
+        .groupBy("topic")
+        .agg(count(lit(1)).as("msg_in_counter"),
+          sum(col("bytes")).as("bytes_in_counter"),
+          countDistinct(col("producer_id")).as("n_producers"),
+          countDistinct(col("ledger_id")).as("n_ledgers"),
+          min(col("event_id")).as("min_pos"),
+          max(col("event_id")).as("max_pos"))
+        .withColumn("avg_msg_bytes",
+          expr("bytes_in_counter div msg_in_counter"))
+        .orderBy("topic")
+    }),
+
     // Priority-level dispatch (Shared subscription `priorityLevel`):
     // two priority-0 consumers (2 permits per tick each, round-robin)
     // take a tick's messages first; the priority-1 consumer (4
@@ -484,6 +510,18 @@ object Broker extends QueryPack {
          |      UNION ALL SELECT 'after' AS phase, * FROM after)
          |ORDER BY phase, lo""".stripMargin
     },
+
+    "obs_topic_stats" ->
+      """SELECT 'topic_' || event_type AS topic,
+        |  CAST(COUNT(*) AS BIGINT) AS msg_in_counter,
+        |  CAST(SUM(length(event_type || ':' || CAST(user_id AS VARCHAR)
+        |    || ':' || props)) AS BIGINT) AS bytes_in_counter,
+        |  CAST(COUNT(DISTINCT user_id % 8) AS BIGINT) AS n_producers,
+        |  CAST(COUNT(DISTINCT event_id // 128) AS BIGINT) AS n_ledgers,
+        |  MIN(event_id) AS min_pos, MAX(event_id) AS max_pos,
+        |  CAST(SUM(length(event_type || ':' || CAST(user_id AS VARCHAR)
+        |    || ':' || props)) // COUNT(*) AS BIGINT) AS avg_msg_bytes
+        |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
 
     "stream_consumer_priority" ->
       """WITH t AS (

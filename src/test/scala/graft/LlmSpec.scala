@@ -990,4 +990,24 @@ class LlmSpec extends AnyFunSuite {
       assert(df === math.max(0L, tgt - pl))
     }
   }
+
+  test("dedup_epoch_interaction: agrees with the standalone epoch plan on the raw side; dedup only shrinks tokens") {
+    val inter = SparkEntry.queries("dedup_epoch_interaction")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val plan = SparkEntry.queries("sample_epoch_plan")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(inter.keySet === plan.keySet)
+    inter.foreach { case (lang, r) =>
+      // same raw census, same budget → the raw side must reproduce the
+      // standalone plan exactly (the composition discipline)
+      assert(r.getAs[Long]("tokens_raw") === plan(lang).getAs[Long]("tokens"))
+      assert(r.getAs[Long]("epochs_raw") === plan(lang).getAs[Long]("epochs"))
+      val (tr, td) = (r.getAs[Long]("tokens_raw"), r.getAs[Long]("tokens_dedup"))
+      assert(td <= tr && td > 0, s"$lang: dedup must shrink tokens, not grow")
+      val bp = r.getAs[Long]("dup_share_bp")
+      assert(bp >= 0 && bp <= 10000)
+      assert(r.getAs[Long]("epochs_dedup") >= r.getAs[Long]("epochs_raw"),
+        s"$lang: fewer tokens can never need fewer epochs for the same target")
+    }
+  }
 }

@@ -826,6 +826,20 @@ class PlanSpec extends AnyFunSuite {
     assert(cp.contains("Window"), s"consumer_priority:\n$cp")
     assert(!cp.contains("SinglePartition"),
       s"consumer_priority: no global single-partition stage belongs here:\n$cp")
+
+    // obs_topic_stats: one scan, no join; the countDistinct pair
+    // partial-aggregates before shuffling
+    val ts = physical("obs_topic_stats")
+    assert(!ts.contains("Join"), s"topic_stats must not join:\n$ts")
+    assert("Exchange hashpartitioning".r.findAllIn(ts).size <= 2,
+      s"topic_stats: unexpected exchange:\n$ts")
+
+    // dedup_epoch_interaction: the dedup side shuffles hash-keyed with
+    // map-side partials; the plan arithmetic joins ≤5-row frames
+    val de = physical("dedup_epoch_interaction")
+    assert(!de.contains("CartesianProduct"), s"epoch_interaction:\n$de")
+    assert(de.contains("partial_min") || de.contains("partial_sum"),
+      s"epoch_interaction: dedup census must partial-aggregate map-side:\n$de")
   }
 
   test("sample_cluster_balanced: the cap prunes map-side via WindowGroupLimit; window partitions by cell") {
