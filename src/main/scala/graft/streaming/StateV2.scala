@@ -135,6 +135,33 @@ class ProducerDedupProcessor
   }
 }
 
+/** PIP-54 batch-index ack shapes: one entry's ledger state is the
+  * pair (messages seen, indices acked) — the census-sufficient
+  * summary of the broker's per-entry ack bitmap (the bitmap's bits
+  * are recoverable from the ack predicate; the broker persists the
+  * counts' worth of markDelete math). */
+case class BatchAckIn(entry_id: Long, event_id: Long, acked: Boolean)
+case class BatchAckState(n_msgs: Long, n_acked: Long)
+case class BatchAckOut(entry_id: Long, n_msgs: Long, n_acked: Long)
+
+class BatchIndexAckProcessor
+    extends StatefulProcessor[Long, BatchAckIn, BatchAckOut] {
+  @transient private var st: ValueState[BatchAckState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[BatchAckState]("entry",
+      Encoders.product[BatchAckState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[BatchAckIn],
+      tv: TimerValues): Iterator[BatchAckOut] = {
+    val cur = if (st.exists()) st.get() else BatchAckState(0L, 0L)
+    var (m, a) = (cur.n_msgs, cur.n_acked)
+    rows.foreach { r => m += 1; if (r.acked) a += 1 }
+    st.update(BatchAckState(m, a))
+    Iterator.single(BatchAckOut(key, m, a))
+  }
+}
+
 /** PIP-37 chunked-message reassembly shapes: chunks keyed by
   * (producer, message sequence); state = the chunk pieces received so
   * far (bounded by total_chunks, itself bounded by the producer's
@@ -249,6 +276,25 @@ object StateV2 {
       .groupByKey(_.producer_id)
       .transformWithState(new ProducerDedupProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** PIP-54 batch-index ack tracking stream: the broker's per-entry
+    * ack bitmap as live state — key = entry, ValueState = (messages
+    * seen, indices acked). Update mode emits the refreshed entry
+    * totals each micro-batch; the final row per entry is the entry's
+    * ledger state, and the census over those rows must equal the
+    * batch twin (stream_batch_index_ack). Input frame must carry
+    * (entry_id, event_id, acked). */
+  def batchIndexAckStream(msgs: DataFrame): Dataset[BatchAckOut] = {
+    val s = msgs.sparkSession
+    import s.implicits._
+    msgs.select(col("entry_id").cast("long").as("entry_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("acked").cast("boolean").as("acked"))
+      .as[BatchAckIn]
+      .groupByKey(_.entry_id)
+      .transformWithState(new BatchIndexAckProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Chunked-message reassembly stream (PIP-37): chunks keyed by

@@ -2105,6 +2105,82 @@ class StreamSpec extends AnyFunSuite {
       "the discovered topic's rows arrive exactly once, with provenance")
   }
 
+  test("transformWithState batch-index acks: live per-entry bitmap state == batch census; restart-safe") {
+    import graft.streaming.StateV2
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(conf)
+    spark.conf.set(conf, GraftSession.rocksDBProvider)
+    try {
+      // the key's exact fixture: entries of 4, acked = user_id%3 != 0;
+      // even/odd split → every entry's indices arrive across TWO
+      // micro-batches, so the ValueState genuinely accumulates
+      val ev = Tables.events(spark, dir)
+        .select(expr("event_id div 4").as("entry_id"), col("event_id"),
+          (pmod(col("user_id"), lit(3)) =!= 0).as("acked"))
+      val inDir = Files.createTempDirectory("graft_bia_in").toString
+      ev.where(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("append").json(inDir)
+      ev.where(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("append").json(inDir)
+      val ckpt = Files.createTempDirectory("graft_ckpt_bia").toString
+      val outDir = Files.createTempDirectory("graft_bia_out").toString
+      def run(): Unit = {
+        val q = StateV2.batchIndexAckStream(
+            spark.readStream
+              .schema("entry_id LONG, event_id LONG, acked BOOLEAN")
+              .option("maxFilesPerTrigger", 1).json(inDir))
+          .writeStream.outputMode("update")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.BatchAckOut],
+             id: Long) =>
+              b.write.mode("overwrite").parquet(s"$outDir/batch=$id"); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      run()
+      // final ledger state per entry = the row with max n_msgs (the
+      // count is monotone across update-mode emissions)
+      def entries() = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("entry_id").orderBy(col("n_msgs").desc)
+        spark.read.parquet(s"$outDir/batch=*")
+          .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+          .select("entry_id", "n_msgs", "n_acked").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      def census(rows: Array[(Long, Long, Long)]): (Long, Long, Long, Long) = {
+        val md = rows.filter { case (_, m, a) => a != m }
+          .map(_._1).sorted.headOption.map(_ - 1)
+          .getOrElse(rows.map(_._1).max)
+        (rows.length.toLong,
+          rows.count { case (_, m, a) => a == m }.toLong, md,
+          rows.filter(_._1 > md).map { case (_, m, a) => m - a }.sum)
+      }
+      val twin = SparkEntry.queries("stream_batch_index_ack")(spark, dir)
+        .collect()(0)
+      val (n, full, md, redeliver) = census(entries())
+      assert(n === twin.getAs[Long]("n_entries"))
+      assert(full === twin.getAs[Long]("full_entries"))
+      assert(md === twin.getAs[Long]("mark_delete_entry"))
+      assert(redeliver === twin.getAs[Long]("redeliver_pip54"),
+        "the live ack state must reproduce the batch census exactly")
+      // truncated-commit restart: the replayed epoch restores the
+      // rewound ValueState and re-emits identical ledger rows
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+      commits.last.delete()
+      if (crc.exists()) crc.delete()
+      run()
+      assert(census(entries()) === ((n, full, md, redeliver)))
+    } finally before match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
   test("wave-4 broker resource keys: cross-key invariants hold on the shared fixtures") {
     // the wave-4 pack reads the SAME subCursors fixture and position
     // convention as the wave-2 broker-state triad, so the invariants
