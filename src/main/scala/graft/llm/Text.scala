@@ -160,6 +160,28 @@ object Text extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // quality-filter aggressiveness curve — the quality twin of
+    // dedup_retention_curve: survivors (docs AND tokens) per threshold
+    // τ over the grid a filter owner actually sweeps. One scored pass
+    // crossed with the 7-row broadcast grid (map-side expansion), one
+    // 7-group census. The token column is the decision-relevant one:
+    // a threshold that keeps 80 % of docs can still drop 40 % of
+    // tokens if it culls the long tail.
+    "quality_threshold_curve" -> ((s, dir) => {
+      val s2 = s; import s2.implicits._
+      val scored = Tables.documents(s, dir)
+        .select(qualityScore(col("text")).as("q"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val grid = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9).toDF("tau")
+      scored.crossJoin(broadcast(grid))
+        .groupBy("tau")
+        .agg(sum(when(col("q") >= col("tau"), 1L).otherwise(0L))
+          .as("n_docs"),
+          coalesce(sum(when(col("q") >= col("tau"), col("n_tok"))), lit(0L))
+            .as("n_tokens"))
+        .orderBy("tau")
+    }),
+
     // training-data chunking: overlapping character windows (size 200,
     // stride 150) with per-chunk token counts — the layout step that
     // turns documents into model-sized training rows. Pure plan-side
@@ -256,6 +278,20 @@ object Text extends QueryPack {
         |  ROUND(CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
         |        AS DOUBLE) / length(text), 4) AS vowel_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_threshold_curve" ->
+      s"""WITH d AS (
+         |  SELECT $qualityScoreD AS q,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |g AS (SELECT CAST(tau AS DOUBLE) AS tau FROM (VALUES (0.3), (0.4),
+         |        (0.5), (0.6), (0.7), (0.8), (0.9)) t(tau))
+         |SELECT tau,
+         |  CAST(SUM(CASE WHEN q >= tau THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs,
+         |  CAST(coalesce(SUM(CASE WHEN q >= tau THEN n_tok END), 0)
+         |    AS BIGINT) AS n_tokens
+         |FROM d, g GROUP BY 1 ORDER BY tau""".stripMargin,
 
     "text_quality" ->
       """WITH q AS (

@@ -270,6 +270,86 @@ object Broker extends QueryPack {
         .orderBy("phase", "lo")
     }),
 
+    // ackTimeout redelivery — the redelivery path real consumers hit
+    // most (no nack needed: the consumer just doesn't ack in time).
+    // Fixture: processing time = user_id mod 128 + 1 seconds, halving
+    // per attempt (warm caches); ackTimeout T = 8 s; 4 attempts, then
+    // the dead-letter policy fires. A message acks on the first
+    // attempt whose halved processing time fits inside T — pure
+    // integer arithmetic (same div on both engines), so the whole
+    // ladder is map-side: no loop, no join, one ≤5-group census. The
+    // clock checksum pins every message's ack instant (k−1 timeouts
+    // of T each + the fitting attempt's processing time).
+    "stream_ack_timeout" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val t = 8L
+      val attempt = when(col("delay") <= t, 1L)
+        .when(expr("delay div 2") <= t, 2L)
+        .when(expr("delay div 4") <= t, 3L)
+        .when(expr("delay div 8") <= t, 4L)
+      val procTime = when(col("k") === 1, col("delay"))
+        .when(col("k") === 2, expr("delay div 2"))
+        .when(col("k") === 3, expr("delay div 4"))
+        .otherwise(expr("delay div 8"))
+      ev.select((pmod(col("user_id"), lit(128)) + 1).as("delay"))
+        .select(col("delay"), attempt.as("k"))
+        .select(
+          when(col("k").isNotNull, "ACKED").otherwise("TIMEOUT_DLQ")
+            .as("disposition"),
+          coalesce(col("k"), lit(4L)).as("attempts"),
+          when(col("k").isNotNull, (col("k") - 1) * t + procTime)
+            .otherwise(lit(4L * t)).as("ack_offset_s"))
+        .groupBy("disposition", "attempts")
+        .agg(count(lit(1)).as("n"), sum(col("ack_offset_s")).as("clock_checksum"))
+        .orderBy("disposition", "attempts")
+    }),
+
+    // Individual vs cumulative acknowledgment, as ledger accounting:
+    // acknowledgeCumulative can only move markDelete (the prefix
+    // cursor), while individual acks above it persist as the managed
+    // ledger's individuallyDeletedMessages RANGE SET — the broker's
+    // real storage cost is the RANGE COUNT, not the ack count. The
+    // obs_ack_holes fixture (per-sub pmod-7 scattered acks) makes the
+    // range census pure arithmetic: a run starts at e iff e is acked
+    // and e−1 is not — both evaluable map-side on the same row, no
+    // self-join, no window. avg_run_len is the compactness the
+    // range-set compression actually sees.
+    "obs_cumulative_ack" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mx = ev.agg(max(col("event_id")).as("m"))
+      val cur = Streams.subCursors(ev).crossJoin(broadcast(mx))
+        .withColumn("k",
+          when(col("subscription") === "sub_fast", 0L)
+            .when(col("subscription") === "sub_slow", 1L)
+            .when(col("subscription") === "sub_paused", 2L)
+            .otherwise(3L))
+        .localCheckpoint()
+      val acked = pmod(col("event_id"), lit(7)) === col("k")
+      val ackedPrev = pmod(col("event_id") - 1, lit(7)) === col("k")
+      val md = ev.join(broadcast(cur), col("event_id") > col("ack_pos"))
+        .groupBy("subscription")
+        .agg((min(when(!acked, col("event_id"))) - 1).as("md0"))
+      val withMd = cur.join(broadcast(md), Seq("subscription"), "left")
+        .select(col("subscription"), col("ack_pos"), col("k"),
+          coalesce(col("md0"), greatest(col("ack_pos"), col("m")))
+            .as("mark_delete"))
+        .localCheckpoint()
+      val census = ev.join(broadcast(withMd),
+          col("event_id") > col("mark_delete"))
+        .groupBy("subscription")
+        .agg(sum(when(acked, 1L).otherwise(0L)).as("n_acked_above"),
+          sum(when(acked && !ackedPrev, 1L).otherwise(0L)).as("n_ranges"))
+      withMd.select(col("subscription"), col("mark_delete"))
+        .join(broadcast(census), Seq("subscription"), "left")
+        .select(col("subscription"), col("mark_delete"),
+          coalesce(col("n_acked_above"), lit(0L)).as("n_acked_above"),
+          coalesce(col("n_ranges"), lit(0L)).as("n_ranges"),
+          when(coalesce(col("n_ranges"), lit(0L)) > 0,
+            expr("n_acked_above div n_ranges")).otherwise(lit(0L))
+            .as("avg_run_len"))
+        .orderBy("subscription")
+    }),
+
     // The pulsar-admin `topics stats` rollup — the one observability
     // view a topic owner reads first: per-topic message/byte counters,
     // average message size, distinct producers (the chunkRows
@@ -510,6 +590,61 @@ object Broker extends QueryPack {
          |      UNION ALL SELECT 'after' AS phase, * FROM after)
          |ORDER BY phase, lo""".stripMargin
     },
+
+    "stream_ack_timeout" ->
+      """WITH d AS (SELECT (user_id % 128) + 1 AS delay FROM events),
+        |a AS (SELECT delay,
+        |        CASE WHEN delay <= 8 THEN 1
+        |             WHEN delay // 2 <= 8 THEN 2
+        |             WHEN delay // 4 <= 8 THEN 3
+        |             WHEN delay // 8 <= 8 THEN 4 END AS k
+        |      FROM d),
+        |r AS (SELECT
+        |        CASE WHEN k IS NOT NULL THEN 'ACKED'
+        |             ELSE 'TIMEOUT_DLQ' END AS disposition,
+        |        CAST(coalesce(k, 4) AS BIGINT) AS attempts,
+        |        CASE WHEN k IS NOT NULL THEN (k - 1) * 8 +
+        |          (CASE k WHEN 1 THEN delay WHEN 2 THEN delay // 2
+        |                  WHEN 3 THEN delay // 4 ELSE delay // 8 END)
+        |        ELSE 32 END AS ack_offset_s
+        |      FROM a)
+        |SELECT disposition, attempts, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(ack_offset_s) AS BIGINT) AS clock_checksum
+        |FROM r GROUP BY 1, 2 ORDER BY disposition, attempts""".stripMargin,
+
+    "obs_cumulative_ack" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+        |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9, 0), ('sub_slow', 0.5, 1),
+        |                               ('sub_paused', 0.0, 2),
+        |                               ('sub_caughtup', 1.0, 3)) s(subscription, f, k)),
+        |c AS (SELECT subscription, k,
+        |        CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
+        |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos, m
+        |      FROM subs, mx),
+        |md AS (SELECT c.subscription,
+        |         MIN(CASE WHEN e.event_id % 7 <> c.k
+        |             THEN e.event_id END) - 1 AS md0
+        |       FROM events e JOIN c ON e.event_id > c.ack_pos
+        |       GROUP BY 1),
+        |w AS (SELECT c.subscription, c.k,
+        |        coalesce(md.md0, greatest(c.ack_pos, c.m)) AS mark_delete
+        |      FROM c LEFT JOIN md USING (subscription)),
+        |a AS (SELECT w.subscription,
+        |        CAST(SUM(CASE WHEN e.event_id % 7 = w.k
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_acked_above,
+        |        CAST(SUM(CASE WHEN e.event_id % 7 = w.k AND
+        |          ((e.event_id - 1) % 7 + 7) % 7 <> w.k
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_ranges
+        |      FROM events e JOIN w ON e.event_id > w.mark_delete
+        |      GROUP BY 1)
+        |SELECT w.subscription, w.mark_delete,
+        |  coalesce(a.n_acked_above, 0) AS n_acked_above,
+        |  coalesce(a.n_ranges, 0) AS n_ranges,
+        |  CAST(CASE WHEN coalesce(a.n_ranges, 0) > 0
+        |       THEN a.n_acked_above // a.n_ranges ELSE 0 END AS BIGINT)
+        |    AS avg_run_len
+        |FROM w LEFT JOIN a USING (subscription)
+        |ORDER BY w.subscription""".stripMargin,
 
     "obs_topic_stats" ->
       """SELECT 'topic_' || event_type AS topic,

@@ -991,6 +991,27 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("quality_threshold_curve: monotone in tau and consistent with the per-doc scores") {
+    val curve = SparkEntry.queries("quality_threshold_curve")(spark, dir)
+      .collect().map(r => (r.getDouble(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"))).sortBy(_._1)
+    assert(curve.length === 7)
+    curve.sliding(2).foreach { case Array((t1, d1, k1), (t2, d2, k2)) =>
+      assert(d1 >= d2 && k1 >= k2,
+        s"survivors must be non-increasing in tau ($t1 -> $t2)")
+    }
+    // cross-key: the curve's counts are exactly the per-doc score
+    // table filtered at each tau (same score definition, by construction)
+    val scores = SparkEntry.queries("text_quality")(spark, dir)
+      .select("quality", "n_tok").collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    curve.foreach { case (tau, d, k) =>
+      val surv = scores.filter(_._1 >= tau)
+      assert(surv.length.toLong === d && surv.map(_._2).sum === k,
+        s"tau=$tau: curve disagrees with the per-doc score table")
+    }
+  }
+
   test("dedup_epoch_interaction: agrees with the standalone epoch plan on the raw side; dedup only shrinks tokens") {
     val inter = SparkEntry.queries("dedup_epoch_interaction")(spark, dir)
       .collect().map(r => r.getString(0) -> r).toMap

@@ -827,6 +827,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!cp.contains("SinglePartition"),
       s"consumer_priority: no global single-partition stage belongs here:\n$cp")
 
+    // stream_ack_timeout: the whole ladder is map-side arithmetic —
+    // no loop, no join, one census exchange
+    val at = physical("stream_ack_timeout")
+    assert(!at.contains("Join"), s"ack_timeout must not join:\n$at")
+    assert("Exchange hashpartitioning".r.findAllIn(at).size == 1,
+      s"ack_timeout: expected exactly the census exchange:\n$at")
+
+    // obs_cumulative_ack: same ledger shape as obs_ack_holes —
+    // broadcast inequality passes, tiny aggregates only; the range
+    // census is row-local arithmetic (no self-join, no window)
+    val ca = physical("obs_cumulative_ack")
+    assert(ca.contains("BroadcastNestedLoopJoin") &&
+      !ca.contains("CartesianProduct"), s"cumulative_ack:\n$ca")
+    assert(!ca.contains("Window"),
+      s"cumulative_ack: the run census must not need a window:\n$ca")
+    assert("Exchange hashpartitioning".r.findAllIn(ca).size <= 2,
+      s"cumulative_ack: unexpected corpus-keyed exchange:\n$ca")
+
+    // quality_threshold_curve: broadcast grid expansion, one census
+    val qc = physical("quality_threshold_curve")
+    assert(qc.contains("BroadcastNestedLoopJoin") &&
+      !qc.contains("CartesianProduct"), s"threshold_curve:\n$qc")
+    assert("Exchange hashpartitioning".r.findAllIn(qc).size <= 1,
+      s"threshold_curve: unexpected exchange:\n$qc")
+
     // obs_topic_stats: one scan, no join; the countDistinct pair
     // partial-aggregates before shuffling
     val ts = physical("obs_topic_stats")

@@ -2252,6 +2252,37 @@ class StreamSpec extends AnyFunSuite {
     assert(halves.map(_.getAs[Long]("n_msgs")).sum === hot.getAs[Long]("n_msgs"),
       "the split must conserve the hot bundle's load")
 
+    // ackTimeout ladder: every message lands exactly once; a DLQ'd
+    // message's clock is exactly the four timeout windows
+    val at = SparkEntry.queries("stream_ack_timeout")(spark, dir).collect()
+    assert(at.map(_.getAs[Long]("n")).sum === n)
+    at.foreach { r =>
+      val k = r.getAs[Long]("attempts")
+      assert(k >= 1 && k <= 4)
+      if (r.getString(0) == "TIMEOUT_DLQ")
+        assert(r.getAs[Long]("clock_checksum") === 32L * r.getAs[Long]("n"),
+          "a dead-lettered message's clock is 4 ackTimeout windows, nothing else")
+    }
+
+    // cumulative vs individual acks: markDelete and the ack census
+    // must agree with obs_ack_holes (same fixture, same definitions);
+    // the range count can never exceed the ack count
+    val holesRows = SparkEntry.queries("obs_ack_holes")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("mark_delete"), r.getAs[Long]("n_holes"))).toMap
+    SparkEntry.queries("obs_cumulative_ack")(spark, dir).collect()
+      .foreach { r =>
+        val sub = r.getString(0)
+        assert(r.getAs[Long]("mark_delete") === holesRows(sub)._1,
+          s"$sub: cumulative cursor must equal the ack-holes markDelete")
+        assert(r.getAs[Long]("n_acked_above") === holesRows(sub)._2,
+          s"$sub: individual-ack census must equal the hole census")
+        val (ranges, acked) = (r.getAs[Long]("n_ranges"), r.getAs[Long]("n_acked_above"))
+        assert(ranges <= acked)
+        assert((ranges == 0) === (acked == 0),
+          s"$sub: acked positions above markDelete form ≥1 range")
+      }
+
     // size-based retention: the trim respects BOTH constraints — never
     // past the ack floor (the SAME moved cursors the TTL-expiry key
     // produces), and it stops as soon as the size drops to the limit
