@@ -89,6 +89,39 @@ object Curate extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The curation FUNNEL REPORT — the one-page census a corpus owner
+    // reads after every run: docs AND tokens surviving each stage
+    // (eval holdout → quality gate → exact dedup → benchmark
+    // decontamination), each stage the verified definition the
+    // standalone keys use (curateExact's 0.75 gate + sha keep-min,
+    // text_decontaminate's 5-gram eval overlap), so the funnel cannot
+    // drift from the operators it summarizes. The token column is the
+    // budget-relevant one — a stage that drops 3 % of docs can cost
+    // 3× that in tokens if it culls the long tail. Five 1-row
+    // aggregates over progressively shrinking frames, unioned.
+    "pipeline_funnel_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 100000L
+      val s1 = docs.where(!isEval)
+      val s2 = s1.where(Text.qualityScore(col("text")) >= 0.75)
+      val kept = s2.withColumn("rn", row_number().over(
+          Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+        .where(col("rn") === 1).drop("rn")
+      val dec = Text3.decontaminate(kept, docs.where(isEval))
+      def stage(idx: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(nTok), lit(0L)).as("n_tokens"))
+          .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      stage(0, "raw", docs)
+        .unionByName(stage(1, "eval_holdout", s1))
+        .unionByName(stage(2, "quality_gate", s2))
+        .unionByName(stage(3, "exact_dedup", kept))
+        .unionByName(stage(4, "decontaminated", dec))
+        .orderBy("stage_idx")
+    }),
+
     "pipeline_curate" -> ((s, dir) => {
       // quality gate + exact dedup (shared head), then drop the higher
       // doc_id of each trigram-Jaccard pair from the PERSISTED pair
@@ -151,6 +184,48 @@ object Curate extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_funnel_report" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    (doc_id % 97 = 0 AND doc_id < 100000) AS is_eval,
+         |    ${Text.qualityScoreD} AS q
+         |  FROM documents),
+         |s2 AS (SELECT * FROM d WHERE NOT is_eval AND q >= 0.75),
+         |kept AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY sha256(text)
+         |      ORDER BY doc_id) AS rn FROM s2) WHERE rn = 1),
+         |kg AS (
+         |  SELECT k.doc_id,
+         |    array_to_string(toks[CAST(i AS INT):CAST(i+4 AS INT)], ' ') AS ng
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM kept) k,
+         |    UNNEST(range(1, len(k.toks) - 3)) AS r(i)),
+         |eg AS (
+         |  SELECT DISTINCT
+         |    array_to_string(toks[CAST(i AS INT):CAST(i+4 AS INT)], ' ') AS ng
+         |  FROM (SELECT string_split(text, ' ') AS toks FROM d WHERE is_eval) e,
+         |    UNNEST(range(1, len(e.toks) - 3)) AS r(i)),
+         |contaminated AS (SELECT DISTINCT kg.doc_id FROM kg JOIN eg USING (ng)),
+         |dec AS (SELECT * FROM kept
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM d
+         |  UNION ALL
+         |  SELECT 1, 'eval_holdout', CAST(COUNT(*) AS BIGINT),
+         |    CAST(coalesce(SUM(n_tok), 0) AS BIGINT) FROM d WHERE NOT is_eval
+         |  UNION ALL
+         |  SELECT 2, 'quality_gate', CAST(COUNT(*) AS BIGINT),
+         |    CAST(coalesce(SUM(n_tok), 0) AS BIGINT) FROM s2
+         |  UNION ALL
+         |  SELECT 3, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+         |    CAST(coalesce(SUM(n_tok), 0) AS BIGINT) FROM kept
+         |  UNION ALL
+         |  SELECT 4, 'decontaminated', CAST(COUNT(*) AS BIGINT),
+         |    CAST(coalesce(SUM(n_tok), 0) AS BIGINT) FROM dec)
+         |ORDER BY stage_idx""".stripMargin,
+
     "pipeline_curate" ->
       s"""WITH q AS (
          |  SELECT doc_id, lang, source, text, ${Text.qualityScoreD} AS quality

@@ -1012,6 +1012,26 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_funnel_report: stages only shrink, and each agrees with the standalone operator") {
+    val f = SparkEntry.queries("pipeline_funnel_report")(spark, dir)
+      .collect().map(r => r.getString(1) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    val order = Seq("raw", "eval_holdout", "quality_gate", "exact_dedup",
+      "decontaminated")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(f(b)._1 <= f(a)._1 && f(b)._2 <= f(a)._2,
+        s"funnel must shrink: $a -> $b")
+    }
+    // cross-key: raw == the corpus; the holdout removes exactly the
+    // text_decontaminate eval set; the dedup stage is curateExact
+    val docs = graft.Tables.documents(spark, dir)
+    assert(f("raw")._1 === docs.count())
+    val nEval = docs.where("doc_id % 97 = 0 AND doc_id < 100000").count()
+    assert(f("raw")._1 - f("eval_holdout")._1 === nEval)
+    assert(f("exact_dedup")._1 >= SparkEntry.queries("pipeline_curate")(spark, dir).count(),
+      "the near-dup drop can only remove more than the exact stage")
+  }
+
   test("dedup_epoch_interaction: agrees with the standalone epoch plan on the raw side; dedup only shrinks tokens") {
     val inter = SparkEntry.queries("dedup_epoch_interaction")(spark, dir)
       .collect().map(r => r.getString(0) -> r).toMap
