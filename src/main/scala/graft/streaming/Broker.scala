@@ -350,6 +350,43 @@ object Broker extends QueryPack {
         .orderBy("subscription")
     }),
 
+    // Capacity forecasting — "when does this topic double?": per-topic
+    // daily publish counts → OLS slope (msgs/day) → days until the
+    // stored count doubles at the current trend. The regression runs
+    // entirely in BIGINT (slope carried as an exact num/den pair; the
+    // rounded double is presentation only) so the oracle hash-matches
+    // — the agg_regression lesson, taken one step further: n ≤ 31 days
+    // of small integer counts need no decimal ladder at all. Two-level
+    // aggregate: (topic, day) census with map-side partials, then the
+    // ≤topics×31-row frame folds to one row per topic.
+    "obs_quota_forecast" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev.select(
+          concat(lit("topic_"), col("event_type")).as("topic"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("d"))
+        .groupBy("topic", "d").agg(count(lit(1)).as("y"))
+      val m = daily.groupBy("topic").agg(
+        count(lit(1)).as("n_days"),
+        sum(col("y")).as("total"),
+        sum(col("d")).as("sd"),
+        sum(col("y") * col("d")).as("sdy"),
+        sum(col("d") * col("d")).as("sdd"))
+      m.select(col("topic"), col("n_days"), col("total"),
+          (col("n_days") * col("sdy") - col("sd") * col("total"))
+            .as("slope_num"),
+          (col("n_days") * col("sdd") - col("sd") * col("sd"))
+            .as("slope_den"))
+        .withColumn("slope_msgs_day",
+          round(col("slope_num").cast("double") / col("slope_den"), 4))
+        // doubling needs `total` more messages at slope num/den per day
+        .withColumn("days_to_double",
+          when(col("slope_num") > 0,
+            expr("(total * slope_den + slope_num - 1) div slope_num"))
+            .otherwise(lit(-1L)))
+        .orderBy("topic")
+    }),
+
     // The pulsar-admin `topics stats` rollup — the one observability
     // view a topic owner reads first: per-topic message/byte counters,
     // average message size, distinct producers (the chunkRows
@@ -645,6 +682,34 @@ object Broker extends QueryPack {
         |    AS avg_run_len
         |FROM w LEFT JOIN a USING (subscription)
         |ORDER BY w.subscription""".stripMargin,
+
+    "obs_quota_forecast" ->
+      """WITH daily AS (
+        |  SELECT 'topic_' || event_type AS topic,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT topic, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(y) AS BIGINT) AS total,
+        |    CAST(SUM(d) AS BIGINT) AS sd,
+        |    CAST(SUM(y * d) AS BIGINT) AS sdy,
+        |    CAST(SUM(d * d) AS BIGINT) AS sdd
+        |  FROM daily GROUP BY 1),
+        |p AS (
+        |  SELECT topic, n_days, total,
+        |    n_days * sdy - sd * total AS slope_num,
+        |    n_days * sdd - sd * sd AS slope_den
+        |  FROM m)
+        |SELECT topic, n_days, total,
+        |  CAST(slope_num AS BIGINT) AS slope_num,
+        |  CAST(slope_den AS BIGINT) AS slope_den,
+        |  ROUND(CAST(slope_num AS DOUBLE) / slope_den, 4) AS slope_msgs_day,
+        |  CAST(CASE WHEN slope_num > 0
+        |       THEN (total * slope_den + slope_num - 1) // slope_num
+        |       ELSE -1 END AS BIGINT) AS days_to_double
+        |FROM p ORDER BY topic""".stripMargin,
 
     "obs_topic_stats" ->
       """SELECT 'topic_' || event_type AS topic,

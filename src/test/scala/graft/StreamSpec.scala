@@ -2252,6 +2252,25 @@ class StreamSpec extends AnyFunSuite {
     assert(halves.map(_.getAs[Long]("n_msgs")).sum === hot.getAs[Long]("n_msgs"),
       "the split must conserve the hot bundle's load")
 
+    // capacity forecast: totals must agree with the topic-stats
+    // counters; the integer slope pair is self-consistent with the
+    // rounded presentation value
+    val stats = SparkEntry.queries("obs_topic_stats")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Long]("msg_in_counter")).toMap
+    SparkEntry.queries("obs_quota_forecast")(spark, dir).collect()
+      .foreach { r =>
+        val topic = r.getString(0)
+        assert(r.getAs[Long]("total") === stats(topic),
+          s"$topic: forecast total must equal the stats counter")
+        val (num, den) = (r.getAs[Long]("slope_num"), r.getAs[Long]("slope_den"))
+        assert(den > 0, s"$topic: degenerate regression denominator")
+        assert(math.abs(r.getAs[Double]("slope_msgs_day")
+          - num.toDouble / den) < 1e-3)
+        if (num > 0) assert(r.getAs[Long]("days_to_double") >= 1)
+        else assert(r.getAs[Long]("days_to_double") === -1L)
+      }
+
     // ackTimeout ladder: every message lands exactly once; a DLQ'd
     // message's clock is exactly the four timeout windows
     val at = SparkEntry.queries("stream_ack_timeout")(spark, dir).collect()
