@@ -31,10 +31,15 @@ object Bench {
       .groupBy(col("n_regionkey")).count().count()
     // deterministic (alphabetical) order: run-to-run comparability
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // keys that threw, by name: a crashing key times as ~0 s, which
+    // would FLATTER the total — never let a bench file look healthy on
+    // a broken build (VERDICT r11 item 2). CORRECTNESS still catches
+    // the breakage; this makes the bench self-incriminating too.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def sweep(): Seq[(String, Double)] = names.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      catch { case _: Throwable => failed += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val runs = (1 to reps).map(_ => sweep())
@@ -61,8 +66,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val runsJson = runTotals.map(s3).mkString("[", ",", "]")
+    // Bench-budget tripwire (VERDICT r11 item 2): the driver gate is
+    // hard at 2× of the ~75 s baseline; fail the round-close ritual —
+    // don't discover a breach from the driver's side — if the settled
+    // total exceeds 150 s, any single key exceeds 2.5 s settled, or
+    // any key threw. The flag rides the JSON (machine-checkable by the
+    // ritual script) and stderr (human-visible in the sbt log).
+    val slowKeys = results.filter(_._2 > 2.5).map(_._1)
+    val tripped = scala.collection.mutable.ListBuffer[String]()
+    if (total > 150.0) tripped += f"total ${total}%.1f s > 150 s budget"
+    if (slowKeys.nonEmpty) tripped += s"keys over 2.5 s: ${slowKeys.mkString(",")}"
+    if (failed.nonEmpty) tripped += s"keys threw: ${failed.mkString(",")}"
+    val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
+    val tripJson = tripped.map(t => s""""$t"""").mkString("[", ",", "]")
+    if (tripped.nonEmpty)
+      System.err.println(s"[bench][TRIPWIRE] ${tripped.mkString("; ")}")
     val line =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"sf":"$sfDir","reps":$reps,"run_totals":$runsJson}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"queries_max":$qsMax,"sf":"$sfDir","reps":$reps,"run_totals":$runsJson,"failed":$failedJson,"tripwire":$tripJson}"""
     println(line)
     // loss-proof copy: the stdout line rides an sbt log that gets
     // truncated; a file survives (VERDICT r01 item 8)
@@ -82,7 +102,7 @@ object Bench {
     val slowQs = slow.sortBy(_._1)
       .map { case (k, v) => s""""$k":${s3(v)}""" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$slowQs,"sf":"$sfDir","nqueries":${results.size},"reps":$reps,"run_totals":$runsJson,"queries_note":"slowest 25 of ${results.size}; full set printed above and at /tmp/graft_bench.json"}""")
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$slowQs,"sf":"$sfDir","nqueries":${results.size},"reps":$reps,"run_totals":$runsJson,"failed":$failedJson,"tripwire":$tripJson,"queries_note":"slowest 25 of ${results.size}; full set printed above and at /tmp/graft_bench.json"}""")
     spark.stop()
   }
 }

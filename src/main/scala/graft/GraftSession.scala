@@ -37,6 +37,15 @@ object GraftSession {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       // managed tables (the bucketed-join demo) land outside the repo
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // Codegen class cache sized for the whole operator suite (static
+      // conf — takes effect at first-session build). The default is a
+      // 100-entry LRU shared JVM-wide: a 376-key sweep evicts every
+      // key's generated classes long before its next run, so each
+      // bench rep re-runs janino for nearly every stage — fixed
+      // per-key overhead that grows with suite size (the VERDICT r11
+      // uniform +6.5% drift). 4096 holds the whole suite's stages;
+      // generated classes are small (metaspace, not heap).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
     // Streaming state store, opt-in (SPARK_GRAFT_STATESTORE=rocksdb or
     // .config with rocksDBStateStoreConf directly): the default
     // HDFS-backed provider keeps every key in executor heap — at

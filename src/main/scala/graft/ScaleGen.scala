@@ -48,7 +48,13 @@ import org.apache.spark.sql.functions._
   * (id, id+5e6) and measures per-band recall of the approximate keys.
   *  - events/orders/lineitem/customer: key spaces shifted per copy
   *    (consistent across join keys); dims (nation/region/part/supplier)
-  *    stay single-copy, as dims do at real scale.
+  *    stay single-copy, as dims do at real scale. NOTE (ADVICE r11):
+  *    the c·1e9 event_id offsets leave gaps between copies, so scaled
+  *    events are BENCH-POSTURE-ONLY for the dense-position broker keys
+  *    (invariants like pos_checksum = n(n−1)/2 or "every slot holds
+  *    exactly R" hold per copy, not across the corpus); runtime
+  *    scaling is unaffected — slot/ledger arithmetic costs the same on
+  *    sparse ids.
   *
   * Usage: tools/run.sh graft.ScaleGen <srcSfDir> <outDir> <copies> [twins]
   */

@@ -14,18 +14,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curate extends QueryPack {
 
+  /** The 0.75 quality gate — THE definition; every consumer (the
+    * curate chain, the funnel census) composes this frame-to-frame
+    * helper so the threshold can never fork (ADVICE r11). */
+  private[llm] def qualityGate(docs: DataFrame): DataFrame =
+    docs.withColumn("quality", Text.qualityScore(col("text")))
+      .where(col("quality") >= 0.75)
+
+  /** sha-256 exact dedup, keep-min-doc_id — one hash shuffle; shared
+    * for the same reason as [[qualityGate]]. */
+  private[llm] def exactDedupKeepMin(docs: DataFrame): DataFrame =
+    docs.withColumn("rn", row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+      .where(col("rn") === 1).drop("rn")
+
   /** Quality gate + exact dedup — the shared curate head's cheap map +
     * one-hash-shuffle prefix, used by v1, the pair miner, and the
     * representative chain. */
-  private def curateExact(s: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.documents(s, dir)
-      .withColumn("quality", Text.qualityScore(col("text")))
-      .where(col("quality") >= 0.75)
-    scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
-      .where(col("rn") === 1).drop("rn")
-  }
+  private def curateExact(s: SparkSession, dir: String): DataFrame =
+    exactDedupKeepMin(qualityGate(Tables.documents(s, dir)))
 
   /** Near-dup pairs over the curated-exact survivor set, persisted once
     * per (sfDir, documents fingerprint) — the pair-mining stage is the
@@ -92,10 +99,11 @@ object Curate extends QueryPack {
     // The curation FUNNEL REPORT — the one-page census a corpus owner
     // reads after every run: docs AND tokens surviving each stage
     // (eval holdout → quality gate → exact dedup → benchmark
-    // decontamination), each stage the verified definition the
-    // standalone keys use (curateExact's 0.75 gate + sha keep-min,
-    // text_decontaminate's 5-gram eval overlap), so the funnel cannot
-    // drift from the operators it summarizes. The token column is the
+    // decontamination), each stage COMPOSING the operator it
+    // summarizes (qualityGate / exactDedupKeepMin — the same helpers
+    // curateExact is built from — and Text3.decontaminate), so the
+    // funnel cannot drift from them (ADVICE r11: the previous inline
+    // copy was only inequality-pinned). The token column is the
     // budget-relevant one — a stage that drops 3 % of docs can cost
     // 3× that in tokens if it culls the long tail. Five 1-row
     // aggregates over progressively shrinking frames, unioned.
@@ -104,10 +112,8 @@ object Curate extends QueryPack {
       val nTok = size(split(col("text"), " ")).cast("long")
       val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 100000L
       val s1 = docs.where(!isEval)
-      val s2 = s1.where(Text.qualityScore(col("text")) >= 0.75)
-      val kept = s2.withColumn("rn", row_number().over(
-          Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
-        .where(col("rn") === 1).drop("rn")
+      val s2 = qualityGate(s1)
+      val kept = exactDedupKeepMin(s2)
       val dec = Text3.decontaminate(kept, docs.where(isEval))
       def stage(idx: Int, name: String, df: DataFrame): DataFrame =
         df.agg(count(lit(1)).as("n_docs"),

@@ -134,6 +134,30 @@ object Similarity extends QueryPack {
     t
   }
 
+  /** The top-P IVF cell assignment (vec_id → cell, P rows per vector),
+    * MATERIALIZED once per (sfDir, embeddings fingerprint, P) — the
+    * knnPairsTable discipline applied to the IVF index's coarse layer
+    * (VERDICT r11: sim_ivf_ann re-scored the n×K assignment every run
+    * while every other serving key reads a persisted artifact; in
+    * production the assignment is written by the index build, not by
+    * each query). K and the sub-bucket geometry derive from n, which
+    * the fingerprint pins, so (fingerprint, P) keys the artifact
+    * fully. Consumers: sim_ivf_ann (P = 5) and dedup_semantic_cells
+    * (P = cellsProbes, default 3). */
+  private def ivfAssignTable(s: SparkSession, dir: String, p: Int): String = {
+    val pfx = s"ivf_assign_p${p}_${Tables.pathKey(dir)}_"
+    val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "embeddings"))}"
+    if (!s.catalog.tableExists(t)) {
+      Tables.dropStaleTables(s, pfx)
+      val n = Tables.embeddings(s, dir).count()
+      val k = ivfCells(n)
+      assignCells(vecs(s, dir), learnedCentroids(s, dir, k), p,
+        viaBroadcast = assignViaBroadcast(k))
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+    t
+  }
+
   /** Percolation guard (VERDICT r07 item 7 — the deployment rule the
     * round-7 stability measurement derived, now ENFORCED, not just
     * documented): global component keep-decisions are trustworthy only
@@ -630,9 +654,6 @@ object Similarity extends QueryPack {
     // no SQL oracle; LlmSpec gates agreement vs the global resolver
     // on the non-percolated fixture AND the structural bound.
     "dedup_semantic_cells" -> ((s, dir) => {
-      val e = vecs(s, dir)
-      val n = Tables.embeddings(s, dir).count()
-      val k = ivfCells(n)
       // Multi-probe assignment: an edge survives if the endpoints
       // share ANY of their top-P cells. P = 1 home cells bound
       // components hardest but cut true pairs straddling a cell
@@ -646,8 +667,7 @@ object Similarity extends QueryPack {
       // 0.999/0.987/0.958 at max 26). Overridable for measurement
       // via graft.semantic.cellsProbes (DebugCells runs the ladder).
       val pProbes = s.conf.get("graft.semantic.cellsProbes", "3").toInt
-      val cells = assignCells(e, learnedCentroids(s, dir, k), pProbes,
-        assignViaBroadcast(k))
+      val cells = s.table(ivfAssignTable(s, dir, pProbes))
       val m = s.table(knnPairsTable(s, dir, ann = true))
         .where(col("cos") >= 0.45).select("id_a", "id_b")
       val mcell = m
@@ -717,12 +737,15 @@ object Similarity extends QueryPack {
       val n = Tables.embeddings(s, dir).count() // metadata-only count
       val K = ivfCells(n)
       val bits2 = ivfSubBits(n, K, P)
-      val e = vecs(s, dir)
-      val assigned = assignCells(e, learnedCentroids(s, dir, K), P,
-        viaBroadcast = assignViaBroadcast(K))
-      val probe = (if (bits2 == 0) assigned
-                   else assigned.join(srpBuckets(e, L, bits2), Seq("vec_id")))
-        .localCheckpoint()
+      // coarse assignment comes from the persisted index artifact
+      // (ivfAssignTable) — the query pays probe-join cost only; the
+      // SRP sub-bucket layer (inactive below ~4e7 candidate pairs)
+      // still composes on top at scale
+      val assigned = s.table(ivfAssignTable(s, dir, P))
+      val probe =
+        if (bits2 == 0) assigned
+        else assigned.join(srpBuckets(vecs(s, dir), L, bits2), Seq("vec_id"))
+          .localCheckpoint()
       val keys = if (bits2 == 0) Seq("cell") else Seq("cell", "tbl", "sig")
       val cands = probe.select(col("vec_id").as("id_a") +: keys.map(col): _*)
         .join(probe.select(col("vec_id").as("id_b") +: keys.map(col): _*), keys)

@@ -162,23 +162,29 @@ object Text extends QueryPack {
 
     // quality-filter aggressiveness curve — the quality twin of
     // dedup_retention_curve: survivors (docs AND tokens) per threshold
-    // τ over the grid a filter owner actually sweeps. One scored pass
-    // crossed with the 7-row broadcast grid (map-side expansion), one
-    // 7-group census. The token column is the decision-relevant one:
-    // a threshold that keeps 80 % of docs can still drop 40 % of
-    // tokens if it culls the long tail.
+    // τ over the grid a filter owner actually sweeps. ONE scan, 14
+    // conditional aggregates (2 per τ) folding to a single row, then a
+    // 7-row literal reshape — no grid fan-out at all (VERDICT r11: the
+    // previous 7× crossJoin expansion scaled linearly but re-scored
+    // every row per τ; the conditional-sum form reads each row once).
+    // The token column is the decision-relevant one: a threshold that
+    // keeps 80 % of docs can still drop 40 % of tokens if it culls the
+    // long tail.
     "quality_threshold_curve" -> ((s, dir) => {
-      val s2 = s; import s2.implicits._
+      val taus = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
       val scored = Tables.documents(s, dir)
         .select(qualityScore(col("text")).as("q"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
-      val grid = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9).toDF("tau")
-      scored.crossJoin(broadcast(grid))
-        .groupBy("tau")
-        .agg(sum(when(col("q") >= col("tau"), 1L).otherwise(0L))
-          .as("n_docs"),
-          coalesce(sum(when(col("q") >= col("tau"), col("n_tok"))), lit(0L))
-            .as("n_tokens"))
+      val aggs = taus.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when(col("q") >= t, 1L).otherwise(0L)).as(s"d$i"),
+        coalesce(sum(when(col("q") >= t, col("n_tok"))), lit(0L))
+          .as(s"t$i")) }
+      scored.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(taus.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("tau"), col(s"d$i").as("n_docs"),
+            col(s"t$i").as("n_tokens")) }: _*)).as("r"))
+        .select(col("r.tau").as("tau"), col("r.n_docs").as("n_docs"),
+          col("r.n_tokens").as("n_tokens"))
         .orderBy("tau")
     }),
 

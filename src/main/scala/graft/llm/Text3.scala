@@ -219,8 +219,43 @@ object Text3 extends QueryPack {
             .as("n_scrubbed"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))
         .orderBy("doc_id")
+    }),
+
+    // Maximal exact-substring dedup (the Lee et al. 2022 ExactSubstr
+    // trainer-dedup shape — VERDICT r11 item 4): text_dup_spans fixes
+    // the window at 10 tokens; the trainer wants maximal duplicated
+    // runs of ANY length with their true extent. A duplicated block of
+    // L ≥ 10 tokens flags exactly its L−9 start windows, so the
+    // maximal spans are the gaps-and-islands MERGE of the same
+    // persisted flagged-window artifact the detector and scrubber
+    // read — extend-and-merge over the existing postings, no new
+    // corpus pass: a maximal run of consecutive flagged windows
+    // [a..b] covers tokens [a, b+9], span_tokens = b−a+10.
+    // trainer_cut marks spans the ExactSubstr cut rule (≥ 50 tokens)
+    // would remove; the union of all spans is BY CONSTRUCTION the
+    // token set text_dup_spans_scrub cuts (pinned in LlmSpec), so the
+    // remedy follows this definition. One doc_id-keyed window over the
+    // bucketed artifact (flagged positions ≪ corpus), nothing
+    // corpus-sized.
+    "text_exact_substr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      s.table(dupFlaggedTable(s, dir))
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(min(col("pos")).cast("long").as("span_start"),
+          (max(col("pos")) + 9).cast("long").as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("span_tokens"),
+          (col("span_end") - col("span_start") + 1 >= exactSubstrMinTokens)
+            .as("trainer_cut"))
+        .orderBy("doc_id", "span_start")
     })
   )
+
+  /** ExactSubstr cut threshold (tokens): Lee et al. 2022 dedup
+    * training corpora at 50-token duplicated substrings. */
+  private[llm] val exactSubstrMinTokens = 50
 
   /** The keyed 10-token rolling windows of `docs` — (doc_id, pos, k1,
     * k2); `hashed` selects the 128-bit hashed keys (the shipped form)
@@ -414,6 +449,32 @@ object Text3 extends QueryPack {
          |       COALESCE(a.max_dup_run, 0) AS max_dup_run
          |FROM nw LEFT JOIN agg a USING (doc_id)
          |ORDER BY nw.doc_id""".stripMargin
+    },
+
+    // same window-CTE head as text_dup_spans; DuckDB positions are
+    // 1-based (generate_subscripts) so f shifts to the Spark 0-based
+    // convention before the gaps-and-islands merge
+    "text_exact_substr" -> {
+      val leads = (1 to 9).map(k => s"lead(tok,$k) OVER win").mkString(" || ' ' || ")
+      s"""WITH t AS (
+         |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS p,
+         |         unnest(string_split(text,' ')) AS tok FROM documents),
+         |w AS (
+         |  SELECT doc_id, p, tok || ' ' || $leads AS ws
+         |  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+         |  QUALIFY lead(tok,9) OVER win IS NOT NULL),
+         |d AS (SELECT ws FROM w GROUP BY ws HAVING count(DISTINCT doc_id) >= 2),
+         |f AS (SELECT w.doc_id, w.p - 1 AS pos FROM w JOIN d USING (ws)),
+         |runs AS (SELECT doc_id, pos,
+         |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |             AS grp
+         |         FROM f)
+         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         |  CAST(MAX(pos) + 9 AS BIGINT) AS span_end,
+         |  CAST(MAX(pos) - MIN(pos) + 10 AS BIGINT) AS span_tokens,
+         |  (MAX(pos) - MIN(pos) + 10) >= $exactSubstrMinTokens AS trainer_cut
+         |FROM runs GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin
     },
 
     "text_dup_spans_scrub" -> {

@@ -39,6 +39,29 @@ object Broker extends QueryPack {
   private[streaming] val bundleCount = 4
   private[streaming] val hashSpace = 65536L
 
+  /** Backlog quota = corpus size div this (the 25 % convention). */
+  private[streaming] val quotaDenom = 4
+
+  /** Broker-wide publish rate limit (msgs/sec) for the publish
+    * throttle key (`publishThrottlingRateInMsg`). 200 keeps ≥5 publish
+    * slots even at sf0.001 (1 000 msgs). */
+  private[graft] val publishRateMsgs = 200
+
+  // DuckDB VALUES fragments interpolated into the twins below, derived
+  // from the SAME Scala fixtures the query side reads (ADVICE r11:
+  // hardcoded copies compile clean and fail only at the hash gate).
+  private val subsValsD: String =
+    Streams.subFractions.map { case (n, f) => s"('$n', $f)" }
+      .mkString(", ")
+  private val subsRateValsD: String = {
+    val r = dispatchRates.toMap
+    Streams.subFractions.map { case (n, f) => s"('$n', $f, ${r(n)})" }
+      .mkString(", ")
+  }
+  private val subsKValsD: String =
+    Streams.subFractions.zipWithIndex
+      .map { case ((n, f), k) => s"('$n', $f, $k)" }.mkString(", ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // PIP-54 batch-index-level acknowledgment: entries pack 4 messages
@@ -95,7 +118,7 @@ object Broker extends QueryPack {
     "obs_backlog_quota" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val mx = ev.agg(max(col("event_id")).as("m"),
-        expr("count(1) div 4").as("quota"))
+        expr(s"count(1) div $quotaDenom").as("quota"))
       val policy = when(col("subscription") === "sub_slow",
           "producer_exception")
         .when(col("subscription") === "sub_paused",
@@ -152,6 +175,40 @@ object Broker extends QueryPack {
           coalesce(col("msgs_slot0"), lit(0L)).as("msgs_slot0"),
           coalesce(col("slot_checksum"), lit(0L)).as("slot_checksum"))
         .orderBy("subscription")
+    }),
+
+    // Producer-side publish rate limiting (PublishRateLimiter /
+    // `publishThrottlingRateInMsg` — the producer sibling of
+    // stream_dispatch_throttle, closing the resource-management quad:
+    // dispatch ✓, backlog quota ✓, offload ✓, publish ✓). The broker
+    // admits at most R msgs per second across all producers; with
+    // DENSE 0-based positions the admitted second is pure map-side
+    // arithmetic — publish slot = event_id div R, no window, no
+    // ranking shuffle (the dispatch-throttle slot rule on the PUBLISH
+    // clock: a full-replay cursor at ack_pos −1 drains in exactly
+    // these slots, the cross-key invariant StreamSpec pins). The
+    // census shows how broker-wide pacing distributes across topics:
+    // per topic its message count, active-slot count, slot extent
+    // (paced_seconds = wall time under throttle), the worst
+    // single-second burst, and Σ slot pinning every assignment. One
+    // (topic, slot) census with map-side partials, then a topic-grain
+    // rollup — both exchanges dimension-bounded.
+    "stream_publish_throttle" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val perSlot = ev.select(
+          concat(lit("topic_"), col("event_type")).as("topic"),
+          expr(s"event_id div $publishRateMsgs").as("slot"))
+        .groupBy("topic", "slot").agg(count(lit(1)).as("n"))
+      perSlot.groupBy("topic").agg(
+          sum(col("n")).as("n_msgs"),
+          count(lit(1)).as("n_active_slots"),
+          min(col("slot")).as("first_slot"),
+          max(col("slot")).as("last_slot"),
+          max(col("n")).as("peak_slot_msgs"),
+          sum(col("slot") * col("n")).as("slot_checksum"))
+        .withColumn("paced_seconds",
+          col("last_slot") - col("first_slot") + 1)
+        .orderBy("topic")
     }),
 
     // Tiered storage offload (`managedLedgerOffloadThreshold`): the
@@ -317,12 +374,13 @@ object Broker extends QueryPack {
     "obs_cumulative_ack" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val mx = ev.agg(max(col("event_id")).as("m"))
+      // k = the subscription's INDEX in the subFractions fixture — the
+      // same rule the interpolated oracle VALUES list encodes
+      val kExpr = Streams.subFractions.map(_._1).zipWithIndex
+        .foldLeft(lit(-1L)) { case (acc, (n, k)) =>
+          when(col("subscription") === n, k.toLong).otherwise(acc) }
       val cur = Streams.subCursors(ev).crossJoin(broadcast(mx))
-        .withColumn("k",
-          when(col("subscription") === "sub_fast", 0L)
-            .when(col("subscription") === "sub_slow", 1L)
-            .when(col("subscription") === "sub_paused", 2L)
-            .otherwise(3L))
+        .withColumn("k", kExpr)
         .localCheckpoint()
       val acked = pmod(col("event_id"), lit(7)) === col("k")
       val ackedPrev = pmod(col("event_id") - 1, lit(7)) === col("k")
@@ -377,8 +435,14 @@ object Broker extends QueryPack {
             .as("slope_num"),
           (col("n_days") * col("sdd") - col("sd") * col("sd"))
             .as("slope_den"))
+        // slope_den = 0 ⟺ all of a topic's events land on one distinct
+        // day (n_days = 1). Spark's non-ANSI x/0 is NULL while DuckDB's
+        // IEEE double division is ±inf/NaN — guard BOTH engines to NULL
+        // so a degenerate fixture can't split the hash gate (ADVICE r11)
         .withColumn("slope_msgs_day",
-          round(col("slope_num").cast("double") / col("slope_den"), 4))
+          when(col("slope_den") > 0,
+            round(col("slope_num").cast("double") / col("slope_den"), 4))
+            .otherwise(lit(null)))
         // doubling needs `total` more messages at slope num/den per day
         .withColumn("days_to_double",
           when(col("slope_num") > 0,
@@ -447,7 +511,7 @@ object Broker extends QueryPack {
 
     "stream_batch_index_ack" ->
       s"""WITH e AS (
-         |  SELECT event_id // 4 AS entry_id, COUNT(*) AS n_msgs,
+         |  SELECT event_id // ${graft.relational.Filters.entryBatchK} AS entry_id, COUNT(*) AS n_msgs,
          |    CAST(SUM(CASE WHEN $ackedD THEN 1 ELSE 0 END) AS BIGINT)
          |      AS n_acked
          |  FROM events GROUP BY 1),
@@ -472,11 +536,9 @@ object Broker extends QueryPack {
          |FROM e, md""".stripMargin,
 
     "obs_backlog_quota" ->
-      """WITH mx AS (SELECT MAX(event_id) AS m,
-        |              COUNT(*) // 4 AS quota FROM events),
-        |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9), ('sub_slow', 0.5),
-        |                               ('sub_paused', 0.0),
-        |                               ('sub_caughtup', 1.0)) s(subscription, f)),
+      s"""WITH mx AS (SELECT MAX(event_id) AS m,
+         |              COUNT(*) // $quotaDenom AS quota FROM events),
+         |subs AS (SELECT * FROM (VALUES $subsValsD) s(subscription, f)),
         |c AS (SELECT subscription,
         |        CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
         |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos,
@@ -505,12 +567,9 @@ object Broker extends QueryPack {
         |ORDER BY c.subscription""".stripMargin,
 
     "stream_dispatch_throttle" ->
-      """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
-        |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9, 100),
-        |                               ('sub_slow', 0.5, 500),
-        |                               ('sub_paused', 0.0, 1000),
-        |                               ('sub_caughtup', 1.0, 50))
-        |         s(subscription, f, rate)),
+      s"""WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+         |subs AS (SELECT * FROM (VALUES $subsRateValsD)
+         |         s(subscription, f, rate)),
         |c AS (SELECT subscription, CAST(rate AS BIGINT) AS rate,
         |        CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
         |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos
@@ -532,14 +591,27 @@ object Broker extends QueryPack {
         |FROM c LEFT JOIN d USING (subscription, rate)
         |ORDER BY c.subscription""".stripMargin,
 
+    "stream_publish_throttle" ->
+      s"""WITH ps AS (
+         |  SELECT 'topic_' || event_type AS topic,
+         |    event_id // $publishRateMsgs AS slot,
+         |    COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2)
+         |SELECT topic,
+         |  CAST(SUM(n) AS BIGINT) AS n_msgs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_active_slots,
+         |  MIN(slot) AS first_slot, MAX(slot) AS last_slot,
+         |  CAST(MAX(n) AS BIGINT) AS peak_slot_msgs,
+         |  CAST(SUM(slot * n) AS BIGINT) AS slot_checksum,
+         |  CAST(MAX(slot) - MIN(slot) + 1 AS BIGINT) AS paced_seconds
+         |FROM ps GROUP BY 1 ORDER BY topic""".stripMargin,
+
     "obs_retention_size" ->
-      """WITH mx AS (SELECT MAX(event_id) AS m,
-        |              date_trunc('second', MAX(ts)) - INTERVAL 7 DAY
-        |                AS cutoff
-        |            FROM events),
-        |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9), ('sub_slow', 0.5),
-        |                               ('sub_paused', 0.0),
-        |                               ('sub_caughtup', 1.0)) s(subscription, f)),
+      s"""WITH mx AS (SELECT MAX(event_id) AS m,
+         |              date_trunc('second', MAX(ts)) - INTERVAL 7 DAY
+         |                AS cutoff
+         |            FROM events),
+         |subs AS (SELECT * FROM (VALUES $subsValsD) s(subscription, f)),
         |c AS (SELECT CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
         |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos
         |      FROM subs, mx),
@@ -548,7 +620,7 @@ object Broker extends QueryPack {
         |       WHERE date_trunc('second', e.ts) <= mx.cutoff),
         |md AS (SELECT MIN(greatest(ack_pos, expiry_pos)) AS min_md
         |       FROM c, xp),
-        |l AS (SELECT event_id // 128 AS ledger_id,
+        |l AS (SELECT event_id // $ledgerWidth AS ledger_id,
         |        CAST(SUM(length(event_type || ':' ||
         |          CAST(user_id AS VARCHAR) || ':' || props)) AS BIGINT)
         |          AS bytes,
@@ -579,10 +651,10 @@ object Broker extends QueryPack {
         |FROM tr GROUP BY 1, 2, 3 ORDER BY n_ledgers""".stripMargin,
 
     "source_tiered_offload" ->
-      """WITH mx AS (SELECT MAX(event_id // 128) AS ml FROM events)
-        |SELECT CASE WHEN event_id // 128 > ml - 4 THEN 'bookkeeper'
-        |            ELSE 'offloaded' END AS tier,
-        |  CAST(COUNT(DISTINCT event_id // 128) AS BIGINT) AS n_ledgers,
+      s"""WITH mx AS (SELECT MAX(event_id // $ledgerWidth) AS ml FROM events)
+         |SELECT CASE WHEN event_id // $ledgerWidth > ml - $keepLedgers THEN 'bookkeeper'
+         |            ELSE 'offloaded' END AS tier,
+         |  CAST(COUNT(DISTINCT event_id // $ledgerWidth) AS BIGINT) AS n_ledgers,
         |  CAST(COUNT(*) AS BIGINT) AS n_msgs,
         |  MIN(event_id) AS min_pos, MAX(event_id) AS max_pos,
         |  CAST(SUM(length(event_type || ':' || CAST(user_id AS VARCHAR)
@@ -650,10 +722,8 @@ object Broker extends QueryPack {
         |FROM r GROUP BY 1, 2 ORDER BY disposition, attempts""".stripMargin,
 
     "obs_cumulative_ack" ->
-      """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
-        |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9, 0), ('sub_slow', 0.5, 1),
-        |                               ('sub_paused', 0.0, 2),
-        |                               ('sub_caughtup', 1.0, 3)) s(subscription, f, k)),
+      s"""WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+         |subs AS (SELECT * FROM (VALUES $subsKValsD) s(subscription, f, k)),
         |c AS (SELECT subscription, k,
         |        CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
         |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos, m
@@ -705,19 +775,21 @@ object Broker extends QueryPack {
         |SELECT topic, n_days, total,
         |  CAST(slope_num AS BIGINT) AS slope_num,
         |  CAST(slope_den AS BIGINT) AS slope_den,
-        |  ROUND(CAST(slope_num AS DOUBLE) / slope_den, 4) AS slope_msgs_day,
+        |  CASE WHEN slope_den > 0
+        |       THEN ROUND(CAST(slope_num AS DOUBLE) / slope_den, 4)
+        |       END AS slope_msgs_day,
         |  CAST(CASE WHEN slope_num > 0
         |       THEN (total * slope_den + slope_num - 1) // slope_num
         |       ELSE -1 END AS BIGINT) AS days_to_double
         |FROM p ORDER BY topic""".stripMargin,
 
     "obs_topic_stats" ->
-      """SELECT 'topic_' || event_type AS topic,
-        |  CAST(COUNT(*) AS BIGINT) AS msg_in_counter,
-        |  CAST(SUM(length(event_type || ':' || CAST(user_id AS VARCHAR)
-        |    || ':' || props)) AS BIGINT) AS bytes_in_counter,
-        |  CAST(COUNT(DISTINCT user_id % 8) AS BIGINT) AS n_producers,
-        |  CAST(COUNT(DISTINCT event_id // 128) AS BIGINT) AS n_ledgers,
+      s"""SELECT 'topic_' || event_type AS topic,
+         |  CAST(COUNT(*) AS BIGINT) AS msg_in_counter,
+         |  CAST(SUM(length(event_type || ':' || CAST(user_id AS VARCHAR)
+         |    || ':' || props)) AS BIGINT) AS bytes_in_counter,
+         |  CAST(COUNT(DISTINCT user_id % 8) AS BIGINT) AS n_producers,
+         |  CAST(COUNT(DISTINCT event_id // $ledgerWidth) AS BIGINT) AS n_ledgers,
         |  MIN(event_id) AS min_pos, MAX(event_id) AS max_pos,
         |  CAST(SUM(length(event_type || ':' || CAST(user_id AS VARCHAR)
         |    || ':' || props)) // COUNT(*) AS BIGINT) AS avg_msg_bytes

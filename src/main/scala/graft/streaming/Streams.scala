@@ -83,12 +83,21 @@ object Streams extends QueryPack {
     * lagging (0.5), paused (acked nothing → before-first −1), and
     * caught-up (at max — backlog 0). 1-row max, 4-row local relation;
     * always broadcast-sized. */
+  /** The subscription-cursor fixture: (name, backlog fraction). THE
+    * definition — [[subCursors]] builds the Spark frame from it and
+    * Broker interpolates it into every DuckDB twin's VALUES list, so a
+    * fixture change can never compile clean yet fail only at the
+    * correctness gate (ADVICE r11). Order matters: the cumulative-ack
+    * key derives its per-sub pmod-7 residue k from the INDEX. */
+  private[graft] val subFractions: Seq[(String, Double)] =
+    Seq(("sub_fast", 0.9), ("sub_slow", 0.5), ("sub_paused", 0.0),
+        ("sub_caughtup", 1.0))
+
   private[streaming] def subCursors(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession
     import s.implicits._
     val mx = ev.agg(max(col("event_id")).as("m"))
-    Seq(("sub_fast", 0.9), ("sub_slow", 0.5), ("sub_paused", 0.0),
-        ("sub_caughtup", 1.0))
+    subFractions
       .toDF("subscription", "f")
       .crossJoin(broadcast(mx))
       .select(col("subscription"),

@@ -61,6 +61,66 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("text_exact_substr: spans are the maximal merge of the scrub's covered set") {
+    // the span union must equal the token set the scrubber cuts (same
+    // flagged-window artifact, extend-and-merge vs expand-and-cut), and
+    // the longest span must be the detector's longest run + 9 — the
+    // three keys are one definition seen at three grains
+    val spans = q("text_exact_substr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty, "fixture must contain duplicated spans")
+    val spanCover = spans.groupBy(_._1).map { case (id, ss) =>
+      id -> ss.flatMap { case (_, a, b, _) => a to b }.toSet.size.toLong }
+    val scrub = q("text_dup_spans_scrub").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    spanCover.foreach { case (id, cov) =>
+      assert(cov === scrub(id),
+        s"doc $id: span union covers $cov tokens, scrub cut ${scrub(id)}") }
+    assert(scrub.filter(_._2 > 0).keySet === spanCover.keySet,
+      "docs with scrubbed tokens and docs with spans must coincide")
+    val maxRun = q("text_dup_spans").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      assert(ss.map(_._4).max === maxRun(id) + 9,
+        s"doc $id: longest span must be the longest window run + 9") }
+  }
+
+  test("text_exact_substr: planted 60-token duplicate recovered with exact extent at 10×") {
+    // the ExactSubstr acceptance shape (VERDICT r11 item 4): on a 10×
+    // corpus, a 60-token block planted in two docs must come back as
+    // ONE maximal span per doc with its true extent and the ≥50-token
+    // trainer_cut flag — not as 51 separate windows
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_exsubstr").toString
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    // 10 id-shifted copies with per-copy token salts, so no 10-gram
+    // duplicates across copies blur the planted span
+    val copies = (0 until 10).map { c =>
+      base.withColumn("doc_id", col("doc_id") + lit(c * 1000000L))
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "), t => concat(lit(s"s$c"), t))))
+    }.reduce(_ unionByName _)
+    val block = (0 until 60).map(i => s"dupblk$i").mkString(" ")
+    val textA = ((0 until 20).map(i => s"pa$i") :+ block).mkString(" ") +
+      " " + (20 until 30).map(i => s"pa$i").mkString(" ")
+    val textB = ((0 until 5).map(i => s"pb$i") :+ block).mkString(" ") +
+      " " + (5 until 40).map(i => s"pb$i").mkString(" ")
+    val (idA, idB) = (900000001L, 900000002L)
+    val planted = copies
+      .unionByName(base.limit(1).withColumn("doc_id", lit(idA))
+        .withColumn("text", lit(textA)))
+      .unionByName(base.limit(1).withColumn("doc_id", lit(idB))
+        .withColumn("text", lit(textB)))
+    planted.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val spans = q2("text_exact_substr", out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(spans.filter(_._1 == idA).toSeq === Seq((idA, 20L, 79L, 60L, true)),
+      s"doc A spans: ${spans.filter(_._1 == idA).toSeq}")
+    assert(spans.filter(_._1 == idB).toSeq === Seq((idB, 5L, 64L, 60L, true)),
+      s"doc B spans: ${spans.filter(_._1 == idB).toSeq}")
+  }
+
   test("SRP candidates off the persisted band store == inline signing (geometry/seed agreement)") {
     // the round-9 indexed path (srpCandidatesIndexed) relies on the
     // band store being built with the SAME corpus-adaptive geometry

@@ -307,6 +307,24 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(!physical("text_dup_spans").contains("xxhash64"),
       "the detector re-hashes windows instead of reading the census")
+    // maximal-span merge (round 12): same artifact read, one
+    // doc_id-keyed window, nothing corpus-keyed and no re-mining
+    val es = physical("text_exact_substr")
+    assert(es.contains("dup_spans_"),
+      s"text_exact_substr does not scan the persisted flag census:\n$es")
+    assert(!es.contains("xxhash64") && !es.contains("Join"),
+      s"text_exact_substr must merge the artifact, not re-mine:\n$es")
+  }
+
+  test("stream_publish_throttle: map-side slot arithmetic — no window, no join, bounded censuses") {
+    val pt = physical("stream_publish_throttle")
+    assert(!pt.contains("Window") && !pt.contains("Join"),
+      s"publish throttle must be slot arithmetic, not ranking:\n$pt")
+    assert("Exchange hashpartitioning".r.findAllIn(pt).size <= 2,
+      s"publish throttle: unexpected corpus-keyed exchange:\n$pt")
+    assert(pt.contains("partial_count") || pt.contains("partial_sum") ||
+      pt.contains("HashAggregate"),
+      s"publish throttle: slot census must partial-aggregate map-side:\n$pt")
   }
 
   test("source_seek_replay: the by-id cursor pushes into the scan; the by-time cursor broadcasts") {
@@ -845,12 +863,15 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(ca).size <= 2,
       s"cumulative_ack: unexpected corpus-keyed exchange:\n$ca")
 
-    // quality_threshold_curve: broadcast grid expansion, one census
+    // quality_threshold_curve (r12 single-pass form): ONE scan, 14
+    // conditional aggregates to a single row, literal reshape — no
+    // grid join, no corpus-keyed exchange at all
     val qc = physical("quality_threshold_curve")
-    assert(qc.contains("BroadcastNestedLoopJoin") &&
-      !qc.contains("CartesianProduct"), s"threshold_curve:\n$qc")
-    assert("Exchange hashpartitioning".r.findAllIn(qc).size <= 1,
-      s"threshold_curve: unexpected exchange:\n$qc")
+    assert(!qc.contains("Join"), s"threshold_curve must not join:\n$qc")
+    assert("Scan parquet".r.findAllIn(qc).size == 1,
+      s"threshold_curve: expected exactly one scan:\n$qc")
+    assert("Exchange hashpartitioning".r.findAllIn(qc).isEmpty,
+      s"threshold_curve: unexpected corpus-keyed exchange:\n$qc")
 
     // obs_topic_stats: one scan, no join; the countDistinct pair
     // partial-aggregates before shuffling

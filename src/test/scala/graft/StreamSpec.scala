@@ -2329,5 +2329,28 @@ class StreamSpec extends AnyFunSuite {
     pr.get("c2").foreach { case (_, t2) =>
       assert(t2 <= pr("c1")._2, "spill to priority 1 needs p0 saturated")
     }
+
+    // publish throttle (round 12): the publish clock is the dispatch
+    // slot rule applied to a full-replay cursor (ack_pos = −1), slot =
+    // event_id div R — so on the dense positions the global census
+    // closes in closed form, the cross-key invariant tying the
+    // producer and consumer sides of the throttle quad together
+    val pt = SparkEntry.queries("stream_publish_throttle")(spark, dir)
+      .collect()
+    val rate = graft.streaming.Broker.publishRateMsgs.toLong
+    assert(pt.map(_.getAs[Long]("n_msgs")).sum === n)
+    assert(pt.map(_.getAs[Long]("first_slot")).min === 0L)
+    assert(pt.map(_.getAs[Long]("last_slot")).max === (n - 1) / rate)
+    val fullSlots = n / rate
+    assert(pt.map(_.getAs[Long]("slot_checksum")).sum
+      === rate * fullSlots * (fullSlots - 1) / 2 + (n % rate) * fullSlots,
+      "per-topic slot checksums must sum to the full-replay dispatch clock")
+    pt.foreach { r =>
+      assert(r.getAs[Long]("peak_slot_msgs") <= rate,
+        s"${r.getString(0)}: one second can never admit more than the rate")
+      assert(r.getAs[Long]("n_active_slots")
+        <= r.getAs[Long]("paced_seconds"),
+        s"${r.getString(0)}: active slots live inside the paced extent")
+    }
   }
 }
