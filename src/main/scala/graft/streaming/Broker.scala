@@ -47,6 +47,13 @@ object Broker extends QueryPack {
     * slots even at sf0.001 (1 000 msgs). */
   private[graft] val publishRateMsgs = 200
 
+  /** Consumer receiver queue capacity (`receiverQueueSize`; Pulsar
+    * defaults to 1000, configured down to 500 here): sub_paused
+    * replays the whole corpus (backlog = n), and the sf0.001 fixture
+    * is exactly 1000 messages — at Q = 1000 nothing would gate, at
+    * 500 the permit-gated regime is exercised at every SF. */
+  private[graft] val receiverQueueSize = 500
+
   // DuckDB VALUES fragments interpolated into the twins below, derived
   // from the SAME Scala fixtures the query side reads (ADVICE r11:
   // hardcoded copies compile clean and fail only at the hash gate).
@@ -209,6 +216,54 @@ object Broker extends QueryPack {
         .withColumn("paced_seconds",
           col("last_slot") - col("first_slot") + 1)
         .orderBy("topic")
+    }),
+
+    // Consumer flow control (`receiverQueueSize` permit accounting —
+    // the last un-modeled dispatch mechanic, VERDICT r11 missing #4):
+    // the broker may hold at most Q = receiverQueueSize messages
+    // outstanding (delivered, unprocessed) per consumer; the app
+    // drains at D msgs/sec (the dispatchRates fixture doing double
+    // duty as the app's processing rate), returning permits as it
+    // completes. On dense positions the permit gate is pure
+    // arithmetic: backlog rank r = pos − ack_pos − 1 dispatches
+    // immediately while r < Q (the initial permit grant) and otherwise
+    // waits until the app has completed r − Q + 1 messages — dispatch
+    // second = (r − Q) div D + 1. Same plan discipline as the throttle
+    // keys: broadcast inequality pass, map-side gate, 4-group census;
+    // flow_checksum = Σ dispatch-second pins every permit decision.
+    "stream_consumer_flow" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val rates = {
+        import s.implicits._
+        dispatchRates.toDF("subscription", "rate")
+      }
+      val cur = Streams.subCursors(ev)
+        .join(broadcast(rates), Seq("subscription"))
+        .localCheckpoint() // 4 rows; gate pass and restore read it
+      val q = receiverQueueSize
+      val gated = ev.join(broadcast(cur), col("event_id") > col("ack_pos"))
+        .select(col("subscription"), col("rate"),
+          (col("event_id") - col("ack_pos") - 1).as("r"))
+        .withColumn("disp_s",
+          when(col("r") < q, 0L)
+            .otherwise(expr(s"(r - $q) div rate") + 1))
+        .groupBy("subscription", "rate")
+        .agg(count(lit(1)).as("backlog"),
+          sum(when(col("disp_s") === 0, 1L).otherwise(0L))
+            .as("n_immediate"),
+          sum(when(col("disp_s") > 0, 1L).otherwise(0L))
+            .as("n_flow_gated"),
+          max(col("disp_s")).as("last_dispatch_s"),
+          sum(col("disp_s")).as("flow_checksum"))
+      cur.join(broadcast(gated), Seq("subscription", "rate"), "left")
+        .select(col("subscription"), col("rate"),
+          lit(q.toLong).as("queue_size"),
+          coalesce(col("backlog"), lit(0L)).as("backlog"),
+          coalesce(col("n_immediate"), lit(0L)).as("n_immediate"),
+          coalesce(col("n_flow_gated"), lit(0L)).as("n_flow_gated"),
+          coalesce(col("last_dispatch_s"), lit(0L)).as("last_dispatch_s"),
+          coalesce(col("flow_checksum"), lit(0L)).as("flow_checksum"))
+        .orderBy("subscription")
     }),
 
     // Tiered storage offload (`managedLedgerOffloadThreshold`): the
@@ -590,6 +645,36 @@ object Broker extends QueryPack {
         |  CAST(coalesce(d.slot_checksum, 0) AS BIGINT) AS slot_checksum
         |FROM c LEFT JOIN d USING (subscription, rate)
         |ORDER BY c.subscription""".stripMargin,
+
+    "stream_consumer_flow" ->
+      s"""WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+         |subs AS (SELECT * FROM (VALUES $subsRateValsD)
+         |         s(subscription, f, rate)),
+         |c AS (SELECT subscription, CAST(rate AS BIGINT) AS rate,
+         |        CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
+         |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos
+         |      FROM subs, mx),
+         |g AS (SELECT c.subscription, c.rate,
+         |        CASE WHEN e.event_id - c.ack_pos - 1 < $receiverQueueSize
+         |             THEN 0
+         |             ELSE (e.event_id - c.ack_pos - 1 - $receiverQueueSize)
+         |                  // c.rate + 1 END AS disp_s
+         |      FROM events e JOIN c ON e.event_id > c.ack_pos),
+         |d AS (SELECT subscription, rate, COUNT(*) AS backlog,
+         |        SUM(CASE WHEN disp_s = 0 THEN 1 ELSE 0 END) AS n_immediate,
+         |        SUM(CASE WHEN disp_s > 0 THEN 1 ELSE 0 END) AS n_flow_gated,
+         |        MAX(disp_s) AS last_dispatch_s,
+         |        SUM(disp_s) AS flow_checksum
+         |      FROM g GROUP BY 1, 2)
+         |SELECT c.subscription, c.rate,
+         |  CAST($receiverQueueSize AS BIGINT) AS queue_size,
+         |  CAST(coalesce(d.backlog, 0) AS BIGINT) AS backlog,
+         |  CAST(coalesce(d.n_immediate, 0) AS BIGINT) AS n_immediate,
+         |  CAST(coalesce(d.n_flow_gated, 0) AS BIGINT) AS n_flow_gated,
+         |  CAST(coalesce(d.last_dispatch_s, 0) AS BIGINT) AS last_dispatch_s,
+         |  CAST(coalesce(d.flow_checksum, 0) AS BIGINT) AS flow_checksum
+         |FROM c LEFT JOIN d USING (subscription, rate)
+         |ORDER BY c.subscription""".stripMargin,
 
     "stream_publish_throttle" ->
       s"""WITH ps AS (

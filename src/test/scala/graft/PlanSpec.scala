@@ -316,6 +316,17 @@ class PlanSpec extends AnyFunSuite {
       s"text_exact_substr must merge the artifact, not re-mine:\n$es")
   }
 
+  test("stream_consumer_flow: permit gate is map-side arithmetic — no window, broadcast passes only") {
+    val cf = physical("stream_consumer_flow")
+    assert(!cf.contains("Window"),
+      s"flow control must not rank with a window:\n$cf")
+    assert(!cf.contains("CartesianProduct") &&
+      !cf.contains("SortMergeJoin"),
+      s"flow control: cursor joins must broadcast:\n$cf")
+    assert("Exchange hashpartitioning".r.findAllIn(cf).size <= 1,
+      s"flow control: expected at most the census exchange:\n$cf")
+  }
+
   test("stream_publish_throttle: map-side slot arithmetic — no window, no join, bounded censuses") {
     val pt = physical("stream_publish_throttle")
     assert(!pt.contains("Window") && !pt.contains("Join"),

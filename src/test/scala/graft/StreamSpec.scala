@@ -2352,5 +2352,32 @@ class StreamSpec extends AnyFunSuite {
         <= r.getAs[Long]("paced_seconds"),
         s"${r.getString(0)}: active slots live inside the paced extent")
     }
+
+    // consumer flow control (round 12): the permit gate's census must
+    // close in closed form against backlog and queue size — the first
+    // Q backlog positions ride the initial permit grant, the rest wait
+    // on the app drain clock (the dispatch-throttle arithmetic shifted
+    // by Q), so every column is derivable from (backlog, Q, rate)
+    val qSize = graft.streaming.Broker.receiverQueueSize.toLong
+    val blFlow = SparkEntry.queries("obs_sub_backlog")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("backlog")).toMap
+    val cf = SparkEntry.queries("stream_consumer_flow")(spark, dir).collect()
+    assert(cf.exists(_.getAs[Long]("n_flow_gated") > 0),
+      "fixture must exercise the permit-gated regime")
+    cf.foreach { r =>
+      val (sub, d) = (r.getString(0), r.getAs[Long]("rate"))
+      val bl = r.getAs[Long]("backlog")
+      assert(bl === blFlow(sub),
+        s"$sub: flow key disagrees with the backlog report")
+      assert(r.getAs[Long]("n_immediate") === math.min(bl, qSize))
+      val gatedN = math.max(0L, bl - qSize)
+      assert(r.getAs[Long]("n_flow_gated") === gatedN)
+      assert(r.getAs[Long]("last_dispatch_s") ===
+        (if (gatedN == 0) 0L else (gatedN - 1) / d + 1))
+      val t = gatedN / d; val rem = gatedN - t * d
+      assert(r.getAs[Long]("flow_checksum")
+        === gatedN + d * t * (t - 1) / 2 + rem * t,
+        s"$sub: flow checksum must equal the closed-form drain clock")
+    }
   }
 }
