@@ -76,22 +76,27 @@ object Streams extends QueryPack {
     * remote region this long after its origin publish. */
   private[streaming] val replLagMin = 2
 
-  /** The fixture subscription-cursor table (shared by obs_sub_backlog
-    * and stream_msg_expiry — the detect→remedy discipline: the expiry
-    * key must move exactly the cursors the backlog report reads).
-    * Cursors are fixed fractions of the max position: fast (0.9),
-    * lagging (0.5), paused (acked nothing → before-first −1), and
-    * caught-up (at max — backlog 0). 1-row max, 4-row local relation;
-    * always broadcast-sized. */
-  /** The subscription-cursor fixture: (name, backlog fraction). THE
+  /** The subscription-cursor fixture: (name, backlog fraction of the
+    * max position) — fast (0.9), lagging (0.5), paused (acked nothing
+    * → before-first −1), caught-up (at max, backlog 0). THE
     * definition — [[subCursors]] builds the Spark frame from it and
-    * Broker interpolates it into every DuckDB twin's VALUES list, so a
-    * fixture change can never compile clean yet fail only at the
-    * correctness gate (ADVICE r11). Order matters: the cumulative-ack
-    * key derives its per-sub pmod-7 residue k from the INDEX. */
+    * this pack + Broker interpolate it into every DuckDB twin's
+    * VALUES list, so a fixture change can never compile clean yet
+    * fail only at the correctness gate (ADVICE r11). Order matters:
+    * the ack-holes/cumulative-ack keys derive their per-sub pmod-7
+    * residue k from the INDEX. */
   private[graft] val subFractions: Seq[(String, Double)] =
     Seq(("sub_fast", 0.9), ("sub_slow", 0.5), ("sub_paused", 0.0),
         ("sub_caughtup", 1.0))
+
+  // DuckDB VALUES fragments for the twins below, derived from the
+  // SAME subFractions fixture the query side reads (ADVICE r11 — the
+  // Broker pack's interpolation discipline, applied here too)
+  private val subsValsD: String =
+    subFractions.map { case (n, f) => s"('$n', $f)" }.mkString(", ")
+  private val subsKValsD: String =
+    subFractions.zipWithIndex
+      .map { case ((n, f), k) => s"('$n', $f, $k)" }.mkString(", ")
 
   private[streaming] def subCursors(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession
@@ -810,10 +815,8 @@ object Streams extends QueryPack {
     // to seconds commutes with adding whole-minute backoffs, so the
     // window arithmetic matches Spark's window(deliver_at) exactly
     "obs_sub_backlog" ->
-      """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
-        |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9), ('sub_slow', 0.5),
-        |                               ('sub_paused', 0.0),
-        |                               ('sub_caughtup', 1.0)) s(subscription, f)),
+      s"""WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+        |subs AS (SELECT * FROM (VALUES $subsValsD) s(subscription, f)),
         |c AS (SELECT subscription,
         |        CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
         |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos
@@ -848,10 +851,8 @@ object Streams extends QueryPack {
 
     // markDelete = first unacked − 1; holes = acked positions above it
     "obs_ack_holes" ->
-      """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
-        |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9, 0), ('sub_slow', 0.5, 1),
-        |                               ('sub_paused', 0.0, 2),
-        |                               ('sub_caughtup', 1.0, 3)) s(subscription, f, k)),
+      s"""WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+        |subs AS (SELECT * FROM (VALUES $subsKValsD) s(subscription, f, k)),
         |c AS (SELECT subscription,
         |        CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
         |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos, k, m
@@ -878,13 +879,11 @@ object Streams extends QueryPack {
     // trim = min markDelete over subs; deletable = that prefix past the
     // 14-day retention; after_ttl uses the expiry-moved cursors
     "obs_retention_trim" ->
-      """WITH mx AS (SELECT MAX(event_id) AS m,
+      s"""WITH mx AS (SELECT MAX(event_id) AS m,
         |              date_trunc('second', MAX(ts)) - INTERVAL 14 DAY AS rcut,
         |              date_trunc('second', MAX(ts)) - INTERVAL 7 DAY AS cutoff
         |            FROM events),
-        |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9), ('sub_slow', 0.5),
-        |                               ('sub_paused', 0.0),
-        |                               ('sub_caughtup', 1.0)) s(subscription, f)),
+        |subs AS (SELECT * FROM (VALUES $subsValsD) s(subscription, f)),
         |c AS (SELECT subscription,
         |        CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
         |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos
@@ -960,13 +959,11 @@ object Streams extends QueryPack {
     // before max(ts) − TTL); n_expired is positional — every position
     // in (old, new] is acked with the jump
     "stream_msg_expiry" ->
-      """WITH mx AS (SELECT MAX(event_id) AS m,
+      s"""WITH mx AS (SELECT MAX(event_id) AS m,
         |              date_trunc('second', MAX(ts)) - INTERVAL 7 DAY
         |                AS cutoff
         |            FROM events),
-        |subs AS (SELECT * FROM (VALUES ('sub_fast', 0.9), ('sub_slow', 0.5),
-        |                               ('sub_paused', 0.0),
-        |                               ('sub_caughtup', 1.0)) s(subscription, f)),
+        |subs AS (SELECT * FROM (VALUES $subsValsD) s(subscription, f)),
         |c AS (SELECT subscription,
         |        CASE WHEN f = 0.0 THEN CAST(-1 AS BIGINT)
         |             ELSE CAST(floor(m * f) AS BIGINT) END AS ack_pos
