@@ -31,6 +31,14 @@ object Text extends QueryPack {
 
   private val tokHashD: String = tokHashDOn("tok")
 
+  /** The threshold grid the quality curve sweeps — ONE Seq, consumed
+    * by the Spark key's conditional aggregates and interpolated into
+    * the twin's VALUES list (the subFractions discipline: a grid edit
+    * can never compile clean yet fail only at the hash gate). */
+  private val qualityTaus = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+  private val qualityTausD: String =
+    qualityTaus.map(t => s"($t)").mkString(", ")
+
   /** The composite quality score (see text_quality for the dyadic/epsilon
     * rationale). Shared with the curation pipeline. */
   private[llm] def qualityScore(text: Column): Column = {
@@ -171,16 +179,21 @@ object Text extends QueryPack {
     // keeps 80 % of docs can still drop 40 % of tokens if it culls the
     // long tail.
     "quality_threshold_curve" -> ((s, dir) => {
-      val taus = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
       val scored = Tables.documents(s, dir)
         .select(qualityScore(col("text")).as("q"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
-      val aggs = taus.zipWithIndex.flatMap { case (t, i) => Seq(
-        sum(when(col("q") >= t, 1L).otherwise(0L)).as(s"d$i"),
-        coalesce(sum(when(col("q") >= t, col("n_tok"))), lit(0L))
-          .as(s"t$i")) }
+      val aggs = count(lit(1)).as("nr") +:
+        qualityTaus.zipWithIndex.flatMap { case (t, i) => Seq(
+          sum(when(col("q") >= t, 1L).otherwise(0L)).as(s"d$i"),
+          coalesce(sum(when(col("q") >= t, col("n_tok"))), lit(0L))
+            .as(s"t$i")) }
       scored.agg(aggs.head, aggs.tail: _*)
-        .select(explode(array(taus.zipWithIndex.map { case (t, i) =>
+        // empty corpus: the global agg still yields one row, but the
+        // twin's `FROM d, g GROUP BY 1` yields zero — gate on nr so
+        // both engines agree on the degenerate fixture (the slope_den
+        // lesson, applied here)
+        .where(col("nr") > 0)
+        .select(explode(array(qualityTaus.zipWithIndex.map { case (t, i) =>
           struct(lit(t).as("tau"), col(s"d$i").as("n_docs"),
             col(s"t$i").as("n_tokens")) }: _*)).as("r"))
         .select(col("r.tau").as("tau"), col("r.n_docs").as("n_docs"),
@@ -290,8 +303,8 @@ object Text extends QueryPack {
          |  SELECT $qualityScoreD AS q,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
          |  FROM documents),
-         |g AS (SELECT CAST(tau AS DOUBLE) AS tau FROM (VALUES (0.3), (0.4),
-         |        (0.5), (0.6), (0.7), (0.8), (0.9)) t(tau))
+         |g AS (SELECT CAST(tau AS DOUBLE) AS tau
+         |      FROM (VALUES $qualityTausD) t(tau))
          |SELECT tau,
          |  CAST(SUM(CASE WHEN q >= tau THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_docs,

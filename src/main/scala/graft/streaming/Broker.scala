@@ -54,20 +54,32 @@ object Broker extends QueryPack {
     * 500 the permit-gated regime is exercised at every SF. */
   private[graft] val receiverQueueSize = 500
 
-  // DuckDB VALUES fragments interpolated into the twins below, derived
-  // from the SAME Scala fixtures the query side reads (ADVICE r11:
-  // hardcoded copies compile clean and fail only at the hash gate).
-  private val subsValsD: String =
-    Streams.subFractions.map { case (n, f) => s"('$n', $f)" }
-      .mkString(", ")
+  // DuckDB VALUES fragments interpolated into the twins below — the
+  // (subscription, f[, k]) fragments are Streams' single definitions
+  // (ADVICE r11: hardcoded copies compile clean and fail only at the
+  // hash gate); only the rate-joined variant lives here because
+  // dispatchRates does.
+  private val subsValsD: String = Streams.subsValsD
+  private val subsKValsD: String = Streams.subsKValsD
   private val subsRateValsD: String = {
     val r = dispatchRates.toMap
     Streams.subFractions.map { case (n, f) => s"('$n', $f, ${r(n)})" }
       .mkString(", ")
   }
-  private val subsKValsD: String =
-    Streams.subFractions.zipWithIndex
-      .map { case ((n, f), k) => s"('$n', $f, $k)" }.mkString(", ")
+
+  /** The ≤4-row (subscription, ack_pos, rate) cursor table — the shared
+    * head of the dispatch-throttle and consumer-flow keys (one
+    * definition; both gates read the same fixture join). Pinned: the
+    * gate pass and the zero-backlog restore both read it. */
+  private def ratedCursors(s: SparkSession, ev: DataFrame): DataFrame = {
+    val rates = {
+      import s.implicits._
+      dispatchRates.toDF("subscription", "rate")
+    }
+    Streams.subCursors(ev)
+      .join(broadcast(rates), Seq("subscription"))
+      .localCheckpoint()
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -159,13 +171,7 @@ object Broker extends QueryPack {
     // slot_checksum = Σ slot pins every individual assignment.
     "stream_dispatch_throttle" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val rates = {
-        import s.implicits._
-        dispatchRates.toDF("subscription", "rate")
-      }
-      val cur = Streams.subCursors(ev)
-        .join(broadcast(rates), Seq("subscription"))
-        .localCheckpoint() // 4 rows; the drain pass and restore read it
+      val cur = ratedCursors(s, ev)
       val drained = ev.join(broadcast(cur), col("event_id") > col("ack_pos"))
         .select(col("subscription"), col("rate"),
           expr("(event_id - ack_pos - 1) div rate").as("slot"))
@@ -233,13 +239,7 @@ object Broker extends QueryPack {
     // flow_checksum = Σ dispatch-second pins every permit decision.
     "stream_consumer_flow" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val rates = {
-        import s.implicits._
-        dispatchRates.toDF("subscription", "rate")
-      }
-      val cur = Streams.subCursors(ev)
-        .join(broadcast(rates), Seq("subscription"))
-        .localCheckpoint() // 4 rows; gate pass and restore read it
+      val cur = ratedCursors(s, ev)
       val q = receiverQueueSize
       val gated = ev.join(broadcast(cur), col("event_id") > col("ack_pos"))
         .select(col("subscription"), col("rate"),
@@ -429,13 +429,8 @@ object Broker extends QueryPack {
     "obs_cumulative_ack" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val mx = ev.agg(max(col("event_id")).as("m"))
-      // k = the subscription's INDEX in the subFractions fixture — the
-      // same rule the interpolated oracle VALUES list encodes
-      val kExpr = Streams.subFractions.map(_._1).zipWithIndex
-        .foldLeft(lit(-1L)) { case (acc, (n, k)) =>
-          when(col("subscription") === n, k.toLong).otherwise(acc) }
       val cur = Streams.subCursors(ev).crossJoin(broadcast(mx))
-        .withColumn("k", kExpr)
+        .withColumn("k", Streams.subKExpr) // residue = fixture INDEX
         .localCheckpoint()
       val acked = pmod(col("event_id"), lit(7)) === col("k")
       val ackedPrev = pmod(col("event_id") - 1, lit(7)) === col("k")

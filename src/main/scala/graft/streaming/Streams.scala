@@ -89,14 +89,25 @@ object Streams extends QueryPack {
     Seq(("sub_fast", 0.9), ("sub_slow", 0.5), ("sub_paused", 0.0),
         ("sub_caughtup", 1.0))
 
-  // DuckDB VALUES fragments for the twins below, derived from the
-  // SAME subFractions fixture the query side reads (ADVICE r11 — the
-  // Broker pack's interpolation discipline, applied here too)
-  private val subsValsD: String =
+  // DuckDB VALUES fragments for the oracle twins (here AND in Broker —
+  // one definition, private[graft]), derived from the SAME subFractions
+  // fixture the query side reads (ADVICE r11: hardcoded copies compile
+  // clean and fail only at the hash gate)
+  private[graft] val subsValsD: String =
     subFractions.map { case (n, f) => s"('$n', $f)" }.mkString(", ")
-  private val subsKValsD: String =
+  private[graft] val subsKValsD: String =
     subFractions.zipWithIndex
       .map { case ((n, f), k) => s"('$n', $f, $k)" }.mkString(", ")
+
+  /** The per-subscription pmod-7 ack residue k = the subscription's
+    * INDEX in subFractions — the ONE definition both the ack-holes and
+    * cumulative-ack Spark sides and (via [[subsKValsD]]) their DuckDB
+    * twins derive from, so a fixture reorder or a 5th subscription can
+    * never fork the residue assignment silently. */
+  private[graft] def subKExpr: org.apache.spark.sql.Column =
+    subFractions.map(_._1).zipWithIndex
+      .foldLeft(lit(-1L)) { case (acc, (n, k)) =>
+        when(col("subscription") === n, k.toLong).otherwise(acc) }
 
   private[streaming] def subCursors(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession
@@ -427,11 +438,7 @@ object Streams extends QueryPack {
       val ev = Tables.events(s, dir)
       val mx = ev.agg(max(col("event_id")).as("m"))
       val cur = Streams.subCursors(ev).crossJoin(broadcast(mx))
-        .withColumn("k",
-          when(col("subscription") === "sub_fast", 0L)
-            .when(col("subscription") === "sub_slow", 1L)
-            .when(col("subscription") === "sub_paused", 2L)
-            .otherwise(3L))
+        .withColumn("k", subKExpr) // residue = fixture INDEX, like the twin
         .localCheckpoint()
       val acked = pmod(col("event_id"), lit(7)) === col("k")
       // first unacked position above the cumulative base → markDelete;
