@@ -512,7 +512,7 @@ object Dedup extends QueryPack {
     // is missed) — no SQL oracle; LlmSpec measures recall vs the
     // exact dedup_edit_near and asserts the subset property.
     "dedup_edit_banded" -> ((s, dir) => {
-      val k = 12
+      val k = editK
       val d = Tables.documents(s, dir)
         .repartition(col("doc_id"))
         .select(col("doc_id"), col("text"), col("n_chars"))
@@ -545,7 +545,16 @@ object Dedup extends QueryPack {
     * the dedup_edit_near body, exposed so the artifact builder and the
     * PlanSpec shape assertions (equi band join, thresholded verify, no
     * cross product) drive the SAME definition. */
-  private[graft] def editPairsMine(docs: DataFrame, k: Int = 12): DataFrame = {
+  /** Edit-distance near-dup threshold (levenshtein ≤ editK) and the
+    * length-band width editBandW = editK + 1 that makes banding EXACT
+    * blocking (|Δlen| ≤ k ⟹ same-or-neighbor band). ONE definition for
+    * the miner, both banded keys, the incremental index/probes, and
+    * (interpolated) the DuckDB twins — review r12: five independent
+    * restatements of 12/13 were a silent drift channel. */
+  private[graft] val editK = 12
+  private[graft] val editBandW = editK + 1
+
+  private[graft] def editPairsMine(docs: DataFrame, k: Int = editK): DataFrame = {
     val width = k + 1
     val d = docs
       .repartition(col("doc_id"))
@@ -818,12 +827,12 @@ object Dedup extends QueryPack {
         |ORDER BY grid.tau""".stripMargin,
 
     "dedup_edit_near" ->
-      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-        |FROM documents a JOIN documents b
-        |  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 12
-        |WHERE levenshtein(a.text, b.text) <= 12
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+         |FROM documents a JOIN documents b
+         |  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= $editK
+         |WHERE levenshtein(a.text, b.text) <= $editK
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -68,8 +68,19 @@ object Quantize extends QueryPack {
     }
     val loaded = s.read.parquet(path).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-    (0 until M).map(m => (0 until Ksub).map(c =>
-      loaded.find(t => t._1 == m && t._2 == c).get._3.toSeq))
+    // per-sub-space lists sized by what KMeans actually returned: a
+    // heavily-duplicated corpus sample can yield < Ksub distinct
+    // centers in a sub-space, and the build writes codes densely
+    // 0..k_m−1 (zipWithIndex) — a fixed 0-until-Ksub reconstruction
+    // would .get-crash on the persisted artifact forever (review r12)
+    val byM = loaded.groupBy(_._1)
+    (0 until M).map { m =>
+      val rows = byM.getOrElse(m, Array.empty).sortBy(_._2)
+      require(rows.nonEmpty, s"PQ codebook sub-space $m is empty: $path")
+      require(rows.map(_._2).toSeq == rows.indices.toSeq,
+        s"PQ codebook sub-space $m has non-dense codes: $path")
+      rows.map(_._3.toSeq).toSeq
+    }
   }
 
   /** Encode v (array<double>[64]) to its M nearest-centroid codes via
@@ -159,6 +170,11 @@ object Quantize extends QueryPack {
     val base = vecs.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val n = base.count()
+    // vacuously perfect fidelity on an empty frame: avg over zero rows
+    // is NULL and getDouble would NPE (review r12) — an empty delta
+    // means "no drift evidence", so the caller's retrain check stays
+    // quiet instead of crashing the monitoring job
+    if (n == 0) return 1.0
     (if (n > 10000) base.sample(10000.0 / n, 42L) else base)
       .withColumn("r", reconstruct(encode(col("v"), book), book))
       .agg(avg(dot(col("v"), col("r")) /
@@ -385,21 +401,13 @@ object Quantize extends QueryPack {
         .agg(topk(col("adc"), col("vec_id"), 1024).as("head"))
         .select(col("id_q"), explode(col("head")).as("t"))
         .select(col("id_q"), col("t.payload").as("idx_id"))
+      // exact re-rank of the constant head: the ONE shared serving
+      // tail over the persisted bucketed vector store (review r12 —
+      // the previous inline copy re-scanned and re-normed the whole
+      // embeddings table per invocation)
       val pv = probes.select(col("id_q"), col("vq"), col("nq"))
-      val vecs = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("idx_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      adc.join(broadcast(pv), Seq("id_q"))
-        .join(vecs, Seq("idx_id"))
-        .select(col("id_q"),
-          (dot(col("vq"), col("v")) / (col("nq") * col("nrm"))).as("cos"),
-          col("idx_id"))
-        .groupBy("id_q")
-        .agg(topk(col("cos"), col("idx_id"), 5).as("top"))
-        .select(col("id_q"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("id_q"), (col("pos") + 1).as("rn"),
-          col("t.payload").as("id_b"), round(col("t.score"), 4).as("cos_sim"))
-        .orderBy("id_q", "rn")
+      val (_, vt, _, _) = Incremental.annIndex(s, dir)
+      Similarity.rerankTopK(s, adc, pv, vt)
     }),
 
     // IVF-PQ composition — the production serving shape (the FAISS
@@ -410,11 +418,15 @@ object Quantize extends QueryPack {
     // only the constant ADC head reaches the full-vector store for the
     // exact re-rank. At cluster scale the codes artifact co-partitions
     // with the inverted lists so a probe reads P cell-local code
-    // stripes. Recall is IVF-bounded: cell-probing misses are shared
-    // with ann_query_ivf (measured 0.6875 == pure IVF at 10x; 0.625 vs
-    // 0.6375 at 100x — the PQ stage loses <= 1/80 at the 1024 head).
-    // Exempt — recall vs exact sim_topk asserted in LlmSpec;
-    // 10×/100× recall + timing in RecallProbe/BASELINE.md.
+    // stripes. Recall is IVF-bounded BY CONSTRUCTION: the probe width
+    // is ivfProbeWidth at the shared servePScale — the same cells
+    // ann_query_ivf probes — so cell-probing misses are identical and
+    // the PQ stage loses at most what the 1024-deep ADC head forfeits
+    // (r12 re-measured at the shared width, 10× twins corpus:
+    // ivfpq ALL-band 0.9625 == pure IVF 0.9625, identical per-band
+    // hits — the PQ stage lost zero). Exempt — recall vs exact sim_topk
+    // asserted in LlmSpec; 10×/100× recall + timing in
+    // RecallProbe/BASELINE.md.
     "ann_query_ivfpq" -> ((s, dir) => {
       import graft.functions.TopKByScore.topk
       val book = codebook(s, dir)
@@ -425,7 +437,11 @@ object Quantize extends QueryPack {
       val ct = Similarity.ivfIndexTable(s, dir, cents, K)
       val probes = Similarity.probeBatch(s, dir)
         .withColumn("dt", graft.functions.PqCodec.pqDistTable(col("v"), book))
-      val P = math.max(10, math.ceil(math.sqrt(K.toDouble)).toInt)
+      // probe width SHARED with ann_query_ivf (ivfProbeWidth at the
+      // measured servePScale — review r12: a stale private √K copy
+      // here probed 4× fewer cells than the widened IVF key while
+      // claiming recall parity with it)
+      val P = Similarity.ivfProbeWidth(K)
       val pcells = Similarity.assignCells(probes, cents, P,
           viaBroadcast = Similarity.assignViaBroadcast(K))
         .select(col("vec_id").as("id_q"), col("cell"))
@@ -444,20 +460,8 @@ object Quantize extends QueryPack {
         .select(col("id_q"), explode(col("head")).as("t"))
         .select(col("id_q"), col("t.payload").as("idx_id"))
       val pv = probes.select(col("vec_id").as("id_q"), col("v").as("vq"), col("nrm").as("nq"))
-      val vecs = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("idx_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      adcHead.join(broadcast(pv), Seq("id_q"))
-        .join(vecs, Seq("idx_id"))
-        .select(col("id_q"),
-          (dot(col("vq"), col("v")) / (col("nq") * col("nrm"))).as("cos"),
-          col("idx_id"))
-        .groupBy("id_q")
-        .agg(topk(col("cos"), col("idx_id"), 5).as("top"))
-        .select(col("id_q"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("id_q"), (col("pos") + 1).as("rn"),
-          col("t.payload").as("id_b"), round(col("t.score"), 4).as("cos_sim"))
-        .orderBy("id_q", "rn")
+      val (_, vt, _, _) = Incremental.annIndex(s, dir)
+      Similarity.rerankTopK(s, adcHead, pv, vt)
     })
   )
 

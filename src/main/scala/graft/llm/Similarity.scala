@@ -513,8 +513,23 @@ object Similarity extends QueryPack {
       .orderBy("id_q", "id_m")
   }
 
+  /** Serving probe-width scale — ONE constant for the whole IVF
+    * serving family (ann_query_ivf AND ann_query_ivfpq), chosen by the
+    * measured DebugServe recall ladder at 100× (BASELINE.md round 7:
+    * the √K floor served 0.64 ALL-band, 4·√K recovered 0.963). Review
+    * r12: ann_query_ivfpq had kept a private copy of the pre-ladder
+    * √K formula, silently serving ~0.63-class recall while its
+    * scaladoc claimed parity with the widened IVF key. */
+  private[graft] val servePScale = 4.0
+
+  /** Serving probe width: P = max(10, ⌈pScale·√K⌉) cells per query —
+    * shared by ivfServe and the IVF-PQ composition so the two keys'
+    * cell-probing recall is identical by construction. */
+  private[graft] def ivfProbeWidth(k: Int, pScale: Double = servePScale): Int =
+    math.max(10, math.ceil(pScale * math.sqrt(k.toDouble)).toInt)
+
   /** ann_query_ivf body, probe-width scale parameterized (DebugServe
-    * ladder): P = max(10, ⌈pScale·√K⌉) cells probed per query. */
+    * ladder): P = ivfProbeWidth(K, pScale) cells probed per query. */
   private[graft] def ivfServe(s: SparkSession, dir: String,
       pScale: Double): DataFrame = {
     val n = Tables.embeddings(s, dir).count()
@@ -523,7 +538,7 @@ object Similarity extends QueryPack {
     val ct = ivfIndexTable(s, dir, cents, K)
     val (_, vt, _, _) = Incremental.annIndex(s, dir) // shared vector store
     val probes = probeBatch(s, dir)
-    val P = math.max(10, math.ceil(pScale * math.sqrt(K.toDouble)).toInt)
+    val P = ivfProbeWidth(K, pScale)
     val pcells = assignCells(probes, cents, P, viaBroadcast = assignViaBroadcast(K))
       .select(col("vec_id").as("id_q"), col("cell"))
     val cand = pcells.join(s.table(ct), Seq("cell"))
@@ -846,7 +861,7 @@ object Similarity extends QueryPack {
     // recall ladder at 100× (BASELINE.md round-7): the √K floor
     // (pScale 1) served 0.64 ALL-band; wider probing buys the
     // remaining recall at the same complexity class.
-    "ann_query_ivf" -> ((s, dir) => ivfServe(s, dir, pScale = 4.0)),
+    "ann_query_ivf" -> ((s, dir) => ivfServe(s, dir, pScale = servePScale)),
 
     // approximate pairs (cos > 0.4) via SRP-LSH bucket join + exact
     // re-check. Probabilistic (recall ≈ 1-(1-p^B)^L, ~0.97 at cos 0.4) —
