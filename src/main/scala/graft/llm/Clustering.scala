@@ -64,10 +64,27 @@ object Clustering extends QueryPack {
         (dot(col("v"), col("cv")) / col("nrm")).as("aff"))
   }
 
+  /** The whole-corpus home-cell assignment (vec_id, cell, aff),
+    * MATERIALIZED once per (sfDir, embeddings fingerprint) — the
+    * ivfAssignTable discipline with the affinity attached (review r12:
+    * profile, drift, and the balanced sample each re-scored the n×K
+    * assignment per run; in production the assignment is the
+    * clustering job's output, every report reads it). */
+  private def homeCellsTable(s: SparkSession, dir: String): String = {
+    val pfx = s"cluster_home_${Tables.pathKey(dir)}_"
+    val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "embeddings"))}"
+    if (!s.catalog.tableExists(t)) {
+      Tables.dropStaleTables(s, pfx)
+      assignTo(s, dir, vecs(s, dir))
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+    t
+  }
+
   /** (vec_id, cell, aff): nearest-centroid (home cell, P = 1)
-    * assignment of the whole corpus. */
+    * assignment of the whole corpus — an artifact read. */
   private[graft] def homeCells(s: SparkSession, dir: String): DataFrame =
-    assignTo(s, dir, vecs(s, dir))
+    s.table(homeCellsTable(s, dir))
 
   /** Per-cell PSI terms between two sub-corpora assigned to the SAME
     * learned cells — the population-stability report. Laplace-smoothed
@@ -78,16 +95,27 @@ object Clustering extends QueryPack {
     * pass + a K-row reduce. */
   private[graft] def driftReport(s: SparkSession, dir: String,
                                  day1: DataFrame, delta: DataFrame): DataFrame = {
+    def cellCounts(e: DataFrame, name: String): DataFrame =
+      assignTo(s, dir, e).groupBy("cell")
+        .agg(count(lit(1)).as(name))
+    psiFromCounts(s, dir, cellCounts(day1, "c_day1"),
+      cellCounts(delta, "c_delta"))
+  }
+
+  /** The PSI arithmetic over two per-cell count frames — ONE
+    * definition shared by [[driftReport]] (arbitrary frames, pays the
+    * assignment pass) and the embed_cluster_drift key (fixture splits,
+    * reads the persisted home-cell artifact), so the smoothing and
+    * term formula can never fork between them. */
+  private def psiFromCounts(s: SparkSession, dir: String,
+                            c1: DataFrame, cd: DataFrame): DataFrame = {
     val n = Tables.embeddings(s, dir).count()
     val k = Similarity.ivfCells(n)
     val allCells = Similarity.learnedCentroids(s, dir, k)
       .select(col("cent_id").cast("long").as("cell"))
-    def cellCounts(e: DataFrame, name: String): DataFrame =
-      assignTo(s, dir, e).groupBy("cell")
-        .agg(count(lit(1)).as(name))
     val joined = allCells
-      .join(cellCounts(day1, "c_day1"), Seq("cell"), "left")
-      .join(cellCounts(delta, "c_delta"), Seq("cell"), "left")
+      .join(c1, Seq("cell"), "left")
+      .join(cd, Seq("cell"), "left")
       .na.fill(0L, Seq("c_day1", "c_delta"))
     // totals ride a 1-row broadcast off the K-row frame (the census
     // pattern), never a global window
@@ -135,10 +163,15 @@ object Clustering extends QueryPack {
     // decorrelation isometry — same norms, scrambled directions)
     // trips loud.
     "embed_cluster_drift" -> ((s, dir) => {
-      val e = vecs(s, dir)
-      driftReport(s, dir,
-        e.where(col("vec_id") % 4 =!= 0),
-        e.where(col("vec_id") % 4 === 0))
+      // both sides are fixture splits, so their cells come from the
+      // persisted home-cell artifact (one scan, two filters) — no
+      // re-scoring; crafted foreign deltas go through driftReport
+      val hc = homeCells(s, dir)
+      psiFromCounts(s, dir,
+        hc.where(col("vec_id") % 4 =!= 0).groupBy("cell")
+          .agg(count(lit(1)).as("c_day1")),
+        hc.where(col("vec_id") % 4 === 0).groupBy("cell")
+          .agg(count(lit(1)).as("c_delta")))
     }),
 
     // Cluster-balanced prototype selection: within each home cell keep

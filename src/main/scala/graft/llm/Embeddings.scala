@@ -128,7 +128,9 @@ object Embeddings extends QueryPack {
         .where(col("rn") <= 5).select(col("id_q"), col("id_b"), lit(true).as("hit"))
       val t16 = sc.withColumn("rn", row_number().over(w16))
         .where(col("rn") <= 5)
-        .select(col("id_q"), col("rn"), col("id_b"), round(col("cos16"), 4).as("cos_trunc"))
+        .select(col("id_q"), col("rn"), col("id_b"),
+          // + 0.0: the -0.0 normalization convention (see embed_normalize)
+          (round(col("cos16"), 4) + 0.0).as("cos_trunc"))
       t16.join(t64, Seq("id_q", "id_b"), "left")
         .select(col("id_q"), col("rn"), col("id_b"), col("cos_trunc"),
           coalesce(col("hit"), lit(false)).as("in_full_top5"))
@@ -138,7 +140,12 @@ object Embeddings extends QueryPack {
     "sim_range_search" -> ((s, dir) => {
       val e = vecs(s, dir)
         .repartition(col("vec_id"))
-        .withColumn("nrm", norm(col("v")))
+        // nullif: a zero vector would make cos = 0/0 = NaN, which
+        // Spark's NaN-greatest ordering passes through >= 0.3 while
+        // DuckDB follows its own convention — NULL cos drops the row
+        // on both engines (the file-header degenerate-input rule,
+        // applied here too; review r12)
+        .withColumn("nrm", nullif(norm(col("v")), lit(0.0)))
       val q = e.where(col("vec_id") < 16)
         .select(col("vec_id").as("id_q"), col("v").as("vq"), col("nrm").as("nq"))
       val cos = dot(col("vq"), col("v")) / (col("nq") * col("nrm"))
@@ -340,7 +347,7 @@ object Embeddings extends QueryPack {
         |                            ORDER BY cos16 DESC, id_b) AS rn
         |  FROM sc QUALIFY rn <= 5)
         |SELECT t16.id_q AS id_q, rn, t16.id_b AS id_b,
-        |       ROUND(cos16, 4) AS cos_trunc,
+        |       ROUND(cos16, 4) + 0.0 AS cos_trunc,
         |       t64.id_b IS NOT NULL AS in_full_top5
         |FROM t16 LEFT JOIN t64
         |  ON t16.id_q = t64.id_q AND t16.id_b = t64.id_b
@@ -373,7 +380,8 @@ object Embeddings extends QueryPack {
         |FROM q ORDER BY vec_id""".stripMargin,
 
     "sim_range_search" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |           WHERE list_dot_product(embedding, embedding) > 0)
         |SELECT q.vec_id AS id_q, m.vec_id AS id_m,
         |       ROUND(list_cosine_similarity(q.v, m.v), 4) AS cos_sim
         |FROM e q JOIN e m ON q.vec_id < 16 AND q.vec_id <> m.vec_id

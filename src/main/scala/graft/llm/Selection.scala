@@ -251,7 +251,13 @@ object Selection extends QueryPack {
           val distCol = centers.map { case (cv, cn) =>
             lit(1.0) - dot(col("v"), typedLit(cv.toSeq)) / (col("nrm") * lit(cn))
           }.reduce(least(_, _))
-          val top = e.select(col("vec_id"), round(distCol, 9).as("d"),
+          // exclude already-picked ids (review r12): on a degenerate
+          // corpus where every remaining vector is at rounded distance
+          // 0 of the center set, the tie-break would otherwise re-pick
+          // the seed and emit duplicate coreset members
+          val pickedIds = picked.map(_._2).toSeq
+          val top = e.where(!col("vec_id").isin(pickedIds: _*))
+            .select(col("vec_id"), round(distCol, 9).as("d"),
               col("v"), col("nrm"))
             .orderBy(col("d").desc, col("vec_id"))
             .limit(1).collect()(0) // 1-row bounded fetch per round
@@ -340,8 +346,12 @@ object Selection extends QueryPack {
           // boundary (the qualityScore epsilon convention): integer/
           // integer quotients land on it often, and Spark HALF_UP vs
           // DuckDB's banker-ish rounding would then disagree
-          round(col("logit_raw").cast("double") / (col("n_tok") * 500) + lit(1e-9), 4)
-            .as("score"),
+          // + 0.0 after round: a tiny negative quotient rounds to
+          // -0.0 in DuckDB but +0.0 in Spark (BigDecimal HALF_UP never
+          // emits -0.0); IEEE -0.0 + 0.0 = +0.0 normalizes both — the
+          // embed_normalize convention (review r12)
+          (round(col("logit_raw").cast("double") / (col("n_tok") * 500)
+            + lit(1e-9), 4) + 0.0).as("score"),
           when(col("logit_raw") > 0, lit("keep")).otherwise(lit("drop"))
             .as("label"))
         .orderBy("doc_id"))
@@ -465,7 +475,7 @@ object Selection extends QueryPack {
          |         COUNT(*) AS n_tok
          |  FROM b JOIN wt USING (bkt) GROUP BY doc_id)
          |SELECT doc_id, logit_raw, n_tok,
-         |  ROUND(CAST(logit_raw AS DOUBLE) / (n_tok * 500) + 0.000000001, 4) AS score,
+         |  ROUND(CAST(logit_raw AS DOUBLE) / (n_tok * 500) + 0.000000001, 4) + 0.0 AS score,
          |  CASE WHEN logit_raw > 0 THEN 'keep' ELSE 'drop' END AS label
          |FROM z ORDER BY doc_id""".stripMargin
   )

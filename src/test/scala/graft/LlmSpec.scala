@@ -845,7 +845,9 @@ class LlmSpec extends AnyFunSuite {
     val ref = scala.collection.mutable.ArrayBuffer(
       (1, vecs.head._1, Option.empty[Double]))
     for (i <- 2 to graft.llm.Selection.KCENTER_K) {
+      val pickedIds = ref.map(_._2).toSet
       val (pick, dd) = vecs.iterator
+        .filterNot(v => pickedIds.contains(v._1)) // mirror the key's exclusion
         .map(v => (v, r9(centers.map(c => cdist(v, c)).min)))
         .maxBy { case (v, dd) => (dd, -v._1) }
       ref += ((i, pick._1, Some(dd)))
