@@ -64,7 +64,14 @@ object Bench {
       .mkString("{", ",", "}")
     val qsMax = resultsMax.map { case (k, v) => s""""$k":${s3(v)}""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // a key that throws times as ~0 s, which would FLATTER the sum; the
+    // failed/tripwire side-fields flag it, but a consumer comparing
+    // headline totals alone (historical BENCH_*.json deltas) must not
+    // see a healthy-looking number for a broken run (r12 ADVICE item 2)
+    // — sentinel the headline to -1 whenever any key threw. The true
+    // partial sum stays recoverable from the per-key map.
+    val total =
+      if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val runsJson = runTotals.map(s3).mkString("[", ",", "]")
     // Bench-budget tripwire (VERDICT r11 item 2): the driver gate is
     // hard at 2× of the ~75 s baseline; fail the round-close ritual —

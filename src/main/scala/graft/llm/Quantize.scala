@@ -413,28 +413,35 @@ object Quantize extends QueryPack {
     // IVF-PQ composition — the production serving shape (the FAISS
     // IVFPQ layout): the IVF inverted lists prune WHICH vectors a probe
     // scores (top-P cells of K = √n, candidates ≈ 2·P·n/K per probe),
-    // and the PQ codes shrink WHAT the scoring touches (the candidate
-    // join fetches the 8 B codes artifact, never the 256 B vectors);
-    // only the constant ADC head reaches the full-vector store for the
-    // exact re-rank. At cluster scale the codes artifact co-partitions
-    // with the inverted lists so a probe reads P cell-local code
-    // stripes. Recall is IVF-bounded BY CONSTRUCTION: the probe width
-    // is ivfProbeWidth at the shared servePScale — the same cells
-    // ann_query_ivf probes — so cell-probing misses are identical and
-    // the PQ stage loses at most what the 1024-deep ADC head forfeits
-    // (r12 re-measured at the shared width, 10× twins corpus:
-    // ivfpq ALL-band 0.9625 == pure IVF 0.9625, identical per-band
-    // hits — the PQ stage lost zero). Exempt — recall vs exact sim_topk
-    // asserted in LlmSpec; 10×/100× recall + timing in
-    // RecallProbe/BASELINE.md.
+    // and the PQ codes shrink WHAT the scoring touches; only the
+    // constant ADC head reaches the full-vector store for the exact
+    // re-rank. The codes artifact CO-PARTITIONS with the inverted
+    // lists at index-build time (ivfPqCodesTable — r12 ADVICE item 3:
+    // the previous inline ct⋈codes join plus a corpus-sized
+    // candidate-distinct made this the bench's first offender under
+    // contention), so serving is ONE pass over the cell-keyed codes
+    // with the 16·P-row probe frame broadcast into it — candidate
+    // fetch, ADC, and the map-side top-k fuse into the scan; the only
+    // shuffle is 16 partial heads. The redundant 2× cell assignment
+    // can land a candidate twice (both its cells probed), so the head
+    // is 2048 WITH duplicates and dedups after explode: any candidate
+    // in the old unique top-1024 has < 1024 unique scores above it,
+    // hence < 2048 duplicate-rows above it, hence survives — the head
+    // the re-rank sees is a superset of the r12 one BY CONSTRUCTION.
+    // Recall is IVF-bounded: the probe width is ivfProbeWidth at the
+    // shared servePScale — the same cells ann_query_ivf probes — so
+    // cell-probing misses are identical (r12 measured at the shared
+    // width, 10× twins corpus: ivfpq ALL-band 0.9625 == pure IVF
+    // 0.9625, identical per-band hits — the PQ stage lost zero).
+    // Exempt — recall vs exact sim_topk asserted in LlmSpec;
+    // 10×/100× recall + timing in RecallProbe/BASELINE.md.
     "ann_query_ivfpq" -> ((s, dir) => {
       import graft.functions.TopKByScore.topk
       val book = codebook(s, dir)
-      val codes = readCodes(s, codesTable(s, dir, book))
       val n = Tables.embeddings(s, dir).count()
       val K = Similarity.ivfCells(n)
       val cents = Similarity.learnedCentroids(s, dir, K)
-      val ct = Similarity.ivfIndexTable(s, dir, cents, K)
+      val cellCodes = ivfPqCodesTable(s, dir, book, cents, K)
       val probes = Similarity.probeBatch(s, dir)
         .withColumn("dt", graft.functions.PqCodec.pqDistTable(col("v"), book))
       // probe width SHARED with ann_query_ivf (ivfProbeWidth at the
@@ -445,25 +452,52 @@ object Quantize extends QueryPack {
       val pcells = Similarity.assignCells(probes, cents, P,
           viaBroadcast = Similarity.assignViaBroadcast(K))
         .select(col("vec_id").as("id_q"), col("cell"))
-      val cand = pcells.join(s.table(ct), Seq("cell"))
+      val adcHead = s.table(cellCodes)
+        .join(broadcast(pcells), Seq("cell"))
         .where(col("idx_id") =!= col("id_q"))
-        .select("id_q", "idx_id").distinct()
-      val adcHead = cand
-        .join(broadcast(probes.select(col("vec_id").as("id_q"), col("dt"))), Seq("id_q"))
-        .join(codes.select(col("vec_id").as("idx_id"), col("codes"), col("nrm")),
-          Seq("idx_id"))
+        .join(broadcast(probes.select(col("vec_id").as("id_q"), col("dt"))),
+          Seq("id_q"))
         .select(col("id_q"),
           (graft.functions.PqCodec.pqAdc(col("codes"), col("dt")) / col("nrm")).as("adc"),
           col("idx_id"))
         .groupBy("id_q")
-        .agg(topk(col("adc"), col("idx_id"), 1024).as("head"))
+        .agg(topk(col("adc"), col("idx_id"), 2048).as("head"))
         .select(col("id_q"), explode(col("head")).as("t"))
         .select(col("id_q"), col("t.payload").as("idx_id"))
+        .distinct() // head-sized (≤ 16×2048 rows): drop the redundant-
+                    // assignment duplicates before the exact re-rank
       val pv = probes.select(col("vec_id").as("id_q"), col("v").as("vq"), col("nrm").as("nq"))
       val (_, vt, _, _) = Incremental.annIndex(s, dir)
       Similarity.rerankTopK(s, adcHead, pv, vt)
     })
   )
+
+  /** Cell-co-partitioned PQ codes (cell, idx_id, codes, nrm) — the
+    * FAISS IVFPQ on-disk layout: the inverted lists (ivfIndexTable,
+    * redundant top-2 assignment) joined with the codes artifact ONCE
+    * per (dir, embeddings fingerprint) at index-build time, bucketed
+    * by cell so a probe's candidate fetch is a cell-local stripe read.
+    * Serving (ann_query_ivfpq) broadcasts the 16·P probe-cell rows
+    * into one pass over this table — no corpus×corpus join and no
+    * corpus-sized distinct remain on the query path (r12 ADVICE
+    * item 3). */
+  private def ivfPqCodesTable(s: SparkSession, dir: String,
+      book: Seq[Seq[Seq[Double]]], cents: DataFrame, k: Int): String = {
+    val pfx = s"graft_ivfpq_${Tables.pathKey(dir)}_"
+    val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "embeddings"))}"
+    if (!s.catalog.tableExists(t)) {
+      Tables.dropStaleTables(s, pfx)
+      val ct = Similarity.ivfIndexTable(s, dir, cents, k)
+      s.table(ct)
+        .join(readCodes(s, codesTable(s, dir, book))
+          .withColumnRenamed("vec_id", "idx_id"), Seq("idx_id"))
+        .select("cell", "idx_id", "codes", "nrm")
+        .write.mode("overwrite")
+        .bucketBy(16, "cell").sortBy("cell", "idx_id")
+        .format("parquet").saveAsTable(t)
+    }
+    t
+  }
 
   val oracleSql: Map[String, String] = Map(
     // sign quantization is deterministic — full SQL twin (the PQ keys

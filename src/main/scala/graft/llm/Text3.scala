@@ -224,24 +224,28 @@ object Text3 extends QueryPack {
     // Maximal exact-substring dedup (the Lee et al. 2022 ExactSubstr
     // trainer-dedup shape — VERDICT r11 item 4): text_dup_spans fixes
     // the window at 10 tokens; the trainer wants maximal duplicated
-    // runs of ANY length with their true extent. A duplicated block of
-    // L ≥ 10 tokens flags exactly its L−9 start windows, so the
-    // maximal spans are the gaps-and-islands MERGE of the same
-    // persisted flagged-window artifact the detector and scrubber
-    // read — extend-and-merge over the existing postings, no new
-    // corpus pass: a maximal run of consecutive flagged windows
-    // [a..b] covers tokens [a, b+9], span_tokens = b−a+10.
-    // trainer_cut marks spans the ExactSubstr cut rule (≥ 50 tokens)
-    // would remove; the union of all spans is BY CONSTRUCTION the
-    // token set text_dup_spans_scrub cuts (pinned in LlmSpec), so the
-    // remedy follows this definition. One doc_id-keyed window over the
+    // runs of ANY length with their true TOKEN extent. A flagged
+    // window at pos p covers tokens [p, p+9], so two flagged positions
+    // belong to one span iff their coverage intervals overlap or abut
+    // (next − prev ≤ 10) — NOT only when the positions are consecutive
+    // (the r12 ADVICE finding: flagged {0..2} and {5,6} cover the
+    // contiguous token run [0,15] and must be ONE span, not two).
+    // Islands therefore break on gap > 10 (lag + running sum), and
+    // each span [minPos, maxPos+9] is a maximal contiguous run of cut
+    // tokens: the spans are pairwise disjoint, non-abutting, and their
+    // union is EXACTLY the token set text_dup_spans_scrub cuts —
+    // span_tokens sums to n_scrubbed by construction (pinned in
+    // LlmSpec). trainer_cut marks spans the ExactSubstr cut rule
+    // (≥ 50 tokens) would remove. One doc_id-keyed window over the
     // bucketed artifact (flagged positions ≪ corpus), nothing
     // corpus-sized.
     "text_exact_substr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("doc_id").orderBy("pos")
       s.table(dupFlaggedTable(s, dir))
-        .withColumn("grp", col("pos") - row_number().over(w))
+        .withColumn("brk",
+          when(col("pos") - lag("pos", 1).over(w) > 10, 1).otherwise(0))
+        .withColumn("grp", sum(col("brk")).over(w))
         .groupBy("doc_id", "grp")
         .agg(min(col("pos")).cast("long").as("span_start"),
           (max(col("pos")) + 9).cast("long").as("span_end"))
@@ -465,10 +469,14 @@ object Text3 extends QueryPack {
          |  QUALIFY lead(tok,9) OVER win IS NOT NULL),
          |d AS (SELECT ws FROM w GROUP BY ws HAVING count(DISTINCT doc_id) >= 2),
          |f AS (SELECT w.doc_id, w.p - 1 AS pos FROM w JOIN d USING (ws)),
+         |lagd AS (SELECT doc_id, pos,
+         |           CASE WHEN pos - lag(pos)
+         |               OVER (PARTITION BY doc_id ORDER BY pos) > 10
+         |             THEN 1 ELSE 0 END AS brk
+         |         FROM f),
          |runs AS (SELECT doc_id, pos,
-         |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-         |             AS grp
-         |         FROM f)
+         |           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |         FROM lagd)
          |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
          |  CAST(MAX(pos) + 9 AS BIGINT) AS span_end,
          |  CAST(MAX(pos) - MIN(pos) + 10 AS BIGINT) AS span_tokens,

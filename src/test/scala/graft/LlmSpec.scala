@@ -62,15 +62,26 @@ class LlmSpec extends AnyFunSuite {
   }
 
   test("text_exact_substr: spans are the maximal merge of the scrub's covered set") {
-    // the span union must equal the token set the scrubber cuts (same
-    // flagged-window artifact, extend-and-merge vs expand-and-cut), and
-    // the longest span must be the detector's longest run + 9 — the
+    // spans are maximal contiguous runs of CUT tokens (r12 ADVICE fix:
+    // islands break on coverage gap > 10, not window gap > 1), so the
+    // invariant is exact: per doc the spans are disjoint, non-abutting
+    // (maximality — a gap of ≥ 1 kept token between any two), and
+    // sum(span_tokens) == n_scrubbed with no de-overlap needed — the
     // three keys are one definition seen at three grains
     val spans = q("text_exact_substr").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(spans.nonEmpty, "fixture must contain duplicated spans")
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1 + 1,
+            s"doc $id: spans ending $e1 and starting $s2 overlap or abut " +
+              "— the island merge is not maximal")
+        case _ => ()
+      }
+    }
     val spanCover = spans.groupBy(_._1).map { case (id, ss) =>
-      id -> ss.flatMap { case (_, a, b, _) => a to b }.toSet.size.toLong }
+      id -> ss.map(_._4).sum } // disjoint by the check above: sum == union
     val scrub = q("text_dup_spans_scrub").collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     spanCover.foreach { case (id, cov) =>
@@ -81,8 +92,42 @@ class LlmSpec extends AnyFunSuite {
     val maxRun = q("text_dup_spans").collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     spans.groupBy(_._1).foreach { case (id, ss) =>
-      assert(ss.map(_._4).max === maxRun(id) + 9,
-        s"doc $id: longest span must be the longest window run + 9") }
+      assert(ss.map(_._4).max >= maxRun(id) + 9,
+        s"doc $id: longest span must cover the longest window run + 9") }
+  }
+
+  test("text_exact_substr: overlapping shorter runs merge to one maximal span") {
+    // the r12 ADVICE failure case: two duplicated 10-grams whose start
+    // positions differ by 5 (flagged {20} and {25} in the probe doc)
+    // cover the contiguous token run [20,34] and must come back as ONE
+    // 15-token span, not two 10-token 'maximal' spans
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_overlap").toString
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text", concat_ws(" ",
+        transform(split(col("text"), " "), t => concat(lit("ov"), t))))
+    // 15 shared tokens z0..z14 sit at probe positions 20..34; donor X
+    // carries z0..z9 (matches the probe window at pos 20), donor Y
+    // carries z5..z14 (matches pos 25); probe windows 21..24 straddle
+    // material found in neither donor, so flagged = {20, 25} exactly
+    val z = (0 until 15).map(i => s"zz$i")
+    val probe = ((0 until 20).map(i => s"pq$i") ++ z ++
+      (0 until 20).map(i => s"pr$i")).mkString(" ")
+    val docs = base
+      .unionByName(base.limit(1).withColumn("doc_id", lit(910000001L))
+        .withColumn("text", lit(probe)))
+      .unionByName(base.limit(1).withColumn("doc_id", lit(910000002L))
+        .withColumn("text",
+          lit(((0 until 15).map(i => s"dx$i") ++ z.take(10)).mkString(" "))))
+      .unionByName(base.limit(1).withColumn("doc_id", lit(910000003L))
+        .withColumn("text",
+          lit(((0 until 15).map(i => s"dy$i") ++ z.drop(5)).mkString(" "))))
+    docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val spans = q2("text_exact_substr", out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 == 910000001L).toSeq
+    assert(spans === Seq((910000001L, 20L, 34L, 15L)),
+      s"probe doc spans: $spans — expected one merged [20,34] span")
   }
 
   test("text_exact_substr: planted 60-token duplicate recovered with exact extent at 10×") {
