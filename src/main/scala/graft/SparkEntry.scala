@@ -93,7 +93,8 @@ object SparkEntry {
     "dedup_near", "dedup_semantic_ann", "dedup_semantic_cells",
     "embed_cluster_drift", "embed_cluster_profile",
     "embed_label_purity_ann", "embed_pca_power",
-    "embed_pq", "pipeline_curate_incr_v3", "sample_cluster_balanced",
+    "embed_pq", "pipeline_curate_incr_stream", "pipeline_curate_incr_v3",
+    "sample_cluster_balanced",
     "sim_edge_histogram_ann", "sim_ivf_ann", "sim_knn_graph_ann",
     "sample_kcenter", "sim_lsh_ann", "sim_mmr_rerank",
     "text_bpe_compression", "text_bpe_drift", "text_bpe_train")

@@ -211,12 +211,12 @@ object Retrieval extends QueryPack {
 
   /** One batch's lexicon partial: (term, df) over distinct
     * (doc, term). */
-  private def lexRowsOf(docs: DataFrame): DataFrame =
+  private[llm] def lexRowsOf(docs: DataFrame): DataFrame =
     docs.select(explode(array_distinct(split(col("text"), " "))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
 
   /** One batch's stats partial: (n, sdl). */
-  private def lexStatsOf(docs: DataFrame): DataFrame =
+  private[llm] def lexStatsOf(docs: DataFrame): DataFrame =
     docs.select(size(split(col("text"), " ")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
 

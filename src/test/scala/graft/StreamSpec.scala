@@ -2380,4 +2380,83 @@ class StreamSpec extends AnyFunSuite {
         s"$sub: flow checksum must equal the closed-form drain clock")
     }
   }
+
+  test("composed streaming curation gate: kept == v3 across a truncated-commit restart; cross-batch dedup holds") {
+    // the capstone composition gate (VERDICT r12 item 2): the persisted-
+    // index ingest gates driven as ONE AvailableNow file stream must
+    // reproduce pipeline_curate_incr_v3's keep-set exactly — including
+    // an exact duplicate PLANTED so its two copies land in different
+    // micro-batches (cross-batch dedup can only come from the stream's
+    // maintained admitted-hash store), and across a kill/resume forced
+    // by commit-log truncation (the replayed epoch must not collide
+    // with its own prior hash-store write). The kept docs must also
+    // have flowed into BM25 lexicon maintenance inside the same stream.
+    import graft.llm.Incremental
+    val out = Files.createTempDirectory("graft_curstream_fix").toString
+    val docs = Tables.documents(spark, dir)
+    // plant source: the smallest doc v3 KEEPS on the base fixture —
+    // derived from the gate itself, so the plant can't silently rot
+    // into a quality-rejected (hence untested) duplicate
+    val srcId = SparkEntry.queries("pipeline_curate_incr_v3")(spark, dir)
+      .agg(min(col("doc_id"))).head.getLong(0)
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val cloneId = (maxId / 4 + 1) * 4 // delta-slot id beyond every real id
+    docs.unionByName(docs.where(col("doc_id") === srcId)
+        .withColumn("doc_id", lit(cloneId)))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val (src, tK, tH, tL, tS) = Incremental.curateStreamSetup(spark, out)
+    val ckpt = Files.createTempDirectory("graft_ckpt_curstream").toString
+    def runOnce(): Unit = {
+      val q = Incremental.curateStream(spark, out, src, tK, tH, tL, tS, ckpt)
+      q.awaitTermination()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    }
+    runOnce()
+    // crash window: final epoch's sinks written, checkpoint commit lost
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val latest = java.nio.file.Files.list(commits).toArray.map(_.toString)
+      .filter(_.split("/").last.forall(_.isDigit))
+      .maxBy(_.split("/").last.toLong)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(latest))
+    java.nio.file.Files.deleteIfExists(
+      commits.resolve("." + latest.split("/").last + ".crc"))
+    runOnce()
+    spark.catalog.refreshTable(tK)
+    val streamKept = spark.table(tK)
+    // keep-set EQUALITY with the batch v3 gate on the same corpus
+    assertSameRows(
+      streamKept.select("doc_id", "lang", "source", "quality"),
+      SparkEntry.queries("pipeline_curate_incr_v3")(spark, out))
+    // the stream really ran multi-batch: one epoch per staged file
+    val epochs = streamKept.select("epoch").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(epochs.size === Incremental.curateStreamBatches,
+      s"expected ${Incremental.curateStreamBatches} micro-batches, saw $epochs")
+    // cross-batch dedup: the clone (last batch, by id order) was
+    // dropped; its original (an earlier batch) survived
+    val keptIds = streamKept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.contains(srcId), "plant source must survive the gate")
+    assert(!keptIds.contains(cloneId),
+      "cross-batch exact duplicate must be dropped via the maintained hash store")
+    val srcEpoch = streamKept.where(col("doc_id") === srcId)
+      .select("epoch").head.getLong(0)
+    assert(srcEpoch < epochs.max,
+      "plant source must land in an earlier micro-batch than the clone's")
+    // admitted docs flowed into lexicon maintenance: per-epoch partials
+    // sum to the batch lexicon over exactly the kept docs
+    val keptDocs = spark.read.parquet(s"$out/documents.parquet")
+      .join(streamKept.select("doc_id"), Seq("doc_id"))
+    assertSameRows(
+      spark.table(tL).groupBy("term").agg(sum(col("df")).as("df")),
+      keptDocs.select(explode(array_distinct(split(col("text"), " ")))
+        .as("term")).groupBy("term").agg(count(lit(1)).as("df")))
+    val st = spark.table(tS).agg(sum(col("n")), sum(col("sdl"))).head
+    assert(st.getLong(0) === keptDocs.count(),
+      "lexicon stats n must count exactly the kept docs")
+    assert(st.getLong(1) === keptDocs
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0),
+      "lexicon stats sdl must sum the kept docs' lengths")
+  }
 }
