@@ -441,6 +441,43 @@ object Text5 extends QueryPack {
            |      FROM (SELECT DISTINCT explode(split(text, ' ')) AS tok
            |            FROM documents))
            |ORDER BY tok""".stripMargin)
+    }),
+
+    // Tokenizer-aware sequence packing (VERDICT r12 item 7):
+    // text_pack_sequences packs by WHITESPACE token counts, but a real
+    // trainer packs by tokenizer ids — compose the text_bpe_encode
+    // cascade with the 2048-slot packer. Per-doc BPE length comes from
+    // ONE corpus token pass joined against the vocabulary-sized
+    // (tok → n_units) table the shared bpeChain cascade produces
+    // (broadcast — the fixture vocabulary is tiny and real BPE vocabs
+    // are ≤ a few 100k rows), then the same per-(lang, source) running
+    // prefix sum as the whitespace packer. The window is shard-keyed
+    // exactly like text_pack_sequences (hot shards take the bucketed
+    // variant's doc_id % 8 refinement, unchanged semantics).
+    "text_pack_bpe" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val chain = bpeChain("' ' || regexp_replace(tok, '(.)', '$1 ')")
+      val units = docs
+        .select(explode(split(col("text"), " ")).as("tok")).distinct()
+        .withColumn("bpe", expr(s"trim($chain)"))
+        .select(col("tok"),
+          size(split(col("bpe"), " ")).cast("long").as("n_units"))
+      val perDoc = docs
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .join(broadcast(units), Seq("tok"))
+        .groupBy("doc_id", "lang", "source")
+        .agg(sum(col("n_units")).as("n_units"))
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perDoc
+        .withColumn("cum_before", coalesce(sum(col("n_units")).over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_units"),
+          expr("cum_before div 2048").as("seq_id"),
+          (col("cum_before") % 2048).as("seq_offset"))
+        .orderBy("doc_id")
     })
   )
 
@@ -514,6 +551,30 @@ object Text5 extends QueryPack {
          |e AS (SELECT tok, trim($chainD) AS bpe FROM v)
          |SELECT tok, bpe, CAST(len(string_split(bpe, ' ')) AS BIGINT) AS n_units
          |FROM e ORDER BY tok""".stripMargin
+    },
+
+    "text_pack_bpe" -> {
+      val chainD = bpeChain("' ' || regexp_replace(tok, '(.)', '\\1 ', 'g')")
+      s"""WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+         |           FROM documents),
+         |u AS (SELECT tok,
+         |        CAST(len(string_split(trim($chainD), ' ')) AS BIGINT) AS n_units
+         |      FROM v),
+         |t AS (SELECT doc_id, lang, source,
+         |        unnest(string_split(text, ' ')) AS tok
+         |      FROM documents),
+         |pd AS (SELECT doc_id, lang, source,
+         |         CAST(SUM(n_units) AS BIGINT) AS n_units
+         |       FROM t JOIN u USING (tok) GROUP BY 1, 2, 3),
+         |c AS (SELECT *, CAST(COALESCE(SUM(n_units) OVER (
+         |        PARTITION BY lang, source ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS cum_before
+         |      FROM pd)
+         |SELECT doc_id, lang, source, n_units,
+         |  cum_before // 2048 AS seq_id,
+         |  cum_before % 2048 AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin
     }
   )
 }

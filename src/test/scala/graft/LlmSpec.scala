@@ -96,6 +96,40 @@ class LlmSpec extends AnyFunSuite {
         s"doc $id: longest span must cover the longest window run + 9") }
   }
 
+  test("dedup_paragraph: planted shared paragraph drops at every later occurrence, docs reassemble exactly") {
+    // the RefinedWeb-granularity acceptance shape (VERDICT r12 item 6):
+    // a 20-token paragraph planted in two docs (and twice in the
+    // second) must survive ONLY at its first corpus-wide occurrence in
+    // (doc_id, para_id) order — the second doc loses both its copies,
+    // including the intra-doc repeat — and each doc's clean_text must
+    // be its surviving blocks rejoined in order
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_para").toString
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text", concat_ws(" ",
+        transform(split(col("text"), " "), t => concat(lit("pp"), t))))
+    val para = (0 until 20).map(i => s"shared$i").mkString(" ")
+    val aHead = (0 until 20).map(i => s"a$i").mkString(" ")
+    val aTail = (0 until 7).map(i => s"atail$i").mkString(" ")
+    val bMid = (0 until 20).map(i => s"b$i").mkString(" ")
+    val textA = s"$aHead $para $aTail"     // blocks: a / shared / tail
+    val textB = s"$para $bMid $para"        // blocks: shared / b / shared
+    val (idA, idB) = (920000001L, 920000002L)
+    base
+      .unionByName(base.limit(1).withColumn("doc_id", lit(idA))
+        .withColumn("text", lit(textA)))
+      .unionByName(base.limit(1).withColumn("doc_id", lit(idB))
+        .withColumn("text", lit(textB)))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val r = q2("dedup_paragraph", out).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3))))
+      .toMap
+    assert(r(idA) === ((3L, 0L, textA)),
+      s"doc A must keep all blocks: ${r(idA)}")
+    assert(r(idB) === ((3L, 2L, bMid)),
+      s"doc B must lose both copies of the shared paragraph: ${r(idB)}")
+  }
+
   test("text_exact_substr: overlapping shorter runs merge to one maximal span") {
     // the r12 ADVICE failure case: two duplicated 10-grams whose start
     // positions differ by 5 (flagged {20} and {25} in the probe doc)
