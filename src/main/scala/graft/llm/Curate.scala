@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -105,26 +105,68 @@ object Curate extends QueryPack {
     // funnel cannot drift from them (ADVICE r11: the previous inline
     // copy was only inequality-pinned). The token column is the
     // budget-relevant one — a stage that drops 3 % of docs can cost
-    // 3× that in tokens if it culls the long tail. Five 1-row
-    // aggregates over progressively shrinking frames, unioned.
+    // 3× that in tokens if it culls the long tail.
     "pipeline_funnel_report" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val nTok = size(split(col("text"), " ")).cast("long")
       val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 100000L
-      val s1 = docs.where(!isEval)
-      val s2 = qualityGate(s1)
-      val kept = exactDedupKeepMin(s2)
+      // Round 13 (the first graft.Posture run caught the shape): the
+      // previous five per-stage aggregates each re-derived their frame
+      // from scratch — quality scored three times, the sha window run
+      // twice, ~3 extra corpus passes (24.7 s warm at 100×/500 k docs;
+      // 17.9 s after this fold + the hashed-gram decontam join, at an
+      // unchanged 1× bench cost — of the forms measured, the window+
+      // full-text-checkpoint variant was 14.8 s at 100× but +1.0 s at
+      // 1×, the wrong side of the 382-key bench trade). Stages 0–2 are
+      // conditional
+      // aggregates over ONE pass (the quality_threshold_curve lesson);
+      // stage 3 is a partial-aggregated sha census (min/min_by — NOT a
+      // row_number window, whose full-corpus sort-shuffle measured
+      // +0.7 s at 1× and which a hot hash would pin to one reducer);
+      // the decontamination stage re-reads text for exactly the kept
+      // ids via one semi join. Stage-3 membership is IDENTICAL to
+      // exactDedupKeepMin(qualityGate(s1)): min doc_id per sha among
+      // quality-passing non-eval docs, with min_by carrying that
+      // winner's token count.
+      val q = Text.qualityScore(col("text"))
+      val flagged = docs.select(col("doc_id"), col("text"),
+        nTok.as("n_tok"), isEval.as("is_eval"),
+        (!isEval && q >= 0.75).as("q_ok"))
+      def cnt(flag: Column) = sum(when(flag, 1L).otherwise(0L))
+      def tok(flag: Column) = coalesce(sum(when(flag, col("n_tok"))), lit(0L))
+      val head = flagged.agg(
+        count(lit(1)).as("d0"), coalesce(sum(col("n_tok")), lit(0L)).as("t0"),
+        cnt(!col("is_eval")).as("d1"), tok(!col("is_eval")).as("t1"),
+        cnt(col("q_ok")).as("d2"), tok(col("q_ok")).as("t2"))
+        .localCheckpoint() // 1 row, read three times (exchange reuse
+                           // does NOT fire across the union branches
+                           // here — measured +5 s at 100× without it)
+      val census = flagged.where(col("q_ok"))
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("n_tok"), col("doc_id")).as("ktok"))
+        .localCheckpoint() // slim (ids + token counts): the stage-3
+                           // fold and the keep-id semi join share it
+      val kept = docs.join(census.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"), nTok.as("n_tok"))
       val dec = Text3.decontaminate(kept, docs.where(isEval))
-      def stage(idx: Int, name: String, df: DataFrame): DataFrame =
+      def stageAt(idx: Int, name: String): DataFrame =
+        head.select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col(s"d$idx").as("n_docs"), col(s"t$idx").as("n_tokens"))
+      def fold(df: DataFrame, idx: Int, name: String): DataFrame =
         df.agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(nTok), lit(0L)).as("n_tokens"))
+            coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
           .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
             col("n_docs"), col("n_tokens"))
-      stage(0, "raw", docs)
-        .unionByName(stage(1, "eval_holdout", s1))
-        .unionByName(stage(2, "quality_gate", s2))
-        .unionByName(stage(3, "exact_dedup", kept))
-        .unionByName(stage(4, "decontaminated", dec))
+      stageAt(0, "raw")
+        .unionByName(stageAt(1, "eval_holdout"))
+        .unionByName(stageAt(2, "quality_gate"))
+        .unionByName(census.select(col("ktok").as("n_tok"))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+          .select(lit(3L).as("stage_idx"), lit("exact_dedup").as("stage"),
+            col("n_docs"), col("n_tokens")))
+        .unionByName(fold(dec, 4, "decontaminated"))
         .orderBy("stage_idx")
     }),
 

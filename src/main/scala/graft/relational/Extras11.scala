@@ -84,7 +84,8 @@ object Extras11 extends QueryPack {
     * triangle join consume the bucket layout with no exchange).
     * Fingerprint-keyed on lineitem; rebuilt only when the fixture
     * changes. Returns (orientedEdgesTable, degreeTable). */
-  /** The oriented-edge artifact as a frame (DebugTri's A/B input). */
+  /** The oriented-edge artifact as a frame (the A/B instrument input
+    * whose measurements BASELINE.md records). */
   private[graft] def triEdges(s: SparkSession, dir: String): DataFrame =
     s.table(triGraph(s, dir)._1)
 
