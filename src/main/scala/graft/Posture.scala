@@ -56,9 +56,14 @@ object Posture {
     } yield {
       val fn = SparkEntry.queries(key)
       exec(fn(spark, dir)) // cold: artifact builds + codegen
-      val t0 = System.nanoTime()
-      exec(fn(spark, dir))
-      val warm = (System.nanoTime() - t0) / 1e9
+      // warm = min of 2 samples (the bench's min-of-N defense, scaled
+      // down): a single warm sample flagged a phantom 6× drift when
+      // the long-lived sweep JVM hit a GC window on one key
+      val warm = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        exec(fn(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }.min
       val recorded = rec(key)(geom)
       val drifted = recorded.exists(r => warm > 2.0 * r && warm - r > 0.5)
       if (drifted) drifts += s"$key@$geom: ${s3(warm)} vs recorded ${recorded.get}"
