@@ -152,14 +152,6 @@ object Dedup extends QueryPack {
   private[graft] def ngramCounts(s: SparkSession, dir: String): DataFrame =
     s.table(ngramCountsTable(s, dir))
 
-  /** Pre-threshold candidate stage shared by jaccard and containment:
-    * (id_a < id_b, shared, na, nb) where `shared` counts co-occurring
-    * df ≤ 20 trigrams and na/nb count each doc's PRUNED distinct
-    * trigrams (the same posting contract as ngramJaccardPairs; every
-    * oracle mirrors the pruned-denominator semantics). */
-  private[graft] def ngramSharedCountsPublic(docs: DataFrame): DataFrame =
-    ngramSharedCounts(docs, hashedKeys = true)
-
   private def ngramSharedCounts(docs: DataFrame,
                                 hashedKeys: Boolean,
                                 miningParts: Option[Int] = None): DataFrame = {

