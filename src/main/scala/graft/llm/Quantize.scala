@@ -480,24 +480,81 @@ object Quantize extends QueryPack {
     * Serving (ann_query_ivfpq) broadcasts the 16·P probe-cell rows
     * into one pass over this table — no corpus×corpus join and no
     * corpus-sized distinct remain on the query path (r12 ADVICE
-    * item 3). */
-  private def ivfPqCodesTable(s: SparkSession, dir: String,
+    * item 3). Epoch-partitioned like every maintainable index (bulk =
+    * epoch −1; maintainIvfPqCodes appends per micro-batch). */
+  private[graft] def ivfPqCodesTable(s: SparkSession, dir: String,
       book: Seq[Seq[Seq[Double]]], cents: DataFrame, k: Int): String = {
     val pfx = s"graft_ivfpq_${Tables.pathKey(dir)}_"
     val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "embeddings"))}"
     if (!s.catalog.tableExists(t)) {
       Tables.dropStaleTables(s, pfx)
       val ct = Similarity.ivfIndexTable(s, dir, cents, k)
-      s.table(ct)
-        .join(readCodes(s, codesTable(s, dir, book))
-          .withColumnRenamed("vec_id", "idx_id"), Seq("idx_id"))
-        .select("cell", "idx_id", "codes", "nrm")
-        .write.mode("overwrite")
-        .bucketBy(16, "cell").sortBy("cell", "idx_id")
-        .format("parquet").saveAsTable(t)
+      writeIvfPqCodes(
+        s.table(ct)
+          .join(readCodes(s, codesTable(s, dir, book))
+            .withColumnRenamed("vec_id", "idx_id"), Seq("idx_id"))
+          .select("cell", "idx_id", "codes", "nrm"),
+        t, epoch = None)
     }
     t
   }
+
+  /** One vector frame → (cell, idx_id, codes, nrm) rows of the IVFPQ
+    * layout, derived DIRECTLY (top-2 assignCells against the frozen
+    * coarse centroids + frozen-codebook encode) — the definition the
+    * streaming maintainer appends with. The bulk builder instead joins
+    * the two existing per-fingerprint artifacts (inverted lists ×
+    * codes); StreamSpec pins that the two derivations produce
+    * identical rows, so they cannot fork silently. */
+  private[graft] def ivfPqRowsOf(vecs: DataFrame, cents: DataFrame,
+      k: Int, book: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val e = vecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val assigned = Similarity.assignCells(e, cents, 2,
+        Similarity.assignViaBroadcast(k))
+      .select(col("vec_id").as("idx_id"), col("cell"))
+    e.select(col("vec_id").as("idx_id"),
+        encode(col("v"), book).as("codes"), col("nrm"))
+      .join(assigned, Seq("idx_id"))
+      .select("cell", "idx_id", "codes", "nrm")
+  }
+
+  private[graft] def writeIvfPqCodes(rows: DataFrame, table: String,
+      epoch: Option[Long]): Unit = epoch match {
+    case Some(id) => Incremental.epochInsert(rows, table, id)
+    case None => rows.withColumn("epoch", lit(-1L))
+      .write.mode("overwrite")
+      .partitionBy("epoch")
+      .bucketBy(16, "cell").sortBy("cell", "idx_id")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Streaming maintenance of the IVFPQ serving layout (completes the
+    * maintainer family for the round-13 cell-co-partitioned artifact —
+    * sha/postings/SimHash/chunk/SRP/IVF/BQ/PQ/lexicon and now the
+    * composed IVF-PQ): each micro-batch of newly ingested vectors is
+    * assigned its top-2 cells against the FROZEN coarse centroids and
+    * encoded with the FROZEN codebook (ivfPqRowsOf — the FAISS add()
+    * semantics: the index grows, the models retrain on their own
+    * policies: ivfRetrainDue for the cells, pqDriftDue for the book),
+    * appended under the same bucketed spec so serving probes stay
+    * cell-local. Restart-safe via the shared epoch-partition contract
+    * (a replayed epoch rewrites its own partition — assignment and
+    * encode are deterministic). */
+  def maintainIvfPqCodes(streamingVecs: DataFrame, table: String,
+      cents: DataFrame, k: Int, book: Seq[Seq[Seq[Double]]], ckpt: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamingVecs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeIvfPqCodes(ivfPqRowsOf(batch, cents, k, book), table, Some(id))
+        ()
+      }
+      .start()
 
   val oracleSql: Map[String, String] = Map(
     // sign quantization is deterministic — full SQL twin (the PQ keys

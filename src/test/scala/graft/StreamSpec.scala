@@ -2381,6 +2381,77 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFPQ cell-codes maintainer: maintained layout == bulk build == join derivation; replay idempotent") {
+    // the round-13 cell-co-partitioned serving artifact joins the
+    // maintainer family (FAISS add() semantics): frozen centroids +
+    // frozen codebook, per-batch top-2 assignment + encode appended
+    // under the bucketed spec. Three pins: (a) maintained rows ==
+    // direct bulk build over the union after a truncated-commit
+    // restart (exactly-once), (b) every vector holds exactly its 2
+    // redundant-assignment rows (no replay duplicates), (c) the
+    // fingerprint-keyed SERVING artifact — built by joining the
+    // inverted-list and codes artifacts — equals the maintainer's
+    // direct derivation row-for-row, so the two definitions cannot
+    // fork silently.
+    import graft.llm.{Incremental, Quantize, Similarity}
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val K = Similarity.ivfCells(n)
+    val cents = Similarity.learnedCentroids(spark, dir, K)
+    val book = Quantize.codebook(spark, dir)
+    val initial = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    val arriving = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val (p1, p2) = (arriving.where(col("vec_id") % 3 === 0),
+      arriving.where(col("vec_id") % 3 =!= 0))
+    val maintained = "ivfpq_restart_test"
+    val batchBuilt = "ivfpq_restart_batch"
+    Tables.dropStaleTables(spark, maintained)
+    Tables.dropStaleTables(spark, batchBuilt)
+    Quantize.writeIvfPqCodes(
+      Quantize.ivfPqRowsOf(initial, cents, K, book), maintained, None)
+    val inDir = Files.createTempDirectory("graft_ivfpqrst_in").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_ivfpqrst").toString
+    def push(df: DataFrame): Unit =
+      df.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .write.mode("append").json(inDir)
+    def runOnce(): Unit = {
+      val q = Quantize.maintainIvfPqCodes(
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+          .json(inDir), maintained, cents, K, book, ckpt)
+      q.awaitTermination()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    }
+    push(p1)
+    runOnce()
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val latest = java.nio.file.Files.list(commits).toArray.map(_.toString)
+      .filter(_.split("/").last.forall(_.isDigit))
+      .maxBy(_.split("/").last.toLong)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(latest))
+    java.nio.file.Files.deleteIfExists(
+      commits.resolve("." + latest.split("/").last + ".crc"))
+    push(p2)
+    runOnce()
+    spark.catalog.refreshTable(maintained)
+    Quantize.writeIvfPqCodes(
+      Quantize.ivfPqRowsOf(emb, cents, K, book), batchBuilt, None)
+    val cols = Seq("cell", "idx_id", "codes", "nrm")
+    assertSameRows(spark.table(maintained).select(cols.map(col): _*),
+      spark.table(batchBuilt).select(cols.map(col): _*))
+    val perVec = spark.table(maintained).groupBy("idx_id")
+      .agg(count(lit(1)).as("c")).where(col("c") =!= 2).count()
+    assert(perVec === 0,
+      "every vector must hold exactly its 2 redundant-assignment rows")
+    // the serving artifact's join derivation == the direct derivation
+    val served = spark.table(
+      Quantize.ivfPqCodesTable(spark, dir, book, cents, K))
+    assertSameRows(served.select(cols.map(col): _*),
+      Quantize.ivfPqRowsOf(emb, cents, K, book))
+  }
+
   test("composed streaming curation gate: kept == v3 across a truncated-commit restart; cross-batch dedup holds") {
     // the capstone composition gate (VERDICT r12 item 2): the persisted-
     // index ingest gates driven as ONE AvailableNow file stream must
