@@ -537,7 +537,7 @@ object Quantize extends QueryPack {
     * assigned its top-2 cells against the FROZEN coarse centroids and
     * encoded with the FROZEN codebook (ivfPqRowsOf — the FAISS add()
     * semantics: the index grows, the models retrain on their own
-    * policies: ivfRetrainDue for the cells, pqDriftDue for the book),
+    * policies: ivfRetrainDue for the cells, pqRetrainDue for the book),
     * appended under the same bucketed spec so serving probes stay
     * cell-local. Restart-safe via the shared epoch-partition contract
     * (a replayed epoch rewrites its own partition — assignment and
