@@ -2529,5 +2529,14 @@ class StreamSpec extends AnyFunSuite {
     assert(st.getLong(1) === keptDocs
       .agg(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0),
       "lexicon stats sdl must sum the kept docs' lengths")
+    // half-built recovery (review r13): this test drove the stream by
+    // hand, so the sinks exist WITHOUT the done marker — exactly the
+    // on-disk state after an interrupted build. The write-once KEY
+    // must treat that as unbuilt, drop the partials, re-drain from
+    // scratch, and still equal v3 (it must never fast-path a markerless
+    // kept table)
+    assertSameRows(
+      SparkEntry.queries("pipeline_curate_incr_stream")(spark, out),
+      SparkEntry.queries("pipeline_curate_incr_v3")(spark, out))
   }
 }
