@@ -112,6 +112,28 @@ object Text2 extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Packing-efficiency census (round 13, completing the packing
+    // family: sequences → bucketed → bpe → report): per (lang, source)
+    // shard, the sequences the 2048-slot packer produces, the padding
+    // wasted in each shard's final partial sequence, and the fill
+    // ratio — the number a trainer owner reads before switching
+    // packing granularity (whitespace vs BPE ids) or shard keying.
+    // Derived in closed form from the SAME n_tok definition the packer
+    // uses (docs pack contiguously, so a shard of T tokens fills
+    // exactly ⌈T/2048⌉ sequences): one ≤|lang×source|-group census
+    // with map-side partials, no window.
+    "text_pack_report" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("n_seqs", expr("(n_tokens + 2047) div 2048"))
+        .withColumn("pad_waste", col("n_seqs") * 2048 - col("n_tokens"))
+        .withColumn("fill_ratio",
+          round(col("n_tokens").cast("double") / (col("n_seqs") * 2048), 6))
+        .orderBy("lang", "source")),
+
     // Hot-shard variant (VERDICT r03 item 8): a skewed shard (one lang
     // dominating the corpus) makes the per-shard window a single-task
     // straggler; adding a deterministic hash bucket to the partition key
@@ -202,6 +224,22 @@ object Text2 extends QueryPack {
         |  cum_before // 2048 AS seq_id,
         |  cum_before % 2048 AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_pack_report" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY lang, source),
+        |r AS (
+        |  SELECT *, (n_tokens + 2047) // 2048 AS n_seqs FROM g)
+        |SELECT lang, source, n_docs, n_tokens, n_seqs,
+        |  n_seqs * 2048 - n_tokens AS pad_waste,
+        |  round(CAST(n_tokens AS DOUBLE) / (n_seqs * 2048), 6) AS fill_ratio
+        |FROM r ORDER BY lang, source""".stripMargin,
 
     "text_pack_bucketed" ->
       """WITH d AS (
