@@ -25,6 +25,18 @@ import org.apache.spark.sql.SparkSession
   * probe a subset while iterating)
   */
 object Posture {
+  /** Resolve a repo-relative path by walking up from CWD to the first
+    * ancestor that contains it (the ritual runs from the repo root;
+    * ad-hoc runs from subdirs shouldn't silently fail to find the
+    * registry). */
+  private[graft] def registryPath(rel: String): String = {
+    import java.nio.file.{Files, Paths, Path}
+    var d: Path = Paths.get("").toAbsolutePath
+    while (d != null && !Files.exists(d.resolve(rel))) d = d.getParent
+    require(d != null, s"cannot locate $rel above ${Paths.get("").toAbsolutePath}")
+    d.resolve(rel).toString
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: Posture <sf1Dir> <sf10Dir> <sf100Dir> [keyPrefix ...]")
@@ -32,8 +44,15 @@ object Posture {
     val only = args.drop(3)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     spark.sparkContext.setLogLevel("ERROR")
-    val recPath = "tools/posture_recorded.json"
-    val rec = spark.read.option("multiLine", true).json(recPath)
+    // ADVICE r13: explicit schema (an all-null geometry column would
+    // otherwise infer string and getDouble would ClassCastException,
+    // breaking the documented null-recorded-value flow), and resolve
+    // the registry against the repo root rather than assuming CWD —
+    // walk up from CWD to the first dir that has it.
+    val recPath = Posture.registryPath("tools/posture_recorded.json")
+    val rec = spark.read.option("multiLine", true)
+      .schema("key STRING, sf1 DOUBLE, sf10 DOUBLE, sf100 DOUBLE")
+      .json(recPath)
       .collect().map { r =>
         def d(f: String): Option[Double] = {
           val i = r.fieldIndex(f)

@@ -29,7 +29,14 @@ import graft.functions.TopKByScore.topk
   * ground truth is cross-checked against it, validating the planted
   * methodology itself.
   *
-  * Usage: tools/run.sh graft.RecallProbe <scaleDir> <baseDir> <copies> [exact]
+  * The measurement body is [[measure]], which RETURNS the ALL-band
+  * recall per key — `graft.RecallPosture` (VERDICT r13 item 1) re-runs
+  * it in the round ritual and diffs against recorded floors, the same
+  * machine-gating graft.Posture gives the timing tables. This main
+  * stays the hand-run instrument (per-band tables + the exact
+  * methodology cross-check).
+  *
+  * Usage: tools/run.sh graft.RecallProbe <scaleDir> <baseDir> <copies> [exact] [docs]
   * Results are recorded in BASELINE.md next to the timing probes.
   */
 object RecallProbe {
@@ -43,8 +50,8 @@ object RecallProbe {
       .otherwise("[0.30,0.40)") // only the range-serving truth reaches here
 
   /** recall of `approx` (id_a, id_b) against `truth` (id_a, id_b, cos),
-    * reported per cosine band. */
-  private def pairRecall(name: String, truth: DataFrame, approx: DataFrame): Unit = {
+    * reported per cosine band; returns the ALL-band recall. */
+  private def pairRecall(name: String, truth: DataFrame, approx: DataFrame): Double = {
     val hit = approx.select(col("id_a"), col("id_b"), lit(1).as("hit"))
     val rows = truth
       .join(hit, Seq("id_a", "id_b"), "left")
@@ -58,14 +65,18 @@ object RecallProbe {
     }
     val (tt, th) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
     println(f"RECALL $name%-18s band=ALL          truth=$tt%7d hits=$th%7d recall=${th.toDouble / tt}%.4f")
+    th.toDouble / tt
   }
 
-  def main(args: Array[String]): Unit = {
-    val (scaleDir, baseDir, copies) = (args(0), args(1), args(2).toInt)
-    val alsoExact = args.length > 3 && args(3) == "exact"
-    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    spark.sparkContext.setLogLevel("WARN")
+  /** The standard probe measurements over a ScaleGen `twins` corpus.
+    * Returns the ALL-band recall per key (for the semantic-dedup keys:
+    * the planted-twin DEDUP recall — at most one member of each planted
+    * pair survives). Printing is preserved so the hand-run tables and
+    * the gated runs read identically. */
+  def measure(spark: SparkSession, scaleDir: String, baseDir: String,
+      copies: Int, docsMode: Boolean): Map[String, Double] = {
     import spark.implicits._
+    val out = scala.collection.mutable.Map[String, Double]()
 
     val e = Tables.embeddings(spark, scaleDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -97,25 +108,10 @@ object RecallProbe {
     val truth = twinTruth.unionByName(expanded).localCheckpoint()
     println(s"truth pairs: twins=${twinTruth.count()} expanded-base=${expanded.count()}")
 
-    if (alsoExact) {
-      // methodology cross-check: every planted pair must appear in the
-      // full exact pair set at the scale dir (cos > 0.4), and the
-      // planted set plus the documented cross-era tail should account
-      // for the exact set's size
-      val full = SparkEntry.queries("sim_cosine_pairs")(spark, scaleDir)
-        .select(col("id_a"), col("id_b")).localCheckpoint()
-      val nFull = full.count()
-      val covered = truth.where(col("cos") > 0.4)
-        .join(full, Seq("id_a", "id_b")).count()
-      val planted = truth.where(col("cos") > 0.4).count()
-      println(s"EXACT-CHECK full-exact pairs=$nFull planted(cos>0.4)=$planted " +
-        s"planted-found-in-exact=$covered (must equal planted)")
-    }
-
     // ---- pair keys ---------------------------------------------------
-    pairRecall("sim_lsh_ann", truth,
+    out("sim_lsh_ann") = pairRecall("sim_lsh_ann", truth,
       SparkEntry.queries("sim_lsh_ann")(spark, scaleDir))
-    pairRecall("sim_ivf_ann", truth,
+    out("sim_ivf_ann") = pairRecall("sim_ivf_ann", truth,
       SparkEntry.queries("sim_ivf_ann")(spark, scaleDir))
 
     // ---- dedup_embed_lsh: per-vector flags; a vector is truly a dup
@@ -124,11 +120,11 @@ object RecallProbe {
       .groupBy(col("id_b").as("vec_id")).agg(max(col("cos")).as("cos"))
     val flagged = SparkEntry.queries("dedup_embed_lsh")(spark, scaleDir)
       .where(col("is_dup")).select("vec_id")
-    pairRecall("dedup_embed_lsh", dupTruth.select(lit(0L).as("id_a"),
-      col("vec_id").as("id_b"), col("cos")),
+    out("dedup_embed_lsh") = pairRecall("dedup_embed_lsh",
+      dupTruth.select(lit(0L).as("id_a"), col("vec_id").as("id_b"), col("cos")),
       flagged.select(lit(0L).as("id_a"), col("vec_id").as("id_b")))
 
-    // ---- dedup_semantic_ann: planted-twin DEDUP recall — for each
+    // ---- dedup_semantic_*: planted-twin DEDUP recall — for each
     // planted pair at most one member may survive. This is the
     // percolation-immune metric (BASELINE "Semantic keep-decision
     // stability"): raw exact-vs-ANN keep agreement collapses on this
@@ -140,10 +136,10 @@ object RecallProbe {
     // point, so override the enforce-mode guard for the measurement
     spark.conf.set("graft.semantic.percolationGuard", "warn")
     for (semKey <- Seq("dedup_semantic_ann", "dedup_semantic_cells")) {
-      val out = SparkEntry.queries(semKey)(spark, scaleDir)
+      val semOut = SparkEntry.queries(semKey)(spark, scaleDir)
         .select(col("vec_id"), col("cluster_id"), col("keep"))
         .localCheckpoint()
-      val keep = out.select("vec_id", "keep")
+      val keep = semOut.select("vec_id", "keep")
       val rows = twinTruth
         .join(keep.select(col("vec_id").as("id_a"), col("keep").as("keep_a")),
           Seq("id_a"))
@@ -159,11 +155,14 @@ object RecallProbe {
         println(f"RECALL $semKey%-20s band=${r.getString(0)} " +
           f"twins=$t%6d deduped=${t - b}%6d recall=${(t - b).toDouble / t}%.4f")
       }
+      val (tt, tb) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+      println(f"RECALL $semKey%-20s band=ALL twins=$tt%6d recall=${(tt - tb).toDouble / tt}%.4f")
+      out(semKey) = (tt - tb).toDouble / tt
       // blast radius: the stability number the cell bound exists for
-      val comp = out.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      val comp = semOut.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
         .agg(max(col("sz")).as("mx")).head().getLong(0)
-      val dropped = out.where(!col("keep")).count()
-      println(s"STABILITY $semKey max_component=$comp dropped=$dropped of ${out.count()}")
+      val dropped = semOut.where(!col("keep")).count()
+      println(s"STABILITY $semKey max_component=$comp dropped=$dropped of ${semOut.count()}")
     }
 
     // ---- document-side keys: the copy suffix rewrites token VALUES but
@@ -174,7 +173,7 @@ object RecallProbe {
     // recomputed per copy (hash values differ), so measured recall
     // genuinely exercises each copy's signatures, not one memoized
     // outcome.
-    if (args.length > 3 && args(3) == "docs" || args.length > 4 && args(4) == "docs") {
+    if (docsMode) {
       val baseDocPairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, baseDir)
         .select(col("id_a"), col("id_b"), col("jacc").cast("double").as("cos"))
       val docTruth = baseDocPairs.crossJoin(spark.range(copies).toDF("c"))
@@ -182,9 +181,9 @@ object RecallProbe {
           (col("id_b") + col("c") * 10000000L).as("id_b"), col("cos"))
         .localCheckpoint()
       println(s"doc truth pairs (jacc>=0.5, banded by jacc): ${docTruth.count()}")
-      pairRecall("dedup_near", docTruth,
+      out("dedup_near") = pairRecall("dedup_near", docTruth,
         SparkEntry.queries("dedup_near")(spark, scaleDir))
-      pairRecall("dedup_simhash", docTruth,
+      out("dedup_simhash") = pairRecall("dedup_simhash", docTruth,
         SparkEntry.queries("dedup_simhash")(spark, scaleDir))
     }
 
@@ -205,7 +204,7 @@ object RecallProbe {
         "ann_query_ivfpq", "ann_query_bq")) {
       val approx = SparkEntry.queries(key)(spark, scaleDir)
         .select(col("id_q").as("id_a"), col("id_b"))
-      pairRecall(key, servingTruth, approx)
+      out(key) = pairRecall(key, servingTruth, approx)
     }
 
     // ---- radius serving: exact ground truth = every corpus vector
@@ -217,10 +216,53 @@ object RecallProbe {
       .select(col("id_q").as("id_a"), col("vec_id").as("id_b"), col("cos"))
       .localCheckpoint()
     println(s"range truth pairs (cos >= 0.3): ${rangeTruth.count()}")
-    pairRecall("ann_query_range", rangeTruth,
+    out("ann_query_range") = pairRecall("ann_query_range", rangeTruth,
       SparkEntry.queries("ann_query_range")(spark, scaleDir)
         .select(col("id_q").as("id_a"), col("id_m").as("id_b")))
 
+    out.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (scaleDir, baseDir, copies) = (args(0), args(1), args(2).toInt)
+    val flags = args.drop(3).toSet
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (flags("exact")) {
+      // methodology cross-check: every planted pair must appear in the
+      // full exact pair set at the scale dir (cos > 0.4), and the
+      // planted set plus the documented cross-era tail should account
+      // for the exact set's size. Rebuilt here (main-only — the gated
+      // measure() never pays the O(n²) pass).
+      import graft.functions.DotProduct.dot
+      val e = Tables.embeddings(spark, scaleDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val twinTruth = e.where(pmod(col("vec_id"), lit(10000000L)) >= 5000000L)
+        .select((col("vec_id") - 5000000L).as("id_a"), col("vec_id").as("id_b"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
+          Seq("id_a"))
+        .select(col("id_a"), col("id_b"),
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      val baseExact = SparkEntry.queries("sim_cosine_pairs")(spark, baseDir)
+        .select(col("id_a"), col("id_b"), col("cos_sim").cast("double").as("cos"))
+      val expanded = baseExact.crossJoin(spark.range(copies).toDF("c"))
+        .select((col("id_a") + col("c") * 10000000L).as("id_a"),
+          (col("id_b") + col("c") * 10000000L).as("id_b"), col("cos"))
+      val truth = twinTruth.unionByName(expanded).localCheckpoint()
+      val full = SparkEntry.queries("sim_cosine_pairs")(spark, scaleDir)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val nFull = full.count()
+      val covered = truth.where(col("cos") > 0.4)
+        .join(full, Seq("id_a", "id_b")).count()
+      val planted = truth.where(col("cos") > 0.4).count()
+      println(s"EXACT-CHECK full-exact pairs=$nFull planted(cos>0.4)=$planted " +
+        s"planted-found-in-exact=$covered (must equal planted)")
+    }
+
+    measure(spark, scaleDir, baseDir, copies, docsMode = flags("docs"))
     spark.stop()
   }
 }

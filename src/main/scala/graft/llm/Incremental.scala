@@ -730,7 +730,13 @@ object Incremental extends QueryPack {
         try st.toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
         finally st.close()
       }
-      val part = listAll(tmp).find(_.toString.endsWith(".parquet")).get
+      // ADVICE r13: a delta smaller than `n` rows leaves ntile buckets
+      // empty → no part file; fail with the real cause, not an opaque
+      // NoSuchElementException
+      val part = listAll(tmp).find(_.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"stageCurateSource: bucket $k/$n produced no parquet part — " +
+            s"the delta has fewer than $n rows; lower curateStreamBatches"))
       val dst = base.resolve(f"b$k%03d.parquet")
       JF.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       listAll(tmp).foreach(JF.deleteIfExists(_))
@@ -818,15 +824,21 @@ object Incremental extends QueryPack {
     * check always-false and re-drained the stream every invocation).
     * `done` is the built marker written AFTER the drain. */
   private case class CurateStreamLayout(pfx: String, srcPfx: String,
-      srcPath: String, kept: String, hashes: String, lex: String,
-      lexStats: String, done: String)
+      srcPath: String, ckpt: String, kept: String, hashes: String,
+      lex: String, lexStats: String, done: String)
 
   private def curateStreamLayout(s: SparkSession, dir: String)
       : CurateStreamLayout = {
     val fp = key(Tables.fingerprint(dir, "documents"))
     val pfx = s"curate_stream_${key(dir)}_"
     val srcPfx = s"graft_curstream_${key(dir)}_"
+    // ckpt lives under srcPfx so setup's dropStalePaths(srcPfx) both
+    // reclaims abandoned checkpoints (ADVICE r13: the old
+    // createTempDirectory ones accumulated forever) and guarantees a
+    // FRESH checkpoint per build — a reused one would mark the staged
+    // files consumed and drain nothing against the recreated sinks
     CurateStreamLayout(pfx, srcPfx, s"/tmp/$srcPfx$fp",
+      s"/tmp/$srcPfx${fp}_ckpt",
       s"$pfx${fp}_k", s"$pfx${fp}_h", s"$pfx${fp}_lex",
       s"$pfx${fp}_st", s"$pfx${fp}_d")
   }
@@ -886,9 +898,7 @@ object Incremental extends QueryPack {
     // partial sinks and rebuilds from scratch
     if (!s.catalog.tableExists(lay.done)) {
       val (srcPath, k, h, l, st) = curateStreamSetup(s, dir)
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_curstream_ckpt").toString
-      val q = curateStream(s, dir, srcPath, k, h, l, st, ckpt)
+      val q = curateStream(s, dir, srcPath, k, h, l, st, lay.ckpt)
       q.awaitTermination()
       s.range(1).select(lit(curateStreamBatches.toLong).as("n_batches"))
         .write.mode("overwrite").format("parquet").saveAsTable(lay.done)

@@ -7,6 +7,8 @@
 #   5. bench                (3-rep min-of-N; tripwire self-reported)
 #   6. posture regression   (graft.Posture vs tools/posture_recorded.json;
 #                            builds /tmp/graft_sf{10,100} via ScaleGen if absent)
+#   6b. recall regression   (graft.RecallPosture on the 10x twins corpus
+#                            vs tools/recall_recorded.json floors)
 #   7. SURVEY 2.13 check    (gen_key_index --check)
 #   8. leak self-grep
 # Steps run SERIALLY — never overlap two Spark JVMs on the shared
@@ -20,9 +22,29 @@ echo "== [0/8] compile + classpath export"
 sbt -batch compile > /tmp/ritual_compile.log 2>&1 || { tail -20 /tmp/ritual_compile.log; exit 1; }
 sbt -batch "export Runtime/fullClasspath" 2>/dev/null | tail -1 > /tmp/graft_cp.txt
 
-echo "== [1/8] full test suite"
-sbt -batch test > /tmp/ritual_test.log 2>&1 || { tail -30 /tmp/ritual_test.log; exit 1; }
+echo "== [1/8] full test suite (per-test durations recorded, VERDICT r13 item 7)"
+sbt -batch "Test/testOnly * -- -oD" > /tmp/ritual_test.log 2>&1 || { tail -30 /tmp/ritual_test.log; exit 1; }
 grep "Tests:" /tmp/ritual_test.log | tail -1
+# keep the suite under ~7 min: surface where the time goes so a new slow
+# recall gate is caught at review time, not discovered rounds later
+python3 - <<'EOF'
+import re
+pat = re.compile(r"^\[info\] - (.*) \(((?:\d+ \w+,? ?)+)\)$")
+def secs(s):
+    t = 0.0
+    for n, u in re.findall(r"(\d+) (\w+)", s):
+        n = int(n)
+        t += n*60 if u.startswith("minute") else n if u.startswith("second") else n/1000.0
+    return t
+rows = []
+for line in open('/tmp/ritual_test.log'):
+    m = pat.match(line.rstrip())
+    if m: rows.append((secs(m.group(2)), m.group(1)))
+rows.sort(reverse=True)
+print(f"timed tests: {len(rows)}, sum of per-test time {sum(t for t,_ in rows):.1f}s")
+print("slowest 15:")
+for t, n in rows[:15]: print(f"  {t:7.1f}s  {n[:90]}")
+EOF
 
 echo "== [2/8] 3-SF verify + oracle"
 for sf in 0.001 0.01 0.1; do
@@ -80,8 +102,31 @@ fi
 echo "== [6/8] posture regression (builds scaled corpora if absent)"
 [[ -d /tmp/graft_sf10 ]] || bash tools/run.sh graft.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf10 10 twins 2>/dev/null | tail -1
 [[ -d /tmp/graft_sf100 ]] || bash tools/run.sh graft.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf100 100 twins 2>/dev/null | tail -1
-bash tools/run.sh graft.Posture /root/testdata/sf0.1 /tmp/graft_sf10 /tmp/graft_sf100 2>/dev/null | grep -E "DRIFT" && { echo "POSTURE DRIFT"; exit 1; } || true
-python3 -c "import json; d=json.load(open('/tmp/graft_posture.json')); print('posture drifts:', d['drifts'])"
+# ADVICE r13: a Posture crash must FAIL the gate, not leave last round's
+# /tmp/graft_posture.json to be re-read — remove it first, keep the run's
+# exit status (no grep in the pipeline masking it), then check drifts.
+rm -f /tmp/graft_posture.json
+bash tools/run.sh graft.Posture /root/testdata/sf0.1 /tmp/graft_sf10 /tmp/graft_sf100 > /tmp/ritual_posture.log 2>&1 \
+  || { echo "POSTURE CRASH:"; tail -20 /tmp/ritual_posture.log; exit 1; }
+python3 - <<'EOF'
+import json, sys
+d = json.load(open('/tmp/graft_posture.json'))
+print('posture rows:', len(d['posture']), 'drifts:', d['drifts'])
+if d['drifts']:
+    sys.exit(1)
+EOF
+
+echo "== [6b/8] recall regression (10x twins corpus, VERDICT r13 item 1)"
+rm -f /tmp/graft_recall.json
+bash tools/run.sh graft.RecallPosture /tmp/graft_sf10 /root/testdata/sf0.1 10 > /tmp/ritual_recall.log 2>&1 \
+  || { echo "RECALL CRASH:"; tail -20 /tmp/ritual_recall.log; exit 1; }
+python3 - <<'EOF'
+import json, sys
+d = json.load(open('/tmp/graft_recall.json'))
+print('recall rows:', len(d['recall']), 'drifts:', d['drifts'])
+if d['drifts']:
+    sys.exit(1)
+EOF
 
 echo "== [7/8] SURVEY 2.13 check"
 python3 tools/gen_key_index.py --check
