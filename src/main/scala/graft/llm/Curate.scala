@@ -95,7 +95,58 @@ object Curate extends QueryPack {
     t
   }
 
+  /** The TRAINER-GRADE v4 chain (VERDICT r13 item 3): quality gate →
+    * exact dedup → paragraph-grain scrub (Dedup.paragraphScrub — the
+    * dedup_paragraph keep-rule) → exact-substring scrub
+    * (Text3.substrScrub — the text_dup_spans_scrub cut re-censused on
+    * the stage input) → near-dup components over the SCRUBBED text →
+    * one representative per cluster. Until now the trainer-dedup
+    * grains existed only as standalone keys; the composed product is
+    * what a 100 TB run actually ships — and composition changes the
+    * answers: near-dup mining over scrubbed text sees the documents
+    * AFTER their shared boilerplate is cut, so two docs that only
+    * looked similar through repeated paragraphs fall below τ while
+    * genuinely-parallel prose stays above it. Persisted
+    * fingerprint-keyed (the curatedRepsTable discipline); each stage
+    * shrinks text for the next, every shuffle is doc_id- or
+    * content-hash-keyed, the component solver runs on label pairs.
+    * Representative = most SURVIVING tokens (tie: min doc_id) — the
+    * n_chars convention re-based on post-scrub length, mirrored in
+    * the oracle. */
+  private def curateV4Table(s: SparkSession, dir: String): String = {
+    val pfx = s"curate_v4_${Tables.pathKey(dir)}_"
+    val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "documents"))}"
+    if (!s.catalog.tableExists(t)) {
+      Tables.dropStaleTables(s, pfx)
+      val exact = curateExact(s, dir)
+      val scrubbed = Text3.substrScrub(
+        Dedup.paragraphScrub(exact.select("doc_id", "text")))
+        .localCheckpoint() // feeds mining, n_tok, and the label join —
+                           // three consumers of one already-shrunken frame
+      val pairs = Dedup.ngramJaccardPairs(scrubbed, 0.5)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val labels = Cluster.components(edges)
+      scrubbed
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .join(exact.select("doc_id", "lang", "source", "quality"), Seq("doc_id"))
+        .join(labels.select(col("node").as("doc_id"), col("lbl")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cluster_id")
+            .orderBy(col("n_tok").desc, col("doc_id"))))
+        .where(col("rn") === 1)
+        .select("doc_id", "cluster_id", "lang", "source", "quality", "n_tok")
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+    t
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate_v4" -> ((s, dir) =>
+      s.table(curateV4Table(s, dir)).orderBy("doc_id")),
+
     // The curation FUNNEL REPORT — the one-page census a corpus owner
     // reads after every run: docs AND tokens surviving each stage
     // (eval holdout → quality gate → exact dedup → benchmark
@@ -149,7 +200,19 @@ object Curate extends QueryPack {
                            // fold and the keep-id semi join share it
       val kept = docs.join(census.select("doc_id"), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("text"), nTok.as("n_tok"))
+      // stages 4-6 CHAIN (VERDICT r13 item 3 — the funnel grows the v4
+      // scrub cuts): decontaminated survivors feed the paragraph scrub,
+      // whose output feeds the substring scrub — each stage's frame is
+      // the previous stage's, so the token column reads as a true
+      // funnel. dec/pClean are checkpointed: each feeds its own fold
+      // AND the next stage (paragraphScrub/substrScrub internally
+      // consume their input twice — census + reassembly), so without
+      // the pin the decontamination join lineage would re-run up to 5×.
       val dec = Text3.decontaminate(kept, docs.where(isEval))
+        .localCheckpoint()
+      val pClean = Dedup.paragraphScrub(dec.select("doc_id", "text"))
+        .localCheckpoint()
+      val sClean = Text3.substrScrub(pClean)
       def stageAt(idx: Int, name: String): DataFrame =
         head.select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
           col(s"d$idx").as("n_docs"), col(s"t$idx").as("n_tokens"))
@@ -158,6 +221,9 @@ object Curate extends QueryPack {
             coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
           .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
             col("n_docs"), col("n_tokens"))
+      def foldText(df: DataFrame, idx: Int, name: String): DataFrame =
+        fold(df.select(size(split(col("text"), " ")).cast("long")
+          .as("n_tok")), idx, name)
       stageAt(0, "raw")
         .unionByName(stageAt(1, "eval_holdout"))
         .unionByName(stageAt(2, "quality_gate"))
@@ -167,6 +233,8 @@ object Curate extends QueryPack {
           .select(lit(3L).as("stage_idx"), lit("exact_dedup").as("stage"),
             col("n_docs"), col("n_tokens")))
         .unionByName(fold(dec, 4, "decontaminated"))
+        .unionByName(foldText(pClean, 5, "paragraph_scrub"))
+        .unionByName(foldText(sClean, 6, "substr_scrub"))
         .orderBy("stage_idx")
     }),
 
@@ -255,7 +323,34 @@ object Curate extends QueryPack {
          |    UNNEST(range(1, len(e.toks) - 3)) AS r(i)),
          |contaminated AS (SELECT DISTINCT kg.doc_id FROM kg JOIN eg USING (ng)),
          |dec AS (SELECT * FROM kept
-         |        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |pt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dec),
+         |pp AS (SELECT doc_id, CAST(i AS BIGINT) AS para_id,
+         |        array_to_string(list_slice(toks, i * ${Dedup.paraTokens} + 1,
+         |          i * ${Dedup.paraTokens} + ${Dedup.paraTokens}), ' ') AS ptxt
+         |      FROM pt, UNNEST(range(0,
+         |        (len(toks) + ${Dedup.paraTokens - 1}) // ${Dedup.paraTokens})) AS r(i)),
+         |pw AS (SELECT doc_id, para_id, ptxt, row_number() OVER (
+         |         PARTITION BY ptxt ORDER BY doc_id, para_id) AS rn2 FROM pp),
+         |pc AS (SELECT doc_id, string_agg(ptxt, ' ' ORDER BY para_id) AS text
+         |       FROM pw WHERE rn2 = 1 GROUP BY doc_id),
+         |st AS (SELECT doc_id, string_split(text, ' ') AS toks FROM pc),
+         |win AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         array_to_string(toks[CAST(i+1 AS INT):CAST(i+10 AS INT)], ' ') AS ws
+         |        FROM st, UNNEST(range(0, len(toks) - 9)) AS r(i)),
+         |flagws AS (SELECT ws FROM (
+         |  SELECT ws, count(DISTINCT doc_id) AS df FROM win GROUP BY ws)
+         |  WHERE df >= 2),
+         |cov AS (SELECT DISTINCT w.doc_id, w.pos + j AS tpos
+         |        FROM win w JOIN flagws USING (ws),
+         |          UNNEST(range(0, 10)) AS rr(j)),
+         |tk AS (SELECT doc_id,
+         |         CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS tpos,
+         |         unnest(toks) AS tok FROM st),
+         |sc AS (SELECT tk.doc_id, string_agg(tok, ' ' ORDER BY tk.tpos) AS text
+         |       FROM tk LEFT JOIN cov
+         |         ON cov.doc_id = tk.doc_id AND cov.tpos = tk.tpos
+         |       WHERE cov.doc_id IS NULL GROUP BY tk.doc_id)
          |SELECT * FROM (
          |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
          |    CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -271,7 +366,13 @@ object Curate extends QueryPack {
          |    CAST(coalesce(SUM(n_tok), 0) AS BIGINT) FROM kept
          |  UNION ALL
          |  SELECT 4, 'decontaminated', CAST(COUNT(*) AS BIGINT),
-         |    CAST(coalesce(SUM(n_tok), 0) AS BIGINT) FROM dec)
+         |    CAST(coalesce(SUM(n_tok), 0) AS BIGINT) FROM dec
+         |  UNION ALL
+         |  SELECT 5, 'paragraph_scrub', CAST(COUNT(*) AS BIGINT),
+         |    CAST(coalesce(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM pc
+         |  UNION ALL
+         |  SELECT 6, 'substr_scrub', CAST(COUNT(*) AS BIGINT),
+         |    CAST(coalesce(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM sc)
          |ORDER BY stage_idx""".stripMargin,
 
     "pipeline_curate" ->
@@ -347,6 +448,82 @@ object Curate extends QueryPack {
          |FROM lbl l JOIN ex e ON e.doc_id = l.doc_id
          |QUALIFY row_number() OVER (PARTITION BY l.cluster_id
          |                           ORDER BY e.n_chars DESC, l.doc_id) = 1
+         |ORDER BY l.doc_id""".stripMargin,
+
+    // the v4 trainer chain: the curate_v2 quality/exact prefix, then
+    // the dedup_paragraph keep-rule, the dup-window cut re-censused on
+    // the scrubbed frame, trigram mining + recursive closure over the
+    // SCRUBBED text, rep = most surviving tokens (tie min doc_id)
+    "pipeline_curate_v4" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id, lang, source, text, ${Text.qualityScoreD} AS quality
+         |  FROM documents),
+         |f AS (SELECT * FROM q WHERE quality >= 0.75),
+         |ex AS (SELECT * FROM f
+         |       QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1),
+         |pt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ex),
+         |pp AS (SELECT doc_id, CAST(i AS BIGINT) AS para_id,
+         |        array_to_string(list_slice(toks, i * ${Dedup.paraTokens} + 1,
+         |          i * ${Dedup.paraTokens} + ${Dedup.paraTokens}), ' ') AS ptxt
+         |      FROM pt, UNNEST(range(0,
+         |        (len(toks) + ${Dedup.paraTokens - 1}) // ${Dedup.paraTokens})) AS r(i)),
+         |pw AS (SELECT doc_id, para_id, ptxt, row_number() OVER (
+         |         PARTITION BY ptxt ORDER BY doc_id, para_id) AS rn FROM pp),
+         |pc AS (SELECT doc_id, string_agg(ptxt, ' ' ORDER BY para_id) AS text
+         |       FROM pw WHERE rn = 1 GROUP BY doc_id),
+         |st AS (SELECT doc_id, string_split(text, ' ') AS toks FROM pc),
+         |win AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         array_to_string(toks[CAST(i+1 AS INT):CAST(i+10 AS INT)], ' ') AS ws
+         |        FROM st, UNNEST(range(0, len(toks) - 9)) AS r(i)),
+         |flagws AS (SELECT ws FROM (
+         |  SELECT ws, count(DISTINCT doc_id) AS df FROM win GROUP BY ws)
+         |  WHERE df >= 2),
+         |cov AS (SELECT DISTINCT w.doc_id, w.pos + j AS tpos
+         |        FROM win w JOIN flagws USING (ws),
+         |          UNNEST(range(0, 10)) AS rr(j)),
+         |tk AS (SELECT doc_id,
+         |         CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS tpos,
+         |         unnest(toks) AS tok FROM st),
+         |sc AS (SELECT tk.doc_id, string_agg(tok, ' ' ORDER BY tk.tpos) AS text
+         |       FROM tk LEFT JOIN cov
+         |         ON cov.doc_id = tk.doc_id AND cov.tpos = tk.tpos
+         |       WHERE cov.doc_id IS NULL GROUP BY tk.doc_id),
+         |t2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |              generate_subscripts(string_split(text, ' '), 1) AS pos
+         |       FROM sc),
+         |tg AS (SELECT DISTINCT doc_id,
+         |         tok || ' ' || lead(tok) OVER w2 || ' ' || lead(tok, 2) OVER w2 AS ng
+         |       FROM t2 WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+         |       QUALIFY lead(tok, 2) OVER w2 IS NOT NULL),
+         |pruned AS (SELECT tg.doc_id, tg.ng FROM tg
+         |           JOIN (SELECT ng, count(*) AS dfreq FROM tg GROUP BY ng) d USING (ng)
+         |           WHERE dfreq <= 20),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |          FROM pruned a JOIN pruned b ON a.ng = b.ng AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jp AS (SELECT id_a, id_b FROM pairs
+         |       JOIN sizes sa ON sa.doc_id = id_a
+         |       JOIN sizes sb ON sb.doc_id = id_b
+         |       WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lbl AS (
+         |  SELECT sc.doc_id,
+         |         CAST(COALESCE(LEAST(MIN(r.b), sc.doc_id), sc.doc_id) AS BIGINT) AS cluster_id
+         |  FROM sc LEFT JOIN reach r ON r.a = sc.doc_id
+         |  GROUP BY sc.doc_id),
+         |nt AS (SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM sc)
+         |SELECT l.doc_id, l.cluster_id, e.lang, e.source, e.quality, nt.n_tok
+         |FROM lbl l JOIN ex e ON e.doc_id = l.doc_id
+         |           JOIN nt ON nt.doc_id = l.doc_id
+         |QUALIFY row_number() OVER (PARTITION BY l.cluster_id
+         |                           ORDER BY nt.n_tok DESC, l.doc_id) = 1
          |ORDER BY l.doc_id""".stripMargin,
 
     // curate_v2's chain, extended with survivor-distribution temperature

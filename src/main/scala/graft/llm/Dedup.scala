@@ -219,6 +219,74 @@ object Dedup extends QueryPack {
     * definition interpolated into both engines. */
   private[graft] val paraTokens = 20
 
+  /** The paragraph frame of `docs(doc_id, text, …)` — (doc_id, para_id,
+    * ptxt, k1, k2): fixed [[paraTokens]]-token blocks with 128-bit
+    * hashed content keys. Paragraphs explode map-side; ONE definition
+    * shared by dedup_paragraph (exact grain), dedup_paragraph_near
+    * (fuzzy grain), and the curate-v4 scrub stage so the block
+    * convention can never fork. */
+  private[llm] def paraFrame(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0),
+            (expr(s"(size(toks) + ${paraTokens - 1}) div $paraTokens")
+              .cast("int") - 1)),
+          i => concat_ws(" ",
+            slice(col("toks"), i * paraTokens + 1, lit(paraTokens)))))
+        .as(Seq("para_id", "ptxt")))
+      .select(col("doc_id"), col("para_id"), col("ptxt"),
+        xxhash64(lit(0), col("ptxt")).as("k1"),
+        xxhash64(lit(1), col("ptxt")).as("k2"))
+
+  /** Occurrence order encoding for paragraph-grain dedup: one BIGINT
+    * that sorts exactly like (doc_id, para_id). The 1e6 stride bounds
+    * para_id ≪ 1e6 (fixture docs are ≤ a few hundred tokens → ≤ tens
+    * of blocks; doc_ids ≤ ~1e9 at the 100× corpora keep the product
+    * < 2^63) — the same arithmetic is interpolated into the DuckDB
+    * twin. */
+  private[llm] val paraEncStride = 1000000L
+
+  /** Reassemble per-doc output from the kept paragraph occurrences —
+    * (doc_id, n_paras, n_dropped, clean_text), docs that lost every
+    * paragraph included with empty text. Shared by both paragraph
+    * grains. */
+  private def paraReassemble(docs: DataFrame, kept: DataFrame): DataFrame = {
+    val reasm = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("para_id"), col("ptxt")))),
+          x => x.getField("ptxt"))).as("clean_text"))
+    docs.select(col("doc_id"),
+        expr(s"(size(split(text, ' ')) + ${paraTokens - 1}) div $paraTokens")
+          .cast("long").as("n_paras"))
+      .join(reasm, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Frame-to-frame exact paragraph scrub (the curate-v4 stage,
+    * VERDICT r13 item 3): keep each paragraph content's first
+    * corpus-wide occurrence in (doc_id, para_id) order, reassemble, and
+    * return (doc_id, text) — the dedup_paragraph keep-rule applied to
+    * an arbitrary stage input. Docs that lose every paragraph drop from
+    * the output (the groupBy only sees kept occurrences). */
+  private[llm] def paragraphScrub(docs: DataFrame): DataFrame = {
+    val paras = paraFrame(docs)
+    val winners = paras.select("k1", "k2", "doc_id", "para_id")
+      .groupBy("k1", "k2")
+      .agg(min(struct(col("doc_id"), col("para_id"))).as("w"))
+    paras.join(winners, Seq("k1", "k2"))
+      .where(struct(col("doc_id"), col("para_id")) === col("w"))
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("para_id"), col("ptxt")))),
+        x => x.getField("ptxt"))).as("text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: one hash-shuffle, min doc kept per sha256(text)
     "dedup_exact" -> ((s, dir) =>
@@ -248,37 +316,63 @@ object Dedup extends QueryPack {
     // nothing corpus²-sized anywhere.
     "dedup_paragraph" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val paras = docs
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), posexplode(
-          transform(
-            sequence(lit(0),
-              (expr(s"(size(toks) + ${paraTokens - 1}) div $paraTokens")
-                .cast("int") - 1)),
-            i => concat_ws(" ",
-              slice(col("toks"), i * paraTokens + 1, lit(paraTokens)))))
-          .as(Seq("para_id", "ptxt")))
-        .select(col("doc_id"), col("para_id"), col("ptxt"),
-          xxhash64(lit(0), col("ptxt")).as("k1"),
-          xxhash64(lit(1), col("ptxt")).as("k2"))
+      val paras = paraFrame(docs)
       val winners = paras.select("k1", "k2", "doc_id", "para_id")
         .groupBy("k1", "k2")
         .agg(min(struct(col("doc_id"), col("para_id"))).as("w"))
       val kept = paras.join(winners, Seq("k1", "k2"))
         .where(struct(col("doc_id"), col("para_id")) === col("w"))
-      val reasm = kept.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_kept"),
-          concat_ws(" ", transform(
-            array_sort(collect_list(struct(col("para_id"), col("ptxt")))),
-            x => x.getField("ptxt"))).as("clean_text"))
-      docs.select(col("doc_id"),
-          expr(s"(size(split(text, ' ')) + ${paraTokens - 1}) div $paraTokens")
-            .cast("long").as("n_paras"))
-        .join(reasm, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_paras"),
-          (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
-        .orderBy("doc_id")
+      paraReassemble(docs, kept)
+    }),
+
+    // Paragraph-grain NEAR-dedup (VERDICT r13 item 2 — the fuzzy
+    // variant real pipelines run beside exact repetition removal):
+    // dedup_paragraph drops only bit-identical 20-token blocks; a
+    // lightly mutated boilerplate paragraph (1–3 substituted tokens)
+    // survives it everywhere. Here the near-dup machinery runs AT
+    // PARAGRAPH GRAIN: exact-duplicate paragraph contents collapse
+    // FIRST (the distinct-content census — boilerplate occurring 10 k×
+    // is ONE mining node, so postings cost ∝ distinct contents, not
+    // occurrences), then trigram-Jaccard ≥ 0.6 pairs between distinct
+    // contents are mined through the SAME df ≤ 20 hashed-postings
+    // miner as dedup_ngram_jaccard (ngramJaccardPairs — contents pose
+    // as (doc_id=enc, text=ptxt) docs), the pair graph resolves into
+    // components (Cluster.components — the solver dedup_clusters
+    // verifies), and ONE paragraph occurrence survives per cluster:
+    // the corpus-wide first in (doc_id, para_id) order (cluster label
+    // = min enc = min canonical occurrence = min occurrence, since
+    // each content's enc is already its first occurrence). Subsumes
+    // the exact rule — same-content occurrences share a cluster — so
+    // n_dropped ≥ dedup_paragraph's everywhere (pinned in LlmSpec
+    // with a planted mutated-paragraph recall test). Docs reassemble
+    // in order from the survivors. Nothing corpus²: mining is
+    // df-capped postings over distinct contents, the solver runs on
+    // (enc, enc) label pairs ≪ paragraphs, and the one text-carrying
+    // shuffle is the occurrence join back to the content labels.
+    // Deterministic (thresholded-exact Jaccard, no RNG) → full
+    // recursive-CTE DuckDB oracle, same closure shape as
+    // dedup_clusters'.
+    "dedup_paragraph_near" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val paras = paraFrame(docs)
+        .withColumn("enc",
+          col("doc_id") * paraEncStride + col("para_id"))
+      val contents = paras.groupBy("k1", "k2")
+        .agg(min(col("enc")).as("enc"), min(col("ptxt")).as("ptxt"))
+      val pairs = ngramJaccardPairs(
+        contents.select(col("enc").as("doc_id"), col("ptxt").as("text")),
+        0.6)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val labels = Cluster.components(edges)
+      val contentLbl = contents.select("k1", "k2", "enc")
+        .join(labels.select(col("node").as("enc"), col("lbl")),
+          Seq("enc"), "left")
+        .select(col("k1"), col("k2"),
+          coalesce(col("lbl"), col("enc")).as("wenc"))
+      val kept = paras.join(contentLbl, Seq("k1", "k2"))
+        .where(col("enc") === col("wenc"))
+      paraReassemble(docs, kept)
     }),
 
     // MinHash-LSH near-dup: shingle → minhash → band → bucket join,
@@ -742,6 +836,66 @@ object Dedup extends QueryPack {
          |agg AS (SELECT doc_id, count(*) AS n_kept,
          |          string_agg(ptxt, ' ' ORDER BY para_id) AS clean_text
          |        FROM k WHERE rn = 1 GROUP BY doc_id),
+         |np AS (SELECT doc_id,
+         |         CAST((len(toks) + ${paraTokens - 1}) // $paraTokens AS BIGINT)
+         |           AS n_paras
+         |       FROM t)
+         |SELECT np.doc_id, np.n_paras,
+         |  np.n_paras - COALESCE(agg.n_kept, 0) AS n_dropped,
+         |  COALESCE(agg.clean_text, '') AS clean_text
+         |FROM np LEFT JOIN agg USING (doc_id)
+         |ORDER BY np.doc_id""".stripMargin,
+
+    // paragraph frame → distinct contents (canonical enc = first
+    // occurrence) → paragraph-grain trigram mining with the SAME
+    // df ≤ 20 prune → jacc ≥ 0.6 edges → recursive transitive closure
+    // (the dedup_clusters oracle shape) → keep the occurrence whose
+    // enc equals its cluster's min → reassemble. String keys here vs
+    // hashed 128-bit in Spark — the dedup_ngram_jaccard equivalence
+    // argument.
+    "dedup_paragraph_near" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |p AS (SELECT doc_id, CAST(i AS BIGINT) AS para_id,
+         |        array_to_string(list_slice(toks, i * $paraTokens + 1,
+         |          i * $paraTokens + $paraTokens), ' ') AS ptxt
+         |      FROM t, UNNEST(range(0, (len(toks) + ${paraTokens - 1}) // $paraTokens)) AS r(i)),
+         |c AS (SELECT ptxt, MIN(doc_id * $paraEncStride + para_id) AS enc
+         |      FROM p GROUP BY ptxt),
+         |ct AS (SELECT enc, generate_subscripts(string_split(ptxt, ' '), 1) AS pos,
+         |              unnest(string_split(ptxt, ' ')) AS tok FROM c),
+         |tg AS (SELECT DISTINCT enc,
+         |         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS ng
+         |       FROM ct WINDOW w AS (PARTITION BY enc ORDER BY pos)
+         |       QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+         |pruned AS (SELECT tg.enc, tg.ng FROM tg
+         |           JOIN (SELECT ng, count(*) AS dfreq FROM tg GROUP BY ng) d USING (ng)
+         |           WHERE dfreq <= 20),
+         |sizes AS (SELECT enc, count(*) AS n FROM pruned GROUP BY enc),
+         |pairs AS (SELECT a.enc AS id_a, b.enc AS id_b, count(*) AS shared
+         |          FROM pruned a JOIN pruned b ON a.ng = b.ng AND a.enc < b.enc
+         |          GROUP BY 1, 2),
+         |jp AS (SELECT id_a, id_b FROM pairs
+         |       JOIN sizes sa ON sa.enc = id_a
+         |       JOIN sizes sb ON sb.enc = id_b
+         |       WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.6),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lbl AS (
+         |  SELECT c.ptxt,
+         |         CAST(COALESCE(LEAST(MIN(r.b), c.enc), c.enc) AS BIGINT) AS wenc
+         |  FROM c LEFT JOIN reach r ON r.a = c.enc
+         |  GROUP BY c.ptxt, c.enc),
+         |kept AS (SELECT p.doc_id, p.para_id, p.ptxt
+         |         FROM p JOIN lbl ON lbl.ptxt = p.ptxt
+         |         WHERE p.doc_id * $paraEncStride + p.para_id = lbl.wenc),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |          string_agg(ptxt, ' ' ORDER BY para_id) AS clean_text
+         |        FROM kept GROUP BY doc_id),
          |np AS (SELECT doc_id,
          |         CAST((len(toks) + ${paraTokens - 1}) // $paraTokens AS BIGINT)
          |           AS n_paras

@@ -276,6 +276,30 @@ object Text3 extends QueryPack {
     * or the literal-string keys (the definitional twin, kept for the
     * same-JVM A/B instrument). Shared by the detector and the
     * scrubber so flag and cut can never disagree on a window. */
+  /** Frame-to-frame exact-substring scrub (the curate-v4 stage,
+    * VERDICT r13 item 3): flag every 10-token window appearing in ≥ 2
+    * distinct docs OF THIS FRAME (not the corpus artifact — v4's input
+    * is already quality/exact/paragraph-scrubbed, so the census must
+    * run on the stage input), cut every covered token position, and
+    * reassemble. Docs that lose every token drop from the output; docs
+    * shorter than 10 tokens have no windows and pass through whole.
+    * Same dupWins/dupFlagged machinery as the text_dup_spans family so
+    * the window convention cannot fork. */
+  private[llm] def substrScrub(docs: DataFrame): DataFrame = {
+    val covered = dupFlagged(dupWins(docs, hashed = true))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 9)).as("tpos"))
+      .distinct()
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("tpos", "tok")))
+      .join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("tpos"), col("tok")))),
+        x => x.getField("tok"))).as("text"))
+  }
+
   private def dupWins(docs: DataFrame, hashed: Boolean): DataFrame = {
     val raw = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

@@ -130,6 +130,55 @@ class LlmSpec extends AnyFunSuite {
       s"doc B must lose both copies of the shared paragraph: ${r(idB)}")
   }
 
+  test("dedup_paragraph_near: planted MUTATED paragraph drops at the near grain, survives the exact grain, and near subsumes exact per doc") {
+    // the fuzzy-variant acceptance shape (VERDICT r13 item 2): a
+    // 20-token paragraph with ONE substituted token (trigram jaccard
+    // 15/21 ≈ 0.714 ≥ the 0.6 gate) planted after the original must
+    // drop at the near grain while dedup_paragraph — bit-identical
+    // content only — keeps it; and on the real fixture every doc's
+    // near-grain drop count dominates its exact-grain one (a near
+    // survivor is its cluster's min occurrence, hence its content's
+    // min occurrence, hence an exact survivor).
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_paran").toString
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text", concat_ws(" ",
+        transform(split(col("text"), " "), t => concat(lit("pp"), t))))
+    val para = (0 until 20).map(i => s"shared$i").mkString(" ")
+    val mutated = (0 until 20)
+      .map(i => if (i == 7) "mutZ" else s"shared$i").mkString(" ")
+    val aHead = (0 until 20).map(i => s"a$i").mkString(" ")
+    val bMid = (0 until 20).map(i => s"b$i").mkString(" ")
+    val textA = s"$aHead $para"   // blocks: a / shared
+    val textB = s"$mutated $bMid" // blocks: mutated-shared / b
+    val (idA, idB) = (930000001L, 930000002L)
+    base
+      .unionByName(base.limit(1).withColumn("doc_id", lit(idA))
+        .withColumn("text", lit(textA)))
+      .unionByName(base.limit(1).withColumn("doc_id", lit(idB))
+        .withColumn("text", lit(textB)))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    def byId(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3))))
+      .toMap
+    val exact = byId(q2("dedup_paragraph", out).collect())
+    assert(exact(idB) === ((2L, 0L, textB)),
+      s"exact grain must KEEP the mutated paragraph: ${exact(idB)}")
+    val near = byId(q2("dedup_paragraph_near", out).collect())
+    assert(near(idA) === ((2L, 0L, textA)),
+      s"first occurrence keeps all blocks: ${near(idA)}")
+    assert(near(idB) === ((2L, 1L, bMid)),
+      s"near grain must DROP the mutated paragraph: ${near(idB)}")
+    // subsumption on the real fixture corpus, per doc
+    val nearFix = q("dedup_paragraph_near").collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val exactFix = q("dedup_paragraph").collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    exactFix.foreach { case (id, d) =>
+      assert(nearFix(id) >= d,
+        s"doc $id: near-grain drops ${nearFix(id)} < exact-grain $d") }
+  }
+
   test("text_exact_substr: overlapping shorter runs merge to one maximal span") {
     // the r12 ADVICE failure case: two duplicated 10-grams whose start
     // positions differ by 5 (flagged {20} and {25} in the probe doc)
