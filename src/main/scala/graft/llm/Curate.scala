@@ -95,124 +95,158 @@ object Curate extends QueryPack {
     t
   }
 
-  /** The TRAINER-GRADE v4 chain (VERDICT r13 item 3): quality gate →
-    * exact dedup → paragraph-grain scrub (Dedup.paragraphScrub — the
-    * dedup_paragraph keep-rule) → exact-substring scrub
-    * (Text3.substrScrub — the text_dup_spans_scrub cut re-censused on
-    * the stage input) → near-dup components over the SCRUBBED text →
-    * one representative per cluster. Until now the trainer-dedup
-    * grains existed only as standalone keys; the composed product is
-    * what a 100 TB run actually ships — and composition changes the
-    * answers: near-dup mining over scrubbed text sees the documents
-    * AFTER their shared boilerplate is cut, so two docs that only
-    * looked similar through repeated paragraphs fall below τ while
-    * genuinely-parallel prose stays above it. Persisted
-    * fingerprint-keyed (the curatedRepsTable discipline); each stage
-    * shrinks text for the next, every shuffle is doc_id- or
-    * content-hash-keyed, the component solver runs on label pairs.
-    * Representative = most SURVIVING tokens (tie: min doc_id) — the
-    * n_chars convention re-based on post-scrub length, mirrored in
-    * the oracle. */
-  private def curateV4Table(s: SparkSession, dir: String): String = {
-    val pfx = s"curate_v4_${Tables.pathKey(dir)}_"
+  /** The eval-holdout predicate — ONE definition shared by the funnel
+    * census and the v4 trainer chain (both exclude held-out eval docs
+    * before anything else touches them). */
+  private[llm] def isEvalDoc: Column =
+    col("doc_id") % 97 === 0 && col("doc_id") < 100000L
+
+  /** Slim per-doc stats artifact (VERDICT r13 item 6): ONE pass over
+    * the raw corpus computes everything the census heads need — token
+    * count, quality score, content sha, the holdout flag — persisted
+    * fingerprint-keyed so the funnel, the v4 head, and the threshold
+    * curve never re-scan text for numbers a slim scan answers. At 100×
+    * this retires the repeated full-text quality+sha passes that made
+    * pipeline_funnel_report the worst posture row (23.3 s). */
+  private[llm] def docStatsTable(s: SparkSession, dir: String): String = {
+    val pfx = s"curate_stats_${Tables.pathKey(dir)}_"
     val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "documents"))}"
     if (!s.catalog.tableExists(t)) {
       Tables.dropStaleTables(s, pfx)
-      val exact = curateExact(s, dir)
-      val scrubbed = Text3.substrScrub(
-        Dedup.paragraphScrub(exact.select("doc_id", "text")))
-        .localCheckpoint() // feeds mining, n_tok, and the label join —
-                           // three consumers of one already-shrunken frame
-      val pairs = Dedup.ngramJaccardPairs(scrubbed, 0.5)
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      val labels = Cluster.components(edges)
-      scrubbed
-        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-        .join(exact.select("doc_id", "lang", "source", "quality"), Seq("doc_id"))
-        .join(labels.select(col("node").as("doc_id"), col("lbl")),
-          Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("cluster_id")
-            .orderBy(col("n_tok").desc, col("doc_id"))))
-        .where(col("rn") === 1)
-        .select("doc_id", "cluster_id", "lang", "source", "quality", "n_tok")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          Text.qualityScore(col("text")).as("quality"),
+          sha2(col("text"), 256).as("sha"),
+          isEvalDoc.as("is_eval"))
         .write.mode("overwrite").format("parquet").saveAsTable(t)
     }
     t
   }
+
+  /** The TRAINER-GRADE v4 chain (VERDICT r13 item 3): eval holdout →
+    * quality gate → exact dedup → paragraph-grain scrub
+    * (Dedup.paragraphScrub — the dedup_paragraph keep-rule) →
+    * exact-substring scrub (Text3.substrScrub — the
+    * text_dup_spans_scrub cut re-censused on the stage input) →
+    * near-dup components over the SCRUBBED text → one representative
+    * per cluster. Until now the trainer-dedup grains existed only as
+    * standalone keys; the composed product is what a 100 TB run
+    * actually ships — and composition changes the answers: near-dup
+    * mining over scrubbed text sees the documents AFTER their shared
+    * boilerplate is cut, so two docs that only looked similar through
+    * repeated paragraphs fall below τ while genuinely-parallel prose
+    * stays above it.
+    *
+    * Each stage output is MATERIALIZED fingerprint-keyed (the
+    * production shape — RefinedWeb-style pipelines persist every stage
+    * handoff, and the funnel census reads these artifacts instead of
+    * re-running the chain): `p` = paragraph-scrubbed text, `s` =
+    * substring-scrubbed text, and the rep set. The head reuses the
+    * [[docStatsTable]] ids (quality + sha winners) so only the
+    * surviving docs' text is ever re-read. Representative = most
+    * SURVIVING tokens (tie: min doc_id) — the n_chars convention
+    * re-based on post-scrub length, mirrored in the oracle. */
+  private def curateV4Stage(s: SparkSession, dir: String,
+      stage: String): String = {
+    val pfx = s"curate_v4${stage}_${Tables.pathKey(dir)}_"
+    val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "documents"))}"
+    if (!s.catalog.tableExists(t)) {
+      Tables.dropStaleTables(s, pfx)
+      stage match {
+        case "p" =>
+          val stats = s.table(docStatsTable(s, dir))
+          val keepIds = stats.where(!col("is_eval") && col("quality") >= 0.75)
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("sha").orderBy(col("doc_id"))))
+            .where(col("rn") === 1).select("doc_id")
+          val exactDocs = Tables.documents(s, dir)
+            .join(keepIds, Seq("doc_id"), "left_semi")
+            .select("doc_id", "text")
+          Dedup.paragraphScrub(exactDocs)
+            .write.mode("overwrite").format("parquet").saveAsTable(t)
+        case "s" =>
+          Text3.substrScrub(s.table(curateV4Stage(s, dir, "p")))
+            .write.mode("overwrite").format("parquet").saveAsTable(t)
+        case "" =>
+          val scrubbed = s.table(curateV4Stage(s, dir, "s"))
+          val pairs = Dedup.ngramJaccardPairs(scrubbed, 0.5)
+          val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+            .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+          val labels = Cluster.components(edges)
+          scrubbed
+            .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+            .join(Tables.documents(s, dir).select("doc_id", "lang", "source"),
+              Seq("doc_id"))
+            .join(s.table(docStatsTable(s, dir)).select("doc_id", "quality"),
+              Seq("doc_id"))
+            .join(labels.select(col("node").as("doc_id"), col("lbl")),
+              Seq("doc_id"), "left")
+            .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("cluster_id")
+                .orderBy(col("n_tok").desc, col("doc_id"))))
+            .where(col("rn") === 1)
+            .select("doc_id", "cluster_id", "lang", "source", "quality", "n_tok")
+            .write.mode("overwrite").format("parquet").saveAsTable(t)
+      }
+    }
+    t
+  }
+
+  private def curateV4Table(s: SparkSession, dir: String): String =
+    curateV4Stage(s, dir, "")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate_v4" -> ((s, dir) =>
       s.table(curateV4Table(s, dir)).orderBy("doc_id")),
 
     // The curation FUNNEL REPORT — the one-page census a corpus owner
-    // reads after every run: docs AND tokens surviving each stage
-    // (eval holdout → quality gate → exact dedup → benchmark
-    // decontamination), each stage COMPOSING the operator it
-    // summarizes (qualityGate / exactDedupKeepMin — the same helpers
-    // curateExact is built from — and Text3.decontaminate), so the
-    // funnel cannot drift from them (ADVICE r11: the previous inline
-    // copy was only inequality-pinned). The token column is the
-    // budget-relevant one — a stage that drops 3 % of docs can cost
-    // 3× that in tokens if it culls the long tail.
+    // reads after every run: docs AND tokens surviving each stage of
+    // the v4 trainer chain (eval holdout → quality gate → exact dedup
+    // → paragraph scrub → substring scrub → near-dup reps → benchmark
+    // decontamination of the shipped corpus). Round 14: the census now
+    // reads the chain's MATERIALIZED stage artifacts (docStatsTable +
+    // the curateV4Stage handoffs) instead of re-running the chain —
+    // the production shape (a 100 TB pipeline persists every stage
+    // output; the census is a read), and the item-6 remedy for the
+    // 23.3 s 100× posture row: stages 0–3 are one slim-artifact pass
+    // (no text), stages 4–6 are artifact scans, and only the final
+    // decontamination stage computes over text — the REP corpus, the
+    // smallest frame in the chain. Stage membership still composes the
+    // verified operators because the artifacts are BUILT from them
+    // (paragraphScrub / substrScrub / the component solver); the
+    // LlmSpec funnel test pins stage agreement cross-key. The token
+    // column is the budget-relevant one — a stage that drops 3 % of
+    // docs can cost 3× that in tokens if it culls the long tail.
     "pipeline_funnel_report" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val nTok = size(split(col("text"), " ")).cast("long")
-      val isEval = col("doc_id") % 97 === 0 && col("doc_id") < 100000L
-      // Round 13 (the first graft.Posture run caught the shape): the
-      // previous five per-stage aggregates each re-derived their frame
-      // from scratch — quality scored three times, the sha window run
-      // twice, ~3 extra corpus passes (24.7 s warm at 100×/500 k docs;
-      // 17.9 s after this fold + the hashed-gram decontam join, at an
-      // unchanged 1× bench cost — of the forms measured, the window+
-      // full-text-checkpoint variant was 14.8 s at 100× but +1.0 s at
-      // 1×, the wrong side of the 382-key bench trade). Stages 0–2 are
-      // conditional
-      // aggregates over ONE pass (the quality_threshold_curve lesson);
-      // stage 3 is a partial-aggregated sha census (min/min_by — NOT a
-      // row_number window, whose full-corpus sort-shuffle measured
-      // +0.7 s at 1× and which a hot hash would pin to one reducer);
-      // the decontamination stage re-reads text for exactly the kept
-      // ids via one semi join. Stage-3 membership is IDENTICAL to
-      // exactDedupKeepMin(qualityGate(s1)): min doc_id per sha among
-      // quality-passing non-eval docs, with min_by carrying that
-      // winner's token count.
-      val q = Text.qualityScore(col("text"))
-      val flagged = docs.select(col("doc_id"), col("text"),
-        nTok.as("n_tok"), isEval.as("is_eval"),
-        (!isEval && q >= 0.75).as("q_ok"))
+      val stats = s.table(docStatsTable(s, dir))
       def cnt(flag: Column) = sum(when(flag, 1L).otherwise(0L))
       def tok(flag: Column) = coalesce(sum(when(flag, col("n_tok"))), lit(0L))
+      val flagged = stats.select(col("doc_id"), col("n_tok"), col("sha"),
+        col("is_eval"), (!col("is_eval") && col("quality") >= 0.75).as("q_ok"))
       val head = flagged.agg(
         count(lit(1)).as("d0"), coalesce(sum(col("n_tok")), lit(0L)).as("t0"),
         cnt(!col("is_eval")).as("d1"), tok(!col("is_eval")).as("t1"),
         cnt(col("q_ok")).as("d2"), tok(col("q_ok")).as("t2"))
         .localCheckpoint() // 1 row, read three times (exchange reuse
-                           // does NOT fire across the union branches
-                           // here — measured +5 s at 100× without it)
+                           // does NOT fire across the union branches)
+      // stage-3 census: min doc_id per sha among quality-passing
+      // non-eval docs — identical membership to the v4 head's keepIds
+      // (min/min_by partial aggregate, NOT a row_number window whose
+      // hot sha would pin one reducer)
       val census = flagged.where(col("q_ok"))
-        .groupBy(sha2(col("text"), 256).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"),
-          min_by(col("n_tok"), col("doc_id")).as("ktok"))
-        .localCheckpoint() // slim (ids + token counts): the stage-3
-                           // fold and the keep-id semi join share it
-      val kept = docs.join(census.select("doc_id"), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("text"), nTok.as("n_tok"))
-      // stages 4-6 CHAIN (VERDICT r13 item 3 — the funnel grows the v4
-      // scrub cuts): decontaminated survivors feed the paragraph scrub,
-      // whose output feeds the substring scrub — each stage's frame is
-      // the previous stage's, so the token column reads as a true
-      // funnel. dec/pClean are checkpointed: each feeds its own fold
-      // AND the next stage (paragraphScrub/substrScrub internally
-      // consume their input twice — census + reassembly), so without
-      // the pin the decontamination join lineage would re-run up to 5×.
-      val dec = Text3.decontaminate(kept, docs.where(isEval))
-        .localCheckpoint()
-      val pClean = Dedup.paragraphScrub(dec.select("doc_id", "text"))
-        .localCheckpoint()
-      val sClean = Text3.substrScrub(pClean)
+        .groupBy(col("sha"))
+        .agg(count(lit(1)).as("n"), min_by(col("n_tok"), col("doc_id")).as("ktok"))
+      val pClean = s.table(curateV4Stage(s, dir, "p"))
+      val sClean = s.table(curateV4Stage(s, dir, "s"))
+      val reps = s.table(curateV4Stage(s, dir, ""))
+      // final stage: decontaminate the corpus the run would SHIP — the
+      // reps' scrubbed text vs the held-out eval docs
+      val repText = sClean.join(reps.select("doc_id"), Seq("doc_id"), "left_semi")
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      val dec = Text3.decontaminate(repText, docs.where(isEvalDoc))
       def stageAt(idx: Int, name: String): DataFrame =
         head.select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
           col(s"d$idx").as("n_docs"), col(s"t$idx").as("n_tokens"))
@@ -227,14 +261,12 @@ object Curate extends QueryPack {
       stageAt(0, "raw")
         .unionByName(stageAt(1, "eval_holdout"))
         .unionByName(stageAt(2, "quality_gate"))
-        .unionByName(census.select(col("ktok").as("n_tok"))
-          .agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
-          .select(lit(3L).as("stage_idx"), lit("exact_dedup").as("stage"),
-            col("n_docs"), col("n_tokens")))
-        .unionByName(fold(dec, 4, "decontaminated"))
-        .unionByName(foldText(pClean, 5, "paragraph_scrub"))
-        .unionByName(foldText(sClean, 6, "substr_scrub"))
+        .unionByName(fold(census.select(col("ktok").as("n_tok")), 3,
+          "exact_dedup"))
+        .unionByName(foldText(pClean, 4, "paragraph_scrub"))
+        .unionByName(foldText(sClean, 5, "substr_scrub"))
+        .unionByName(fold(reps, 6, "neardup_reps"))
+        .unionByName(fold(dec, 7, "decontaminated"))
         .orderBy("stage_idx")
     }),
 
@@ -301,7 +333,7 @@ object Curate extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_funnel_report" ->
-      s"""WITH d AS (
+      s"""WITH RECURSIVE d AS (
          |  SELECT doc_id, text,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
          |    (doc_id % 97 = 0 AND doc_id < 100000) AS is_eval,
@@ -311,20 +343,7 @@ object Curate extends QueryPack {
          |kept AS (SELECT * FROM (
          |    SELECT *, row_number() OVER (PARTITION BY sha256(text)
          |      ORDER BY doc_id) AS rn FROM s2) WHERE rn = 1),
-         |kg AS (
-         |  SELECT k.doc_id,
-         |    array_to_string(toks[CAST(i AS INT):CAST(i+4 AS INT)], ' ') AS ng
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM kept) k,
-         |    UNNEST(range(1, len(k.toks) - 3)) AS r(i)),
-         |eg AS (
-         |  SELECT DISTINCT
-         |    array_to_string(toks[CAST(i AS INT):CAST(i+4 AS INT)], ' ') AS ng
-         |  FROM (SELECT string_split(text, ' ') AS toks FROM d WHERE is_eval) e,
-         |    UNNEST(range(1, len(e.toks) - 3)) AS r(i)),
-         |contaminated AS (SELECT DISTINCT kg.doc_id FROM kg JOIN eg USING (ng)),
-         |dec AS (SELECT * FROM kept
-         |        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-         |pt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dec),
+         |pt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),
          |pp AS (SELECT doc_id, CAST(i AS BIGINT) AS para_id,
          |        array_to_string(list_slice(toks, i * ${Dedup.paraTokens} + 1,
          |          i * ${Dedup.paraTokens} + ${Dedup.paraTokens}), ' ') AS ptxt
@@ -350,7 +369,57 @@ object Curate extends QueryPack {
          |sc AS (SELECT tk.doc_id, string_agg(tok, ' ' ORDER BY tk.tpos) AS text
          |       FROM tk LEFT JOIN cov
          |         ON cov.doc_id = tk.doc_id AND cov.tpos = tk.tpos
-         |       WHERE cov.doc_id IS NULL GROUP BY tk.doc_id)
+         |       WHERE cov.doc_id IS NULL GROUP BY tk.doc_id),
+         |t2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |              generate_subscripts(string_split(text, ' '), 1) AS pos
+         |       FROM sc),
+         |tg AS (SELECT DISTINCT doc_id,
+         |         tok || ' ' || lead(tok) OVER w2 || ' ' || lead(tok, 2) OVER w2 AS ng
+         |       FROM t2 WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+         |       QUALIFY lead(tok, 2) OVER w2 IS NOT NULL),
+         |pruned AS (SELECT tg.doc_id, tg.ng FROM tg
+         |           JOIN (SELECT ng, count(*) AS dfreq FROM tg GROUP BY ng) dd USING (ng)
+         |           WHERE dfreq <= 20),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |          FROM pruned a JOIN pruned b ON a.ng = b.ng AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jp AS (SELECT id_a, id_b FROM pairs
+         |       JOIN sizes sa ON sa.doc_id = id_a
+         |       JOIN sizes sb ON sb.doc_id = id_b
+         |       WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+         |          UNION SELECT id_b, id_a FROM jp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lbl AS (
+         |  SELECT sc.doc_id,
+         |         CAST(COALESCE(LEAST(MIN(r.b), sc.doc_id), sc.doc_id) AS BIGINT) AS cluster_id
+         |  FROM sc LEFT JOIN reach r ON r.a = sc.doc_id
+         |  GROUP BY sc.doc_id),
+         |nt AS (SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM sc),
+         |reps AS (SELECT l.doc_id, nt.n_tok
+         |         FROM lbl l JOIN nt ON nt.doc_id = l.doc_id
+         |         QUALIFY row_number() OVER (PARTITION BY l.cluster_id
+         |                                    ORDER BY nt.n_tok DESC, l.doc_id) = 1),
+         |rsc AS (SELECT sc.doc_id, sc.text, rp.n_tok
+         |        FROM sc JOIN reps rp ON rp.doc_id = sc.doc_id),
+         |kg AS (
+         |  SELECT k.doc_id,
+         |    array_to_string(toks[CAST(i AS INT):CAST(i+4 AS INT)], ' ') AS ng
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM rsc) k,
+         |    UNNEST(range(1, len(k.toks) - 3)) AS r(i)),
+         |eg AS (
+         |  SELECT DISTINCT
+         |    array_to_string(toks[CAST(i AS INT):CAST(i+4 AS INT)], ' ') AS ng
+         |  FROM (SELECT string_split(text, ' ') AS toks FROM d WHERE is_eval) e,
+         |    UNNEST(range(1, len(e.toks) - 3)) AS r(i)),
+         |contaminated AS (SELECT DISTINCT kg.doc_id FROM kg JOIN eg USING (ng)),
+         |dec AS (SELECT * FROM rsc
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
          |SELECT * FROM (
          |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
          |    CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -365,14 +434,17 @@ object Curate extends QueryPack {
          |  SELECT 3, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
          |    CAST(coalesce(SUM(n_tok), 0) AS BIGINT) FROM kept
          |  UNION ALL
-         |  SELECT 4, 'decontaminated', CAST(COUNT(*) AS BIGINT),
-         |    CAST(coalesce(SUM(n_tok), 0) AS BIGINT) FROM dec
-         |  UNION ALL
-         |  SELECT 5, 'paragraph_scrub', CAST(COUNT(*) AS BIGINT),
+         |  SELECT 4, 'paragraph_scrub', CAST(COUNT(*) AS BIGINT),
          |    CAST(coalesce(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM pc
          |  UNION ALL
-         |  SELECT 6, 'substr_scrub', CAST(COUNT(*) AS BIGINT),
-         |    CAST(coalesce(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM sc)
+         |  SELECT 5, 'substr_scrub', CAST(COUNT(*) AS BIGINT),
+         |    CAST(coalesce(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM sc
+         |  UNION ALL
+         |  SELECT 6, 'neardup_reps', CAST(COUNT(*) AS BIGINT),
+         |    CAST(coalesce(SUM(n_tok), 0) AS BIGINT) FROM reps
+         |  UNION ALL
+         |  SELECT 7, 'decontaminated', CAST(COUNT(*) AS BIGINT),
+         |    CAST(coalesce(SUM(n_tok), 0) AS BIGINT) FROM dec)
          |ORDER BY stage_idx""".stripMargin,
 
     "pipeline_curate" ->
@@ -450,15 +522,17 @@ object Curate extends QueryPack {
          |                           ORDER BY e.n_chars DESC, l.doc_id) = 1
          |ORDER BY l.doc_id""".stripMargin,
 
-    // the v4 trainer chain: the curate_v2 quality/exact prefix, then
-    // the dedup_paragraph keep-rule, the dup-window cut re-censused on
-    // the scrubbed frame, trigram mining + recursive closure over the
-    // SCRUBBED text, rep = most surviving tokens (tie min doc_id)
+    // the v4 trainer chain: eval holdout + the curate_v2 quality/exact
+    // prefix, then the dedup_paragraph keep-rule, the dup-window cut
+    // re-censused on the scrubbed frame, trigram mining + recursive
+    // closure over the SCRUBBED text, rep = most surviving tokens
+    // (tie min doc_id)
     "pipeline_curate_v4" ->
       s"""WITH RECURSIVE q AS (
          |  SELECT doc_id, lang, source, text, ${Text.qualityScoreD} AS quality
          |  FROM documents),
-         |f AS (SELECT * FROM q WHERE quality >= 0.75),
+         |f AS (SELECT * FROM q WHERE quality >= 0.75
+         |      AND NOT (doc_id % 97 = 0 AND doc_id < 100000)),
          |ex AS (SELECT * FROM f
          |       QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1),
          |pt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ex),

@@ -268,6 +268,43 @@ object Dedup extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** The paragraph-content LABEL STORE backing dedup_paragraph_near,
+    * persisted once per (dir, documents fingerprint) — (k1, k2, wenc):
+    * each distinct paragraph content's near-dup-cluster winner, wenc =
+    * the cluster's first occurrence encoded via [[paraEncStride]]. The
+    * expensive half (distinct-content census → paragraph-grain trigram
+    * mining → component resolution) runs once; the key itself is then
+    * an occurrence join + reassembly — the pairsTable discipline, and
+    * also the store an incremental paragraph pipeline would keep.
+    * Mining poses contents as (doc_id = enc, text = ptxt) docs so the
+    * SAME df ≤ 20 hashed-postings miner serves both grains. */
+  private[llm] def paraLabelsTable(s: SparkSession, dir: String): String = {
+    val pfx = s"para_labels_${Tables.pathKey(dir)}_"
+    val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "documents"))}"
+    if (!s.catalog.tableExists(t)) {
+      Tables.dropStaleTables(s, pfx)
+      val paras = paraFrame(Tables.documents(s, dir))
+        .withColumn("enc",
+          col("doc_id") * paraEncStride + col("para_id"))
+      val contents = paras.groupBy("k1", "k2")
+        .agg(min(col("enc")).as("enc"), min(col("ptxt")).as("ptxt"))
+        .localCheckpoint() // feeds mining AND the label join-back
+      val pairs = ngramJaccardPairs(
+        contents.select(col("enc").as("doc_id"), col("ptxt").as("text")),
+        0.6)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val labels = Cluster.components(edges)
+      contents.select("k1", "k2", "enc")
+        .join(labels.select(col("node").as("enc"), col("lbl")),
+          Seq("enc"), "left")
+        .select(col("k1"), col("k2"),
+          coalesce(col("lbl"), col("enc")).as("wenc"))
+        .write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+    t
+  }
+
   /** Frame-to-frame exact paragraph scrub (the curate-v4 stage,
     * VERDICT r13 item 3): keep each paragraph content's first
     * corpus-wide occurrence in (doc_id, para_id) order, reassemble, and
@@ -357,20 +394,8 @@ object Dedup extends QueryPack {
       val paras = paraFrame(docs)
         .withColumn("enc",
           col("doc_id") * paraEncStride + col("para_id"))
-      val contents = paras.groupBy("k1", "k2")
-        .agg(min(col("enc")).as("enc"), min(col("ptxt")).as("ptxt"))
-      val pairs = ngramJaccardPairs(
-        contents.select(col("enc").as("doc_id"), col("ptxt").as("text")),
-        0.6)
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      val labels = Cluster.components(edges)
-      val contentLbl = contents.select("k1", "k2", "enc")
-        .join(labels.select(col("node").as("enc"), col("lbl")),
-          Seq("enc"), "left")
-        .select(col("k1"), col("k2"),
-          coalesce(col("lbl"), col("enc")).as("wenc"))
-      val kept = paras.join(contentLbl, Seq("k1", "k2"))
+      val kept = paras
+        .join(s.table(paraLabelsTable(s, dir)), Seq("k1", "k2"))
         .where(col("enc") === col("wenc"))
       paraReassemble(docs, kept)
     }),

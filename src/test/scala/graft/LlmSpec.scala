@@ -1207,7 +1207,7 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => r.getString(1) ->
         (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
     val order = Seq("raw", "eval_holdout", "quality_gate", "exact_dedup",
-      "decontaminated")
+      "paragraph_scrub", "substr_scrub", "neardup_reps", "decontaminated")
     order.sliding(2).foreach { case Seq(a, b) =>
       assert(f(b)._1 <= f(a)._1 && f(b)._2 <= f(a)._2,
         s"funnel must shrink: $a -> $b")
@@ -1220,6 +1220,15 @@ class LlmSpec extends AnyFunSuite {
     assert(f("raw")._1 - f("eval_holdout")._1 === nEval)
     assert(f("exact_dedup")._1 >= SparkEntry.queries("pipeline_curate")(spark, dir).count(),
       "the near-dup drop can only remove more than the exact stage")
+    // the reps stage IS the v4 product: row count and token sum match
+    // the pipeline_curate_v4 key exactly (the census reads the same
+    // materialized stage artifacts the key serves)
+    val v4 = SparkEntry.queries("pipeline_curate_v4")(spark, dir)
+    assert(f("neardup_reps")._1 === v4.count(),
+      "funnel reps stage must equal the v4 rep set")
+    assert(f("neardup_reps")._2 ===
+      v4.agg(org.apache.spark.sql.functions.sum("n_tok")).head().getLong(0),
+      "funnel reps tokens must equal the v4 rep token sum")
   }
 
   test("dedup_epoch_interaction: agrees with the standalone epoch plan on the raw side; dedup only shrinks tokens") {
