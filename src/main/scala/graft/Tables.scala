@@ -9,8 +9,79 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * never hardcode a scale factor. Schemas documented in FIXTURES.md.
   */
 object Tables {
+
+  /** Schema memo for parquet reads, keyed by (path, size+mtime
+    * fingerprint) — METADATA caching only, the catalog role a real
+    * engine's metastore plays. A bare `spark.read.parquet` re-infers
+    * the schema from file footers on EVERY call (~87 ms driver-side
+    * per call measured at sf0.1, graft.DebugOverhead, vs ~10 ms with
+    * an explicit schema); the bench invokes 385 query builders × 3
+    * reps × 1–4 table reads each, so inference alone was tens of
+    * seconds of pure fixed overhead (round-14 optimization, guide
+    * §1/§6). No DATA is cached: every invocation still scans the
+    * parquet inputs; the fingerprint key invalidates the memo when a
+    * fixture or artifact is regenerated in-process. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Size+mtime fingerprint of a file OR directory tree root (for a
+    * directory: the entry count and max child mtime join the key, so a
+    * rewritten write-once layout re-keys). */
+  private def pathFingerprint(p: java.nio.file.Path): String = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) {
+      val kids = listByPrefix(p, "")
+      val mt = if (kids.isEmpty) 0L
+        else kids.map(k => Files.getLastModifiedTime(k).toMillis).max
+      s"d${kids.size}_$mt"
+    } else s"f${Files.size(p)}_${Files.getLastModifiedTime(p).toMillis}"
+  }
+
+  /** Parquet read with the schema served from [[schemaMemo]] — the
+    * shared reader for fixture tables and write-once artifact layouts.
+    * First read of a (path, fingerprint) pays one inference; every
+    * later builder call skips the footer pass. */
+  def cachedParquet(s: SparkSession, path: String): DataFrame = {
+    val key = path + "@" + pathFingerprint(java.nio.file.Paths.get(path))
+    val sch = schemaMemo.computeIfAbsent(key,
+      _ => s.read.parquet(path).schema)
+    s.read.schema(sch).parquet(path)
+  }
+
+  /** Exact row count from parquet footer metadata — no Spark job. The
+    * ANN/index-geometry call sites (`ivfCells(n)`, `srpGeometry(n)`,
+    * rescore heads) previously ran `Tables.embeddings(s,dir).count()`
+    * inside the query BUILDER: a ~190 ms cluster job per invocation
+    * (DebugOverhead) to learn a number the file footers state exactly.
+    * Footer record counts are the same integer the count job returns
+    * (parquet metadata is authoritative), memoized like the schema. */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def rowCount(s: SparkSession, dir: String, name: String): Long = {
+    val path = s"$dir/$name.parquet"
+    val key = path + "@" + pathFingerprint(java.nio.file.Paths.get(path))
+    countMemo.computeIfAbsent(key, _ => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = s.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val files: Seq[Path] =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        else Seq(p)
+      files.map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+  }
+
   def table(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    cachedParquet(s, s"$dir/$name.parquet")
 
   def region(s: SparkSession, dir: String): DataFrame     = table(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame     = table(s, dir, "nation")

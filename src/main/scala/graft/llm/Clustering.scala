@@ -52,7 +52,7 @@ object Clustering extends QueryPack {
     * (geometry-independent by construction). */
   private[graft] def assignTo(s: SparkSession, dir: String,
                               e: DataFrame): DataFrame = {
-    val n = Tables.embeddings(s, dir).count()
+    val n = Tables.rowCount(s, dir, "embeddings")
     val k = Similarity.ivfCells(n)
     val cents = Similarity.learnedCentroids(s, dir, k)
     val normed = cents.select(col("cent_id").cast("long").as("cell"),
@@ -109,7 +109,7 @@ object Clustering extends QueryPack {
     * term formula can never fork between them. */
   private def psiFromCounts(s: SparkSession, dir: String,
                             c1: DataFrame, cd: DataFrame): DataFrame = {
-    val n = Tables.embeddings(s, dir).count()
+    val n = Tables.rowCount(s, dir, "embeddings")
     val k = Similarity.ivfCells(n)
     val allCells = Similarity.learnedCentroids(s, dir, k)
       .select(col("cent_id").cast("long").as("cell"))
@@ -184,7 +184,7 @@ object Clustering extends QueryPack {
     // the same bounded-window discipline as giniRanked, never a global
     // single-partition sort.
     "sample_cluster_balanced" -> ((s, dir) => {
-      val n = Tables.embeddings(s, dir).count()
+      val n = Tables.rowCount(s, dir, "embeddings")
       val cap = balancedCap(n, Similarity.ivfCells(n))
       homeCells(s, dir)
         .withColumn("rk", row_number().over(

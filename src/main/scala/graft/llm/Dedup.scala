@@ -137,7 +137,7 @@ object Dedup extends QueryPack {
       // partition's posting groups fit a task at any corpus scale
       // (~5 k docs ≈ 2.2 M distinct-ngram rows per partition); the
       // session width stays the floor for small fixtures
-      val n = Tables.documents(s, dir).count()
+      val n = Tables.rowCount(s, dir, "documents")
       val parts = math.max(s.sessionState.conf.numShufflePartitions,
         (n / 5000L).toInt)
       ngramSharedCounts(Tables.documents(s, dir), hashedKeys = true,

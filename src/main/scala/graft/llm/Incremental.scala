@@ -250,7 +250,7 @@ object Incremental extends QueryPack {
     // the true day-1 size shifts log2(n²) by under one bit; the sizing
     // is a heuristic and build/probe apply the same rule, which is the
     // property that matters.
-    val (tables, bits) = Similarity.srpGeometry(Tables.embeddings(s, dir).count())
+    val (tables, bits) = Similarity.srpGeometry(Tables.rowCount(s, dir, "embeddings"))
     val fp = key(Tables.fingerprint(dir, "embeddings"))
     val (st, vt) = (s"${tag}_sig_${key(dir)}_$fp", s"${tag}_vec_${key(dir)}_$fp")
     // rebuild-if-missing OR if the artifact predates the round-8 schema

@@ -53,7 +53,7 @@ object Quantize extends QueryPack {
       import org.apache.spark.ml.functions.array_to_vector
       val all = Tables.embeddings(s, dir)
         .select(col("embedding").cast("array<double>").as("v"))
-      val n = all.count()
+      val n = Tables.rowCount(s, dir, "embeddings")
       val data = (if (n > 50000) all.sample(50000.0 / n, 42L) else all)
         .localCheckpoint() // 8 fits share one materialization of the sample
       import s.implicits._
@@ -327,7 +327,7 @@ object Quantize extends QueryPack {
       val codes = s.table(bqCodes(s, dir))
       // corpus-adaptive rescore head, from the measured ladder above;
       // override via graft.ann.bqRescore
-      val n = Tables.embeddings(s, dir).count()
+      val n = Tables.rowCount(s, dir, "embeddings")
       val c = s.conf.get("graft.ann.bqRescore",
         math.max(200L, n / 10).toString).toInt
       val p = Similarity.probeBatch(s, dir)
@@ -438,7 +438,7 @@ object Quantize extends QueryPack {
     "ann_query_ivfpq" -> ((s, dir) => {
       import graft.functions.TopKByScore.topk
       val book = codebook(s, dir)
-      val n = Tables.embeddings(s, dir).count()
+      val n = Tables.rowCount(s, dir, "embeddings")
       val K = Similarity.ivfCells(n)
       val cents = Similarity.learnedCentroids(s, dir, K)
       val cellCodes = ivfPqCodesTable(s, dir, book, cents, K)

@@ -149,7 +149,7 @@ object Similarity extends QueryPack {
     val t = s"$pfx${Tables.pathKey(Tables.fingerprint(dir, "embeddings"))}"
     if (!s.catalog.tableExists(t)) {
       Tables.dropStaleTables(s, pfx)
-      val n = Tables.embeddings(s, dir).count()
+      val n = Tables.rowCount(s, dir, "embeddings")
       val k = ivfCells(n)
       assignCells(vecs(s, dir), learnedCentroids(s, dir, k), p,
         viaBroadcast = assignViaBroadcast(k))
@@ -182,7 +182,7 @@ object Similarity extends QueryPack {
     // corpus to quantify the instability the guard prevents): set
     // graft.semantic.percolationGuard=warn to log instead of refuse.
     val mode = s.conf.get("graft.semantic.percolationGuard", "enforce")
-    val n = Tables.embeddings(s, dir).count()
+    val n = Tables.rowCount(s, dir, "embeddings")
     val e = mutual.where(col("cos") >= 0.45).count()
     val deg = 2.0 * e / n
     if (mode == "warn") {
@@ -266,7 +266,7 @@ object Similarity extends QueryPack {
       import org.apache.spark.ml.functions.array_to_vector
       val all = Tables.embeddings(s, dir)
         .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
-      val n = Tables.embeddings(s, dir).count()
+      val n = Tables.rowCount(s, dir, "embeddings")
       val data = if (n > 50000) all.sample(50000.0 / n, 42L) else all
       val model = new KMeans().setK(k).setSeed(42L).setMaxIter(20).fit(data)
       import s.implicits._
@@ -275,7 +275,7 @@ object Similarity extends QueryPack {
         .toDF("cent_id", "cv")
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
+    graft.Tables.cachedParquet(s, path)
   }
 
   /** Standard IVF sizing: K ∝ √n coarse cells. (Round 4 sized
@@ -532,7 +532,7 @@ object Similarity extends QueryPack {
     * ladder): P = ivfProbeWidth(K, pScale) cells probed per query. */
   private[graft] def ivfServe(s: SparkSession, dir: String,
       pScale: Double): DataFrame = {
-    val n = Tables.embeddings(s, dir).count()
+    val n = Tables.rowCount(s, dir, "embeddings")
     val K = ivfCells(n)
     val cents = learnedCentroids(s, dir, K)
     val ct = ivfIndexTable(s, dir, cents, K)
@@ -749,7 +749,7 @@ object Similarity extends QueryPack {
     "sim_ivf_ann" -> ((s, dir) => {
       val P = 5 // probes (recall at the low-similarity 0.4 threshold
                 // needs a wide probe: see the LlmSpec gate)
-      val n = Tables.embeddings(s, dir).count() // metadata-only count
+      val n = Tables.rowCount(s, dir, "embeddings") // metadata-only count
       val K = ivfCells(n)
       val bits2 = ivfSubBits(n, K, P)
       // coarse assignment comes from the persisted index artifact

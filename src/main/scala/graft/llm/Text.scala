@@ -95,7 +95,7 @@ object Text extends QueryPack {
     "text_tfidf" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val n = Tables.documents(s, dir).count() // corpus size: scalar, driver-side once
+      val n = Tables.rowCount(s, dir, "documents") // corpus size: scalar, driver-side once
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = toks.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("dfreq"))

@@ -332,7 +332,7 @@ object Extras5 extends QueryPack {
           .agg(hll_sketch_agg(col("user_id")).as("sk"))
           .write.mode("overwrite").parquet(path)
       }
-      s.read.parquet(path)
+      graft.Tables.cachedParquet(s, path)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_days"),
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))

@@ -317,7 +317,7 @@ object Extras6 extends QueryPack {
     // reads the ORIGINAL events table — layout must never change
     // results, only plan shape (ExtrasSpec asserts the file skipping).
     "scan_zorder" -> ((s, dir) => {
-      s.read.parquet(zorderedEvents(s, dir))
+      graft.Tables.cachedParquet(s, zorderedEvents(s, dir))
         .where(col("user_id").between(100, 200) && col("value").between(100d, 200d))
         .select(col("event_id"), col("user_id"), col("value"))
         .orderBy("event_id")

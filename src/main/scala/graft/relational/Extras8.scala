@@ -242,7 +242,7 @@ object Extras8 extends QueryPack {
           .agg(count(lit(1)).as("cnt"))
           .write.mode("overwrite").parquet(path)
       }
-      val merged = s.read.parquet(path)
+      val merged = graft.Tables.cachedParquet(s, path)
         .groupBy("event_type", "b").agg(sum(col("cnt")).as("cnt"))
       val cum = merged
         .withColumn("cum", sum(col("cnt")).over(

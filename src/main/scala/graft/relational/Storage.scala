@@ -67,7 +67,7 @@ object Storage extends QueryPack {
     // rows — PushedFilters never even sees it (PlanSpec "scan_partitioned")
     "scan_partitioned" -> ((s, dir) => {
       val path = partitionedDocs(s, dir)
-      s.read.parquet(path)
+      graft.Tables.cachedParquet(s, path)
         .where(col("lang") === "en")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
@@ -95,8 +95,8 @@ object Storage extends QueryPack {
         dimRows.toDF("lang", "grp")
           .coalesce(1).write.mode("overwrite").parquet(dimPath)
       }
-      s.read.parquet(path)
-        .join(s.read.parquet(dimPath).where(col("grp") === 1), Seq("lang"))
+      graft.Tables.cachedParquet(s, path)
+        .join(graft.Tables.cachedParquet(s, dimPath).where(col("grp") === 1), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     }),

@@ -387,7 +387,7 @@ object Streams extends QueryPack {
     // topic directory appearing BETWEEN batches is discovered and
     // consumed exactly once — is verified in StreamSpec.
     "source_topic_pattern" -> ((s, dir) =>
-      s.read.parquet(Streams.topicsLayout(s, dir))
+      graft.Tables.cachedParquet(s, Streams.topicsLayout(s, dir))
         .where(col("topic").rlike(Streams.topicPattern))
         .withColumn("ts_sec", date_trunc("second", col("ts")))
         .groupBy(col("topic"), window(col("ts_sec"), "1 hour").as("w"))
