@@ -55,3 +55,18 @@ object DebugOverhead {
     s.stop()
   }
 }
+
+/** One-off probe: does Observation fire on localCheckpoint()? */
+object DebugObserveCkpt {
+  def main(args: Array[String]): Unit = {
+    val s = GraftSession.local("4")
+    s.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val obs = Observation()
+    val df = s.range(1000).observe(obs, count(lit(1)).as("n")).localCheckpoint()
+    val got = obs.getAsJava // blocks; if this prints, the event fired
+    println(s"observation after localCheckpoint: $got rows=${df.count()}")
+    s.stop()
+  }
+}

@@ -59,12 +59,19 @@ object Cluster extends QueryPack {
     while (changed > 0) {
       val neigh = e.join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("lbl")).as("nlbl"))
+      // convergence count rides the checkpoint materialization itself
+      // (Observation fires on the localCheckpoint action — probed in
+      // DebugObserveCkpt): one job per round instead of two (r14
+      // optimization; the old shape re-scanned the fresh checkpoint
+      // blocks with a separate count() job each round)
+      val obs = org.apache.spark.sql.Observation()
       val step = labels.join(neigh, Seq("node"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
+        .observe(obs, count(when(col("chg"), lit(1))).as("nchg"))
         .localCheckpoint()
-      changed = step.where(col("chg")).count()
+      changed = obs.get("nchg").asInstanceOf[Long]
       Bridge.uncheckpoint(labels) // superseded round — data now lives in step
       labels = step.select("node", "lbl")
     }
@@ -98,7 +105,12 @@ object Cluster extends QueryPack {
       sym.join(m, Seq("u"))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
+      // no trailing distinct (r14): inside the smallStar∘largeStar
+      // round the duplicates collapse for free — smallStar's min
+      // aggregate is duplicate-insensitive and the round ends in
+      // smallStar's own distinct — so the extra exchange bought
+      // nothing (1 of 4 per-round shuffles removed; round output,
+      // checksum and fixpoint are unchanged).
     }
 
     // small-star: smaller neighbors (and u itself) link to the min
@@ -115,29 +127,39 @@ object Cluster extends QueryPack {
         .distinct()
     }
 
-    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    // fixpoint checksum rides each round's checkpoint materialization
+    // via observe() (one job per round, not two — same fusion as
+    // components(); DebugObserveCkpt probed the event path). A null
+    // hash-sum (empty edge set) reads as ZERO exactly like the old
+    // separate aggregate did.
+    def ckptWithChecksum(df: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs, count(lit(1)).as("n"),
+          sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h"))
+        .localCheckpoint()
+      val h = obs.get("h") match {
+        case null => java.math.BigDecimal.ZERO
+        case d: java.math.BigDecimal => d
+        case d: scala.math.BigDecimal => d.bigDecimal
+      }
+      (out, (obs.get("n").asInstanceOf[Long], h))
     }
 
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-    var e = edges
+    var (e, cur) = ckptWithChecksum(edges
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
-      .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .where(col("u") =!= col("v")).distinct())
     var rounds = 0
     var prev: (Long, java.math.BigDecimal) = (-1L, java.math.BigDecimal.valueOf(-1))
-    var cur = checksum(e)
     while (cur != prev) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val (next, nextSum) = ckptWithChecksum(smallStar(largeStar(e)))
       Bridge.uncheckpoint(e)
       e = next
       rounds += 1
       prev = cur
-      cur = checksum(e)
+      cur = nextSum
     }
     // fixpoint is a star per component: every non-root has exactly one
     // (node, root) edge; roots (and singletons) label themselves
