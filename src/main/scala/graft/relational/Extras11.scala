@@ -251,14 +251,19 @@ object Extras11 extends QueryPack {
     val hot = offs.where(
         (col("r1") > col("off") && col("r1") <= col("off") + col("c")) ||
         (col("r2") > col("off") && col("r2") <= col("off") + col("c")))
-      .select(col(grp), col("bkt"), col("off"), col("r1"), col("r2"))
+      .select(col(grp), col("bkt"), col("off"), col("r1"), col("r2"), col("n"))
     val wl = Window.partitionBy(grp, "bkt").orderBy("mv")
+    // n rides along (hot already knows each group's total from the
+    // counts pass) so a caller needing per-group counts — agg_mad_ranked
+    // — doesn't pay a THIRD corpus scan for a number this pass already
+    // aggregated (r14; the key's extra e.groupBy(count) scan retired)
     base.join(broadcast(hot), Seq(grp, "bkt"))
       .withColumn("rk", col("off") + row_number().over(wl))
       .where(col("rk") === col("r1") || col("rk") === col("r2"))
       .groupBy(grp)
       .agg(((max(when(col("rk") === col("r1"), col("mv"))) * 0.5 +
-             max(when(col("rk") === col("r2"), col("mv"))) * 0.5)).as("med"))
+             max(when(col("rk") === col("r2"), col("mv"))) * 0.5)).as("med"),
+        max(col("n")).as("n"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -392,13 +397,14 @@ object Extras11 extends QueryPack {
     "agg_mad_ranked" -> ((s, dir) => {
       val e = Tables.events(s, dir).select(col("event_type"), col("value"))
       val med = medianRanked(e, "event_type", "value", 64)
-      val dev = e.join(broadcast(med), Seq("event_type"))
+      val dev = e.join(broadcast(med.select("event_type", "med")), Seq("event_type"))
         .select(col("event_type"), abs(col("value") - col("med")).as("dev"))
       val mad = medianRanked(dev, "event_type", "dev", 64)
-        .withColumnRenamed("med", "madv")
-      e.groupBy("event_type").agg(count(lit(1)).as("n"))
-        .join(broadcast(med), Seq("event_type"))
-        .join(broadcast(mad), Seq("event_type"))
+        .select(col("event_type"), col("med").as("madv"))
+      // per-group n comes out of the first medianRanked's counts pass —
+      // the old third full scan (e.groupBy.count) re-derived a number
+      // the rank decomposition had already aggregated (r14)
+      med.join(broadcast(mad), Seq("event_type"))
         .select(col("event_type"), round(col("med"), 4).as("med_value"),
           round(col("madv"), 4).as("mad"), col("n"))
         .orderBy("event_type")

@@ -128,12 +128,17 @@ class ExtrasSpec extends AnyFunSuite {
     val dev = e.join(naive, Seq("event_type"))
       .select(col("event_type"), abs(col("value") - col("med")).as("dev"))
     val naiveDev = dev.groupBy("event_type").agg(median(col("dev")).as("med"))
+    // r14: medianRanked also emits the per-group n its counts pass
+    // already aggregated (agg_mad_ranked's third corpus scan retired) —
+    // pin it against a direct groupBy count at every geometry too
+    val naiveN = e.groupBy("event_type").agg(count(lit(1)).as("n"))
     for (nb <- Seq(1, 2, 7, 64, 509)) {
+      val ranked = graft.relational.Extras11.medianRanked(e, "event_type", "value", nb)
+      assertSameMultiset(ranked.select("event_type", "med"), naive)
+      assertSameMultiset(ranked.select("event_type", "n"), naiveN)
       assertSameMultiset(
-        graft.relational.Extras11.medianRanked(e, "event_type", "value", nb),
-        naive)
-      assertSameMultiset(
-        graft.relational.Extras11.medianRanked(dev, "event_type", "dev", nb),
+        graft.relational.Extras11.medianRanked(dev, "event_type", "dev", nb)
+          .select("event_type", "med"),
         naiveDev)
     }
   }
