@@ -70,3 +70,27 @@ object DebugObserveCkpt {
     s.stop()
   }
 }
+
+/** Tail-floor breakdown: planning-only vs full count() for cheap keys. */
+object DebugTail {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val s = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    s.sparkContext.setLogLevel("ERROR")
+    def t(n: Int)(f: => Unit): Double = {
+      f; val t0 = System.nanoTime(); (1 to n).foreach(_ => f)
+      (System.nanoTime() - t0) / 1e9 / n
+    }
+    val keys = Seq("fn_math", "fn_string", "filter_arith", "agg_group",
+      "win_rank", "join_inner", "sort_multi", "fn_json", "project_select",
+      "agg_grouping", "set_except", "scan_pruned")
+    println(f"${"key"}%-16s ${"plan_ms"}%8s ${"count_ms"}%9s")
+    keys.foreach { k =>
+      val fn = SparkEntry.queries(k)
+      val p = t(6) { fn(s, dir).queryExecution.executedPlan; () }
+      val c = t(6) { fn(s, dir).count(); () }
+      println(f"$k%-16s ${p * 1000}%8.0f ${c * 1000}%9.0f")
+    }
+    s.stop()
+  }
+}

@@ -53,11 +53,23 @@ object GraftSession {
     // the first OOM; RocksDB spills state to local disk with the same
     // exactly-once checkpoint contract. Runtime-settable per session —
     // StreamSpec exercises both providers.
-    sys.env.get("SPARK_GRAFT_STATESTORE") match {
+    val withState = sys.env.get("SPARK_GRAFT_STATESTORE") match {
       case Some("rocksdb") =>
         base.config("spark.sql.streaming.stateStore.providerClass", rocksDBProvider)
       case _ => base
     }
+    // Generic conf override hook (measurement instrument, r14):
+    // SPARK_GRAFT_CONF="k=v;k=v" applies last, so A/B experiments
+    // (split sizing, AQE knobs) run through the same entry points
+    // without code edits. Empty/unset = exactly the tuned defaults.
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';').toSeq).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(withState) { (b, kv) =>
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k, v)
+          case _ => b
+        }
+      }
   }
 
   /** FQCN of Spark's RocksDB state store provider (ships in spark-sql;
