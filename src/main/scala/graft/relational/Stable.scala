@@ -48,4 +48,23 @@ object Stable {
     * DuckDB twin: ROUND(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), r). */
   def davg(c: Column, r: Int = 4): Column =
     round(sum(c.cast(DecimalType(28, 6))).cast("double") / count(lit(1)), r)
+
+  /** davg's codegen-long twin for inputs ALREADY quantized to 6
+    * decimals and non-negative (the `round(x, 6)`-before-mean
+    * discipline of the logprob scorers): each term is floor(x·1e6+0.5)
+    * — bit-equal to the decimal(28,6) cast here because x is the
+    * nearest double of d/1e6, so the product error (≪ 0.5) cannot move
+    * the integer — summed as a LONG (the ~20×/row decimal-SUM tax
+    * retired from the corpus-sized aggregation; lsumTerm rationale
+    * above). The long total re-enters double exactly (< 2^53 through
+    * the 100× posture corpus; at true corpus scale the caller buckets
+    * first, the corr-matrix shape) and d/1e6 division is the same
+    * correctly-rounded rational both ways, so the emitted value is
+    * IDENTICAL to davg's and the DuckDB twin is unchanged:
+    * ROUND(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*), r).
+    * Callers MUST pre-round inputs to ≤ 6 decimals; for general
+    * doubles use davg (decimal-cast and floor quantization can differ
+    * at representation boundaries there). */
+  def lavg6(c: Column, r: Int = 4): Column =
+    round(sum(lsumTerm(c, 6)).cast("double") / 1e6 / count(lit(1)), r)
 }
