@@ -9,7 +9,7 @@ import graft.functions.TopKByScore.topk
 object DebugBq {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = GraftSession.localProbe(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
   * measurement behind the percolation-guard threshold. */
 object DebugGuard {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = GraftSession.localProbe(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
     for (dir <- args) {
       val n = Tables.embeddings(spark, dir).count()

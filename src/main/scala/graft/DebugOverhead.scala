@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object DebugOverhead {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val s = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val s = GraftSession.localProbe(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     s.sparkContext.setLogLevel("ERROR")
     def t(n: Int)(f: => Unit): Double = {
       f // warm once
@@ -59,7 +59,7 @@ object DebugOverhead {
 /** One-off probe: does Observation fire on localCheckpoint()? */
 object DebugObserveCkpt {
   def main(args: Array[String]): Unit = {
-    val s = GraftSession.local("4")
+    val s = GraftSession.localProbe("4")
     s.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.functions._
@@ -75,7 +75,7 @@ object DebugObserveCkpt {
 object DebugTail {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val s = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val s = GraftSession.localProbe(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     s.sparkContext.setLogLevel("ERROR")
     def t(n: Int)(f: => Unit): Double = {
       f; val t0 = System.nanoTime(); (1 to n).foreach(_ => f)

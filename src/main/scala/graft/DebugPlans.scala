@@ -4,7 +4,7 @@ package graft
   * line (plan-audit loop for new queries — SURVEY §4 discipline). */
 object DebugPlans {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local("4")
+    val spark = GraftSession.localProbe("4")
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty && args.head.startsWith("/")) args.head
               else "/root/testdata/sf0.001"

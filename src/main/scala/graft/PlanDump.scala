@@ -11,7 +11,7 @@ object PlanDump {
     require(args.length >= 3, "usage: PlanDump <outDir> <suffix> <key> [key ...]")
     val (outDir, suffix, keys) = (args(0), args(1), args.drop(2).toSeq)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val s = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val s = GraftSession.localProbe(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     s.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     keys.foreach { k =>

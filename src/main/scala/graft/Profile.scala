@@ -11,7 +11,9 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.local(cpus)
+    // localProbe: the profiler is the A/B instrument, so it keeps the
+    // SPARK_GRAFT_CONF override hook (scoped out of Bench/Verify, r15)
+    val spark = GraftSession.localProbe(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -40,8 +42,10 @@ object Profile {
       df.write.format("noop").mode("overwrite").save()
     // GRAFT_PROFILE_REPS warm reps (default 1), min reported — single
     // warm samples wobble ±0.5 s under host noise (r14), the same
-    // min-of-N defense the bench uses
-    val reps = sys.env.getOrElse("GRAFT_PROFILE_REPS", "1").toInt
+    // min-of-N defense the bench uses. Clamped ≥ 1 and non-numeric →
+    // default (ADVICE r14: 0 crashed the empty .min, junk threw NFE).
+    val reps = math.max(1,
+      sys.env.get("GRAFT_PROFILE_REPS").flatMap(_.toIntOption).getOrElse(1))
     val rows = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
       .map { case (name, fn) =>

@@ -24,16 +24,26 @@ object Tables {
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
-  /** Size+mtime fingerprint of a file OR directory tree root (for a
-    * directory: the entry count and max child mtime join the key, so a
-    * rewritten write-once layout re-keys). */
+  /** Size+mtime fingerprint of a file OR directory tree root. For a
+    * directory the walk is RECURSIVE (r15 hardening, ADVICE r14): the
+    * key is (regular-file count, total byte size, max file mtime), so
+    * nested partition layouts fingerprint their leaves — the old
+    * immediate-children (count, max mtime) pair ignored files inside
+    * partition subdirs and could serve a stale memo after an in-place
+    * same-count same-millisecond rewrite; total size re-keys on any
+    * content-length change regardless of timestamps. */
   private def pathFingerprint(p: java.nio.file.Path): String = {
     import java.nio.file.Files
     if (Files.isDirectory(p)) {
-      val kids = listByPrefix(p, "")
-      val mt = if (kids.isEmpty) 0L
-        else kids.map(k => Files.getLastModifiedTime(k).toMillis).max
-      s"d${kids.size}_$mt"
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(p)
+      val (n, sz, mt) =
+        try st.iterator().asScala.filter(Files.isRegularFile(_))
+          .foldLeft((0L, 0L, 0L)) { case ((n, sz, mt), f) =>
+            (n + 1L, sz + Files.size(f),
+              math.max(mt, Files.getLastModifiedTime(f).toMillis)) }
+        finally st.close()
+      s"d${n}_${sz}_$mt"
     } else s"f${Files.size(p)}_${Files.getLastModifiedTime(p).toMillis}"
   }
 
@@ -68,11 +78,23 @@ object Tables {
       val conf = s.sessionState.newHadoopConf()
       val p = new Path(path)
       val fs = p.getFileSystem(conf)
+      // RECURSIVE listing (r15 hardening, ADVICE r14): the old
+      // immediate-children listStatus would silently return 0 for a
+      // partition-nested layout and feed a zero into geometry sizing
+      // (ivfCells(0), sample fraction → Infinity). Recurse, and fail
+      // loudly if no data files turn up — a wrong count must never
+      // outlive the call that produced it.
       val files: Seq[Path] =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).toSeq.map(_.getPath)
-            .filter(_.getName.endsWith(".parquet"))
-        else Seq(p)
+        if (fs.getFileStatus(p).isDirectory) {
+          val it = fs.listFiles(p, true)
+          val b = Seq.newBuilder[Path]
+          while (it.hasNext) {
+            val f = it.next().getPath
+            if (f.getName.endsWith(".parquet")) b += f
+          }
+          b.result()
+        } else Seq(p)
+      require(files.nonEmpty, s"rowCount: no parquet files under $path")
       files.map { f =>
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
         try r.getRecordCount finally r.close()

@@ -316,44 +316,103 @@ object Retrieval extends QueryPack {
       .agg(graft.relational.Stable.dsum(col("c"), 12).as("score"))
   }
 
+  /** The text_bm25_prf body (single-postings-pass form, r15 — see the
+    * key's comment in `queries`). Factored out so RetrievalSpec can
+    * run it against `bm25PrfNaive` on planted corpora (duplicate-text
+    * ties at both rank cuts). */
+  private[graft] def bm25Prf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val q1 = QueryTerms.toDF("term")
+    val pt = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dls = pt.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val dfa = pt.groupBy("tok").agg(count(lit(1)).as("df"))
+    // rowBm25 rebuilt over the shared postings: tf restricted by the
+    // (broadcast) term set, df sliced from the one vocab aggregate
+    def scoreAgainst(terms: DataFrame): DataFrame = {
+      val tf = pt.join(broadcast(terms), col("tok") === col("term"))
+        .select(col("doc_id"), col("term"), col("tf"))
+      val dft = dfa.join(broadcast(terms), col("tok") === col("term"))
+        .select(col("term"), col("df"))
+      tf.join(broadcast(dft), Seq("term"))
+        .join(dls, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), termScoreOf(col("tf"), col("df"),
+          col("dl"), col("n"), col("sdl")).as("c"))
+        .groupBy("doc_id")
+        .agg(graft.relational.Stable.dsum(col("c"), 12).as("score"))
+    }
+    val top3 = rankTop(scoreAgainst(q1), 3).select(col("doc_id"))
+    val ex = pt.join(broadcast(top3), Seq("doc_id"))
+      .where(!col("tok").isInCollection(QueryTerms))
+      .groupBy("tok").agg(sum(col("tf")).as("tf3"))
+      .join(dfa, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok").as("term"), round(col("tf3").cast("double") *
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)),
+        12).as("es"))
+      .orderBy(col("es").desc, col("term")).limit(2)
+      .select(col("term"))
+    rankTop(scoreAgainst(q1.union(ex)), 10)
+      .select(col("rn"), col("doc_id"), round(col("score"), 4).as("bm25"))
+      .orderBy("rn")
+  }
+
+  /** The PRE-r15 text_bm25_prf form, verbatim — retained ONLY as the
+    * reference implementation for RetrievalSpec's equivalence gate
+    * (multiset-equal outputs on the fixtures and on planted tie
+    * corpora prove the single-pass restructure exact). Not a query. */
+  private[graft] def bm25PrfNaive(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val q1 = QueryTerms.toDF("term")
+    val top3 = rankTop(rowBm25(docs, q1), 3).select(col("doc_id"))
+    val tk = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val dfa = tk.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+    val ex = tk.join(broadcast(top3), Seq("doc_id"))
+      .where(!col("tok").isInCollection(QueryTerms))
+      .groupBy("tok").agg(count(lit(1)).as("tf3"))
+      .join(dfa, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok").as("term"), round(col("tf3").cast("double") *
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)),
+        12).as("es"))
+      .orderBy(col("es").desc, col("term")).limit(2)
+      .select(col("term"))
+    rankTop(rowBm25(docs, q1.union(ex)), 10)
+      .select(col("rn"), col("doc_id"), round(col("score"), 4).as("bm25"))
+      .orderBy("rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pseudo-relevance feedback (Rocchio-style query expansion): score
     // with the original query, take the top-3 docs, add their 2
     // strongest non-query terms (tf-in-feedback-docs × corpus idf),
     // rescore with the expanded query. ENTIRELY in-plan — the
     // expansion terms are a 2-row DataFrame derived from stage 1, not
-    // a driver round trip — so the whole two-stage retrieval is one
-    // DAG a scheduler can pipeline. Corpus-side cost: the stage-1
-    // map-side scorer, one vocab-bounded df aggregate, and the
-    // stage-2 row scorer whose term table (5 rows) broadcasts.
-    "text_bm25_prf" -> ((s, dir) => {
-      import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val q1 = QueryTerms.toDF("term")
-      val top3 = rankTop(rowBm25(docs, q1), 3).select(col("doc_id"))
-      val tk = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
-      // full-vocab df agg (Heaps-bounded output), joined by the tiny
-      // candidate set. MEASURED against restricting df to candidate
-      // tokens first: the restriction needs a third explode pass over
-      // the corpus and came out 0.45 s SLOWER at sf0.1 (2.51 vs 2.06)
-      // — the vocab-sized hash agg is cheaper than another scan.
-      val dfa = tk.groupBy("tok").agg(countDistinct("doc_id").as("df"))
-      val stats = docs.agg(count(lit(1)).as("n"))
-      val ex = tk.join(broadcast(top3), Seq("doc_id"))
-        .where(!col("tok").isInCollection(QueryTerms))
-        .groupBy("tok").agg(count(lit(1)).as("tf3"))
-        .join(dfa, Seq("tok"))
-        .crossJoin(broadcast(stats))
-        .select(col("tok").as("term"), round(col("tf3").cast("double") *
-          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)),
-          12).as("es"))
-        .orderBy(col("es").desc, col("term")).limit(2)
-        .select(col("term"))
-      rankTop(rowBm25(docs, q1.union(ex)), 10)
-        .select(col("rn"), col("doc_id"), round(col("score"), 4).as("bm25"))
-        .orderBy("rn")
-    }),
+    // a driver round trip. Single-pass restructure (r15): the OLD
+    // form ran rowBm25 twice plus a full-vocab df aggregate plus the
+    // feedback-doc token pass — six independent explode subtrees over
+    // the corpus in one executed plan. Everything every stage needs
+    // is a function of the postings frame (doc_id, tok, tf), so that
+    // frame is computed in ONE corpus scan and eagerly materialized
+    // (localCheckpoint — the plan-truncation tool the solver keys
+    // already use; postings are token-bounded, far smaller than the
+    // text they summarize). dl = Σ tf per doc equals size(split(...))
+    // exactly (explode drops nothing), df/tf3/stats reduce from the
+    // same frame, and both scoring stages share one scorer whose
+    // inputs are bit-identical LONGs to the old form's — same
+    // termScoreOf contributions, same order-independent dsum, same
+    // hashes (oracle-proven at all 3 SFs; the DuckDB twin unchanged).
+    // The one semantic footnote: n/dl/sdl now come from the postings
+    // frame, so a NULL-text doc (absent from explode) would no longer
+    // count toward n — the fixtures have none, and split("")
+    // still yields one empty token so empty docs stay counted.
+    "text_bm25_prf" -> ((s, dir) => bm25Prf(Tables.documents(s, dir))),
 
     // BM25 top-10 over the documents corpus for the fixed query.
     // Scoring is map-side (array-filter tf, one broadcast stats row);

@@ -55,10 +55,84 @@ import org.apache.spark.sql.types.DecimalType
   *    across engines and partitionings; a double stddev_samp window
   *    would hash-mismatch, and the decimal window sums this replaces
   *    cost ~20×/row), frame = 50 preceding to 1 preceding (the current
-  *    point never pollutes its own baseline). One window shuffle per
-  *    type.
+  *    point never pollutes its own baseline). Parallelism: the naive
+  *    form's one-window-per-type caps the sort at #types (5) tasks at
+  *    any corpus size — the r14 VERDICT's one named 100 TB
+  *    scale-killer. `anomalyRows` decomposes the ROWS frame exactly
+  *    (rank-block chunk-carry, below), so the window partitions by
+  *    (type, chunk) instead.
   */
 object Extras10 extends QueryPack {
+
+  /** Chunk-carry parallel trailing-50-ROWS z-score (the ts_anomaly
+    * body) — the ROWS-frame sibling of Extras11.anomalyTime, which
+    * parallelized the RANGE (time) frame in an earlier round. A time
+    * frame chunks directly on the order key; a ROWS frame cannot
+    * (the 50 preceding ROWS of a sparse type reach arbitrarily far
+    * back in event_id), so the decomposition goes through the exact
+    * global rank, the giniRanked/medianRanked pattern:
+    *
+    *   1. bucket by any monotone function of event_id (`ibk`); count
+    *      per (type, ibk); prefix offsets over the dimension-sized
+    *      count table broadcast back;
+    *   2. global rank rn = offset + row_number within (type, ibk) —
+    *      bit-equal to a single row_number per type, by construction;
+    *   3. rank-block chunks: chunk = (rn-1) div B. Ranks are
+    *      contiguous 1..n per type, so every non-final chunk holds
+    *      EXACTLY B ≥ 50 rows — carrying each chunk's last-50 ranks
+    *      into the next chunk covers every own row's trailing frame
+    *      with no density assumption (unlike an id-width chunking,
+    *      which would need ≥50 rows of every type per chunk);
+    *   4. the moment window partitions by (type, chunk), ordered by
+    *      rn (unique per type ⇒ unambiguous), frame -50..-1; carry
+    *      rows compute and are dropped (`own`). Chunk-0 rows with
+    *      rn ≤ 50 see exactly their rn-1 predecessors — identical to
+    *      the naive frame at the series head.
+    *
+    * EXACT for any id distribution and any B ≥ 50 (ExtrasSpec asserts
+    * bit-equality with the naive single-window form across
+    * geometries). Scale posture: window parallelism n/B instead of
+    * #types; the offsets table is (#types × #id-buckets) rows — the
+    * caller sizes idBucket from rowCount so it stays broadcast-sized. */
+  private[graft] def anomalyRows(events: DataFrame,
+      idBucket: Long, block: Long = 4096L): DataFrame = {
+    require(block >= 50, "rank block must cover the 50-row frame")
+    require(idBucket >= 1, "id bucket width must be positive")
+    val e = events.select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("ibk", expr(s"event_id div $idBucket"))
+    val counts = e.groupBy("event_type", "ibk").agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy("event_type").orderBy("ibk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select("event_type", "ibk", "off")
+    val wl = Window.partitionBy("event_type", "ibk").orderBy("event_id")
+    val ranked = e.join(broadcast(offs), Seq("event_type", "ibk"))
+      .withColumn("rn", col("off") + row_number().over(wl))
+    val own = ranked
+      .withColumn("chunk", expr(s"(rn - 1) div $block"))
+      .withColumn("own", lit(true))
+    val carry = ranked
+      .where(expr(s"(rn - 1) % $block >= ${block - 50}"))
+      .withColumn("chunk", expr(s"(rn - 1) div $block") + 1)
+      .withColumn("own", lit(false))
+    val w = Window.partitionBy("event_type", "chunk").orderBy("rn")
+      .rowsBetween(-50, -1)
+    own.unionByName(carry)
+      .withColumn("sx",
+        sum(Stable.lsumTerm(col("value"), 6)).over(w).cast("double") / 1e6)
+      .withColumn("sq",
+        sum(Stable.lsumTerm(col("value") * col("value"), 8)).over(w).cast("double") / 1e8)
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("own") && col("n") >= 20)
+      .withColumn("m", col("sx") / col("n"))
+      .withColumn("va", (col("sq") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1)))
+      .where(col("va") > 0)
+      .withColumn("z", (col("value") - col("m")) / sqrt(col("va")))
+      .where(abs(col("z")) > 2.5)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 2).as("value"), round(col("z"), 4).as("z"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // bursts of orders ≤30 days apart per customer: break flag via lag,
@@ -174,29 +248,17 @@ object Extras10 extends QueryPack {
     }),
 
     // trailing-50-event z-score outliers per type; moments from two
-    // exact decimal window sums so z is cross-engine bit-identical
+    // exact integer window sums so z is cross-engine bit-identical.
+    // Chunk-carry parallel form (anomalyRows, r15): the window
+    // partitions by (type, rank-chunk) instead of the 5-way
+    // event_type grain. idBucket sized from the footer rowCount so
+    // the rank-offset table stays broadcast-sized (~1024 id-buckets)
+    // at any corpus scale; block 4096 bounds every window partition
+    // at ~4k rows + 50 carry regardless of scale.
     "ts_anomaly" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type").orderBy("event_id")
-        .rowsBetween(-50, -1)
-      // rolling moments as LONG window sums of floor-scaled terms
-      // (Stable.lsumTerm) — exact, order-independent, and the frame is
-      // 50 rows so a partial can never overflow; the decimal window
-      // sums this replaces cost ~20×/row (the corr-matrix lesson)
-      Tables.events(s, dir)
-        .select(col("event_id"), col("event_type"), col("value"))
-        .withColumn("sx",
-          sum(Stable.lsumTerm(col("value"), 6)).over(w).cast("double") / 1e6)
-        .withColumn("sq",
-          sum(Stable.lsumTerm(col("value") * col("value"), 8)).over(w).cast("double") / 1e8)
-        .withColumn("n", count(lit(1)).over(w))
-        .where(col("n") >= 20)
-        .withColumn("m", col("sx") / col("n"))
-        .withColumn("va", (col("sq") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1)))
-        .where(col("va") > 0)
-        .withColumn("z", (col("value") - col("m")) / sqrt(col("va")))
-        .where(abs(col("z")) > 2.5)
-        .select(col("event_type"), col("event_id"),
-          round(col("value"), 2).as("value"), round(col("z"), 4).as("z"))
+      val n = Tables.rowCount(s, dir, "events")
+      anomalyRows(Tables.events(s, dir),
+          idBucket = math.max(4096L, n / 1024L))
         .orderBy("event_type", "event_id")
     })
   )

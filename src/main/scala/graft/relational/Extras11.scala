@@ -396,7 +396,15 @@ object Extras11 extends QueryPack {
     // bit-equality with the buffering form at 5 bucket geometries).
     "agg_mad_ranked" -> ((s, dir) => {
       val e = Tables.events(s, dir).select(col("event_type"), col("value"))
-      val med = medianRanked(e, "event_type", "value", 64)
+      // the value-median table is GROUP-CARDINALITY rows (5 here) but
+      // its subtree is two corpus passes; un-truncated it re-executes
+      // THREE times in one plan (inside both dev consumers — the MAD
+      // counts pass and the MAD bucket-select pass — plus the final
+      // join), which is where the r14 plan's 48 Exchanges came from.
+      // localCheckpoint materializes the 5 rows once (r15): corpus
+      // passes 6 → 4 (the two sequential medians' own counts+select
+      // passes — irreducible, dev depends on med), Exchanges 48 → ~16.
+      val med = medianRanked(e, "event_type", "value", 64).localCheckpoint()
       val dev = e.join(broadcast(med.select("event_type", "med")), Seq("event_type"))
         .select(col("event_type"), abs(col("value") - col("med")).as("dev"))
       val mad = medianRanked(dev, "event_type", "dev", 64)

@@ -92,6 +92,64 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata memos re-key on fixture rewrite; rowCount recurses into nested layouts") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_memo").toString
+    val p = s"$tmp/t.parquet"
+    // write-once layout v1: 5 rows, one column
+    Seq(1L, 2L, 3L, 4L, 5L).toDF("a").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    assert(Tables.rowCount(spark, tmp, "t") === 5L)
+    assert(Tables.cachedParquet(spark, p).schema.fieldNames.toSeq === Seq("a"))
+    // in-place rewrite at the SAME path: different rows AND schema.
+    // The recursive (count, total size, max mtime) fingerprint must
+    // re-key BOTH memos even within the same mtime millisecond.
+    (1L to 7L).map(i => (i, s"s$i")).toDF("a", "b").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    assert(Tables.rowCount(spark, tmp, "t") === 7L,
+      "countMemo served a stale value after an in-place rewrite")
+    assert(Tables.cachedParquet(spark, p).schema.fieldNames.toSeq === Seq("a", "b"),
+      "schemaMemo served a stale schema after an in-place rewrite")
+    // nested (partitioned) layout: the old immediate-children listing
+    // saw zero *.parquet files here and silently returned 0
+    val np = s"$tmp/n.parquet"
+    (1L to 9L).map(i => (i, i % 3)).toDF("a", "k")
+      .write.mode("overwrite").partitionBy("k").parquet(np)
+    assert(Tables.rowCount(spark, tmp, "n") === 9L,
+      "rowCount must recurse into partition subdirectories")
+  }
+
+  test("anomalyRows rank-block chunk-carry == naive single-series ROWS window at varied geometries") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.relational.Stable
+    // the naive form: one trailing-50-ROWS window per series
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(-50, -1)
+    val naive = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("sx", sum(Stable.lsumTerm(col("value"), 6)).over(w).cast("double") / 1e6)
+      .withColumn("sq", sum(Stable.lsumTerm(col("value") * col("value"), 8)).over(w).cast("double") / 1e8)
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("n") >= 20)
+      .withColumn("m", col("sx") / col("n"))
+      .withColumn("va", (col("sq") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1)))
+      .where(col("va") > 0)
+      .withColumn("z", (col("value") - col("m")) / sqrt(col("va")))
+      .where(abs(col("z")) > 2.5)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 2).as("value"), round(col("z"), 4).as("z"))
+    // exactness must hold for ANY idBucket ≥ 1 and block ≥ 50 —
+    // including 1-row id-buckets (maximum offset machinery), an odd
+    // misaligned pair, the degenerate block == frame (maximum carry),
+    // and the single-chunk case that IS the naive window
+    for ((idBucket, block) <- Seq((1L, 50L), (97L, 137L), (4096L, 4096L),
+        (1000000L, 1000000L), (256L, 64L))) {
+      val par = graft.relational.Extras10.anomalyRows(
+        Tables.events(spark, dir), idBucket, block)
+      assertSameMultiset(par, naive)
+    }
+  }
+
   test("giniRanked two-phase rank == naive single-window rank at varied bucket geometries") {
     import org.apache.spark.sql.expressions.Window
     import graft.relational.Stable

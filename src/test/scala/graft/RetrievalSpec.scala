@@ -28,6 +28,47 @@ class RetrievalSpec extends AnyFunSuite {
       s"single=$single\nbatch=$batch")
   }
 
+  test("bm25Prf single-postings-pass == pre-r15 naive form on the fixture corpus") {
+    val a = graft.llm.Retrieval.bm25Prf(Tables.documents(spark, dir))
+      .collect().map(_.toString).sorted.toSeq
+    val b = graft.llm.Retrieval.bm25PrfNaive(Tables.documents(spark, dir))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, s"restructure diverged:\n new=$a\n old=$b")
+  }
+
+  test("bm25Prf == naive form on a planted corpus with ties at BOTH rank cuts") {
+    import spark.implicits._
+    // docs 1-4 are byte-identical (scores tie exactly → the top-3
+    // feedback cut separates ties by doc_id alone); docs 9/15 tie at
+    // the bottom of the top-10; doc 13 has no query term (counts only
+    // toward n/sdl); doc 14 is empty text (one empty token — stays
+    // counted in both forms). Expansion terms (alpha/beta/...) give
+    // stage 2 a real term choice, with an es tie between gamma/delta
+    // broken by term name.
+    val docs = Seq(
+      1L  -> "dup spark merge alpha beta",
+      2L  -> "dup spark merge alpha beta",
+      3L  -> "dup spark merge alpha beta",
+      4L  -> "dup spark merge alpha beta",
+      5L  -> "dup spark gamma gamma",
+      6L  -> "spark merge beta beta alpha",
+      7L  -> "merge delta delta",
+      8L  -> "dup epsilon",
+      9L  -> "spark alpha",
+      10L -> "merge beta",
+      11L -> "dup gamma delta",
+      12L -> "spark delta epsilon",
+      13L -> "noise only words here",
+      14L -> "",
+      15L -> "spark alpha"
+    ).toDF("doc_id", "text")
+    val a = graft.llm.Retrieval.bm25Prf(docs)
+      .collect().map(_.toString).sorted.toSeq
+    val b = graft.llm.Retrieval.bm25PrfNaive(docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a.size == 10 && a == b, s"tie corpus diverged:\n new=$a\n old=$b")
+  }
+
   test("hybrid RRF scores decompose into the two ranked lists' contributions") {
     val rows = q("sim_hybrid_rrf").collect()
     assert(rows.length == 10)
