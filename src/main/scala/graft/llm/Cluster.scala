@@ -43,6 +43,25 @@ object Cluster extends QueryPack {
     * them; a local checkpoint cannot be recomputed once dropped) — the
     * edge checkpoint is released too.
     */
+  /** Bounded-wait read of observed metrics (ADVICE r14): `obs.get`
+    * blocks FOREVER if the Observation event never fires for the
+    * localCheckpoint action. That path is probed for the current Spark
+    * version (DebugObserveCkpt), but a Spark upgrade changing the
+    * checkpoint action's event plumbing must degrade to the explicit
+    * fallback job — never turn the solver loop into a silent hang.
+    * getOrEmpty parks ≤100 ms per call and wakes on the metrics
+    * notify, so the fired path costs nothing; after ~10 s the caller's
+    * explicit aggregate (the pre-r14 shape) supplies the same values. */
+  private def observedOr(obs: org.apache.spark.sql.Observation,
+      keys: Seq[String])(orElse: => Map[String, Any]): Map[String, Any] = {
+    import org.apache.spark.sql.graft.Bridge
+    val deadline = System.nanoTime() + 10L * 1000L * 1000L * 1000L
+    var m: Map[String, Any] = Bridge.observedOrEmpty(obs)
+    while (!keys.forall(m.contains) && System.nanoTime() < deadline)
+      m = Bridge.observedOrEmpty(obs)
+    if (keys.forall(m.contains)) m else orElse
+  }
+
   private[graft] def components(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     val e = edges.localCheckpoint() // reused every round: compute pairs once
@@ -71,7 +90,9 @@ object Cluster extends QueryPack {
           (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
         .observe(obs, count(when(col("chg"), lit(1))).as("nchg"))
         .localCheckpoint()
-      changed = obs.get("nchg").asInstanceOf[Long]
+      changed = observedOr(obs, Seq("nchg"))(Map("nchg" ->
+          step.agg(count(when(col("chg"), lit(1))).as("nchg"))
+            .collect()(0).getLong(0)))("nchg").asInstanceOf[Long]
       Bridge.uncheckpoint(labels) // superseded round — data now lives in step
       labels = step.select("node", "lbl")
     }
@@ -137,12 +158,18 @@ object Cluster extends QueryPack {
       val out = df.observe(obs, count(lit(1)).as("n"),
           sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h"))
         .localCheckpoint()
-      val h = obs.get("h") match {
+      val m = observedOr(obs, Seq("n", "h")) {
+        val r = out.agg(count(lit(1)).as("n"),
+          sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h"))
+          .collect()(0)
+        Map("n" -> r.getLong(0), "h" -> r.get(1))
+      }
+      val h = m("h") match {
         case null => java.math.BigDecimal.ZERO
         case d: java.math.BigDecimal => d
         case d: scala.math.BigDecimal => d.bigDecimal
       }
-      (out, (obs.get("n").asInstanceOf[Long], h))
+      (out, (m("n").asInstanceOf[Long], h))
     }
 
     val nodes = edges.select(col("src").as("node"))

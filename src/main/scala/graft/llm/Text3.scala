@@ -92,7 +92,7 @@ object Text3 extends QueryPack {
           round(lit(0.0) - log(col("ctok").cast("double") / col("ntot")), 6).as("nll"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"),
-          graft.relational.Stable.lavg6(col("nll")).as("avg_nll"))
+          graft.relational.Stable.lavg6Prerounded(col("nll")).as("avg_nll"))
         .orderBy("doc_id")
     }),
 
@@ -136,7 +136,7 @@ object Text3 extends QueryPack {
             lit(0.25) * (col("c2").cast("double") / col("ntot"))), 6).as("nll"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
-          graft.relational.Stable.lavg6(col("nll")).as("avg_nll"))
+          graft.relational.Stable.lavg6Prerounded(col("nll")).as("avg_nll"))
         .orderBy("doc_id")
     }),
 

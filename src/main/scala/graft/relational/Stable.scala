@@ -64,7 +64,10 @@ object Stable {
     * ROUND(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*), r).
     * Callers MUST pre-round inputs to ≤ 6 decimals; for general
     * doubles use davg (decimal-cast and floor quantization can differ
-    * at representation boundaries there). */
-  def lavg6(c: Column, r: Int = 4): Column =
+    * at representation boundaries there). The precondition rides the
+    * NAME (ADVICE r14) — a future caller reaching for a generic mean
+    * should trip over "Prerounded" before silently forking from the
+    * decimal oracle twin. */
+  def lavg6Prerounded(c: Column, r: Int = 4): Column =
     round(sum(lsumTerm(c, 6)).cast("double") / 1e6 / count(lit(1)), r)
 }

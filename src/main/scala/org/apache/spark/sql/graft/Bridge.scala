@@ -41,6 +41,16 @@ object Bridge {
       case _ => ()
     }
 
+  /** Non-hanging read of an Observation's metrics: returns the metric
+    * map if the observation event has fired (parking ≤ 100 ms on the
+    * monitor — it wakes immediately on the notify), else empty.
+    * `Observation.getOrEmpty` is `private[sql]` in Spark 4; the public
+    * `get` blocks forever when the event never fires, which is exactly
+    * the failure mode graft.llm.Cluster's bounded-wait loop defends
+    * against (ADVICE r14). */
+  def observedOrEmpty(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    obs.getOrEmpty.toMap
+
   /** Register graft's custom expressions as SQL functions on an existing
     * session (the SparkSessionExtensions route in graft.GraftExtensions
     * only applies to sessions built with .withExtensions). */

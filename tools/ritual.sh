@@ -106,7 +106,11 @@ echo "== [6/8] posture regression (builds scaled corpora if absent)"
 # /tmp/graft_posture.json to be re-read — remove it first, keep the run's
 # exit status (no grep in the pipeline masking it), then check drifts.
 rm -f /tmp/graft_posture.json
-bash tools/run.sh graft.Posture /root/testdata/sf0.1 /tmp/graft_sf10 /tmp/graft_sf100 > /tmp/ritual_posture.log 2>&1 \
+# 24g driver: the 38-key registry's 100x rows (dedup_paragraph_near,
+# agg_mad_ranked) OOM the 8g default — measured r15, matches the r13
+# maiden-run heap note
+SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g} \
+  bash tools/run.sh graft.Posture /root/testdata/sf0.1 /tmp/graft_sf10 /tmp/graft_sf100 > /tmp/ritual_posture.log 2>&1 \
   || { echo "POSTURE CRASH:"; tail -20 /tmp/ritual_posture.log; exit 1; }
 python3 - <<'EOF'
 import json, sys
